@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[QueryDef] = StreamQueries.all
+  def registry: Seq[QueryDef] = StreamQueries.all ++ RelationalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,308 @@
+package graft.operators
+
+import graft.model.Envelope
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Query families Q10–Q15 (SURVEY.md §2.12): the general relational
+  * surface the reference delegates to handlers, exposed natively via
+  * Catalyst (joins incl. broadcast, aggregations incl. rollup, window
+  * functions, sorts/limits, set ops, scalar functions).
+  *
+  * Float determinism: every double aggregate goes through exact
+  * DECIMAL arithmetic (order-independent, so shuffle/AQE cannot change
+  * the result) and is cast to double only at the output boundary. The
+  * oracle SQL applies the identical casts, so values are bit-equal.
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Envelope.readTable(spark, dir, name)
+
+  /** Exact decimal view of a raw double column (4 decimal digits is
+    * lossless for the TPC-H-ish money/quantity columns). */
+  private def dec(c: String): Column = expr(s"CAST($c AS DECIMAL(20,4))")
+
+  // Q10: ranking / analytic windows over lineitem.
+  val q10WindowRank: QueryDef = QueryDef(
+    "q10_window_rank",
+    """SELECT l_suppkey, l_orderkey, l_linenumber,
+      |       rank() OVER w AS rnk,
+      |       dense_rank() OVER w AS drnk,
+      |       lag(l_orderkey) OVER w AS prev_order,
+      |       lead(l_orderkey) OVER w AS next_order,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4)))
+      |            OVER (PARTITION BY l_suppkey
+      |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_qty
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_suppkey
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+      |ORDER BY l_suppkey, rnk""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        lag(col("l_orderkey"), 1).over(w).as("prev_order"),
+        lead(col("l_orderkey"), 1).over(w).as("next_order"),
+        sum(dec("l_quantity"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_qty"))
+      .orderBy(col("l_suppkey"), col("rnk"))
+  }
+
+  // Q11a: multi-way join with broadcast dims (TPC-H Q3 shape). The
+  // customer/orders sides are small relative to lineitem at any SF →
+  // broadcast them; lineitem never shuffles.
+  val q11Join: QueryDef = QueryDef(
+    "q11_join",
+    """SELECT o_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue,
+      |       any_value(c_mktsegment) AS segment,
+      |       count(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND o_orderstatus = 'O'
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin) { (spark, dir) =>
+    val cust = t(spark, dir, "customer")
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    val ord = t(spark, dir, "orders").where(col("o_orderstatus") === "O")
+    t(spark, dir, "lineitem")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("revenue"),
+        first(col("c_mktsegment")).as("segment"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  // Q11b: as-of join — latest event per stream at-or-before each probe
+  // time (the DynamoStore index→store hydration / read-at-position
+  // semantic, SURVEY §2.10/§2.12 Q11). Composed from existing ops:
+  // broadcast the tiny probe list, aggregate max_by per (stream, probe)
+  // — one shuffle on the stream key, no custom strategy needed.
+  val q11AsOf: QueryDef = QueryDef(
+    "q11_asof",
+    """WITH env AS (
+      |  SELECT concat('user-', user_id) AS stream_name,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+      |         ts, event_type, value FROM events),
+      |probes AS (SELECT * FROM (VALUES (TIMESTAMP '2024-01-08 00:00:00'),
+      |                                 (TIMESTAMP '2024-01-15 00:00:00'),
+      |                                 (TIMESTAMP '2024-01-22 00:00:00')) AS p(probe_ts))
+      |SELECT stream_name, epoch_us(probe_ts) AS probe_us,
+      |       max(idx) AS asof_idx,
+      |       arg_max(event_type, idx) AS asof_type,
+      |       arg_max(value, idx) AS asof_value
+      |FROM env JOIN probes ON env.ts <= probes.probe_ts
+      |GROUP BY stream_name, probe_ts
+      |ORDER BY stream_name, probe_us""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val env = Envelope.fromEvents(t(spark, dir, "events"))
+    val probes = Seq("2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00")
+      .toDF("p").select(col("p").cast("timestamp").as("probe_ts"))
+    env.join(broadcast(probes), col("ts") <= col("probe_ts"))
+      .groupBy(col("stream_name"), col("probe_ts"))
+      .agg(max(col("idx")).as("asof_idx"),
+        max_by(col("event_type"), col("idx")).as("asof_type"),
+        max_by(col("value"), col("idx")).as("asof_value"))
+      .select(col("stream_name"), unix_micros(col("probe_ts")).as("probe_us"),
+        col("asof_idx"), col("asof_type"), col("asof_value"))
+      .orderBy(col("stream_name"), col("probe_us"))
+  }
+
+  // Q11c: semi + anti join — customers with January orders but no
+  // high-value ones (left_semi / left_anti compose).
+  val q11SemiAnti: QueryDef = QueryDef(
+    "q11_semi_anti",
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+      |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    cust
+      .join(broadcast(ord.where(col("o_orderstatus") === "F")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .join(broadcast(ord.where(col("o_totalprice") > 400000)),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  // Q12a: TPC-H Q1 — hash aggregation with partial (map-side) combine.
+  val q12Agg: QueryDef = QueryDef(
+    "q12_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))
+      |                * (1 + CAST(l_tax AS DECIMAL(20,4)))) AS DOUBLE) AS sum_charge,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_qty,
+      |       CAST(sum(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec("l_quantity")).cast("double").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")) * (lit(1) + dec("l_tax")))
+          .cast("double").as("sum_charge"),
+        (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  // Q12b: rollup (grouping sets) over the region→nation hierarchy.
+  val q12Rollup: QueryDef = QueryDef(
+    "q12_rollup",
+    """SELECT coalesce(r_name, 'ALL') AS region_name,
+      |       coalesce(n_name, 'ALL') AS nation_name,
+      |       count(*) AS n_customers,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(20,4))) AS DOUBLE) AS sum_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY region_name, nation_name""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec("c_acctbal")).cast("double").as("sum_bal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region_name"),
+        coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+        col("n_customers"), col("sum_bal"))
+      .orderBy(col("region_name"), col("nation_name"))
+  }
+
+  // Q12c: distinct aggregation (exact).
+  val q12Distinct: QueryDef = QueryDef(
+    "q12_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts,
+      |       count(DISTINCT l_suppkey) AS n_supps,
+      |       count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Q12d: HLL sketch cardinality — approx algorithms differ across
+  // engines by design → rows-only check (driver records weaker gate).
+  val q12Approx: QueryDef = QueryDef.noOracle("q12_approx_distinct") { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Q13: top-k — exact-decimal sort key so ordering can't flip on ulps;
+  // orderkey tiebreak keeps the limit deterministic.
+  val q13TopK: QueryDef = QueryDef(
+    "q13_topk",
+    """SELECT l_orderkey AS o_orderkey,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |             * (1 - CAST(l_discount AS DECIMAL(20,4)))) DESC, l_orderkey
+      |LIMIT 10""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
+      .orderBy(col("rev_dec").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("rev_dec").cast("double").as("revenue"))
+  }
+
+  // Q14: set operations over customer segments.
+  val q14SetOps: QueryDef = QueryDef(
+    "q14_setops",
+    """SELECT c_custkey FROM (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  UNION
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+      |  EXCEPT
+      |  SELECT c_custkey FROM customer WHERE c_acctbal < 0) t
+      |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val building = cust.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val auto = cust.where(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+    val active = ord.where(col("o_orderstatus") =!= "F")
+      .select(col("o_custkey").as("c_custkey"))
+    val negative = cust.where(col("c_acctbal") < 0).select(col("c_custkey"))
+    // SQL set-op precedence: INTERSECT binds tighter than UNION/EXCEPT.
+    building.union(auto.intersect(active)).distinct()
+      .except(negative)
+      .orderBy(col("c_custkey"))
+  }
+
+  // Q15: scalar function library — string/date/math/json in one shape.
+  val q15Scalar: QueryDef = QueryDef(
+    "q15_scalar",
+    """SELECT event_id,
+      |       upper(event_type) AS type_u,
+      |       substr(event_type, 1, 3) AS type_3,
+      |       length(props) AS props_len,
+      |       CAST(props->>'$.k' AS BIGINT) AS k,
+      |       epoch_us(date_trunc('month', ts)) AS month_us,
+      |       CAST(round(value * 100) AS BIGINT) AS value_cents,
+      |       abs(value - 100.0) AS dist100,
+      |       concat(event_type, '#', user_id) AS tag
+      |FROM events
+      |WHERE event_id % 10 = 0
+      |ORDER BY event_id""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "events")
+      .where(col("event_id") % 10 === 0)
+      .select(col("event_id"),
+        upper(col("event_type")).as("type_u"),
+        substring(col("event_type"), 1, 3).as("type_3"),
+        length(col("props")).as("props_len"),
+        get_json_object(col("props"), "$.k").cast("bigint").as("k"),
+        unix_micros(date_trunc("month", col("ts"))).as("month_us"),
+        round(col("value") * 100).cast("bigint").as("value_cents"),
+        abs(col("value") - 100.0).as("dist100"),
+        concat(col("event_type"), lit("#"), col("user_id")).as("tag"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q10WindowRank, q11Join, q11AsOf, q11SemiAnti,
+    q12Agg, q12Rollup, q12Distinct, q12Approx,
+    q13TopK, q14SetOps, q15Scalar)
+}
