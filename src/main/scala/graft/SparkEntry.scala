@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def registry: Seq[QueryDef] = StreamQueries.all ++ RelationalQueries.all
+  def registry: Seq[QueryDef] =
+    StreamQueries.all ++ RelationalQueries.all ++ EventTimeQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

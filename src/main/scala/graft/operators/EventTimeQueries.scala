@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q16/Q17: the event-time layer the reference lacks entirely
+  * (SURVEY.md §2.10 — propulsion is arrival-order only; our engine adds
+  * watermarked event-time semantics as a first-class capability).
+  *
+  * These builders are the batch-relational expression of the same
+  * semantics; [[graft.streaming]] runs them as streaming queries over
+  * MemoryStream with identical results (asserted in the test suite).
+  * Window starts are emitted as epoch-micros so the oracle compare is
+  * precision-proof.
+  */
+object EventTimeQueries {
+
+  private def env(spark: SparkSession, dir: String): DataFrame =
+    Envelope.fromEvents(Envelope.readTable(spark, dir, "events"))
+
+  // Q16a: tumbling 1h windows per stream.
+  val q16Tumbling: QueryDef = QueryDef(
+    "q16_tumbling",
+    """SELECT concat('user-', user_id) AS stream_name,
+      |       epoch_us(date_trunc('hour', ts)) AS window_start_us,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY stream_name, window_start_us""".stripMargin) { (spark, dir) =>
+    env(spark, dir)
+      .groupBy(col("stream_name"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(20,4))")).cast("double").as("sum_value"))
+      .select(col("stream_name"), unix_micros(col("w.start")).as("window_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("stream_name"), col("window_start_us"))
+  }
+
+  // Q16b: sliding windows (1h length, 30m slide) — each event lands in
+  // two windows; the oracle enumerates both bucket offsets.
+  val q16Sliding: QueryDef = QueryDef(
+    "q16_sliding",
+    """WITH b AS (
+      |  SELECT concat('user-', user_id) AS stream_name,
+      |         epoch_us(time_bucket(INTERVAL '30 minutes', ts)) AS b0, value
+      |  FROM events),
+      |hits AS (
+      |  SELECT stream_name, b0 AS window_start_us, value FROM b
+      |  UNION ALL
+      |  SELECT stream_name, b0 - 1800000000 AS window_start_us, value FROM b)
+      |SELECT stream_name, window_start_us, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |FROM hits
+      |GROUP BY stream_name, window_start_us
+      |ORDER BY stream_name, window_start_us""".stripMargin) { (spark, dir) =>
+    env(spark, dir)
+      .groupBy(col("stream_name"), window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(20,4))")).cast("double").as("sum_value"))
+      .select(col("stream_name"), unix_micros(col("w.start")).as("window_start_us"),
+        col("n"), col("sum_value"))
+      .orderBy(col("stream_name"), col("window_start_us"))
+  }
+
+  // Q16c: session windows, 1h inactivity gap, per stream. Oracle = the
+  // gaps-and-islands equivalent in integer microseconds. Spark starts a
+  // new session when the gap is >= the timeout, so the oracle uses >=.
+  val q16Session: QueryDef = QueryDef(
+    "q16_session",
+    """WITH e AS (
+      |  SELECT concat('user-', user_id) AS stream_name, epoch_us(ts) AS ts_us, value
+      |  FROM events),
+      |marked AS (
+      |  SELECT stream_name, ts_us, value,
+      |         CASE WHEN ts_us - lag(ts_us) OVER (PARTITION BY stream_name ORDER BY ts_us)
+      |                   >= 3600000000 OR
+      |                   lag(ts_us) OVER (PARTITION BY stream_name ORDER BY ts_us) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |sess AS (
+      |  SELECT stream_name, ts_us, value,
+      |         sum(new_session) OVER (PARTITION BY stream_name ORDER BY ts_us
+      |                                ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT stream_name, min(ts_us) AS session_start_us, max(ts_us) AS last_event_us,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY stream_name, session_id
+      |ORDER BY stream_name, session_start_us""".stripMargin) { (spark, dir) =>
+    env(spark, dir)
+      .groupBy(col("stream_name"), session_window(col("ts"), "1 hour").as("w"))
+      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("last_event_us"),
+        count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(20,4))")).cast("double").as("sum_value"))
+      .drop("w")
+      .orderBy(col("stream_name"), col("session_start_us"))
+  }
+
+  // Q16d: watermark late-data drop, expressed relationally: replaying
+  // events in arrival order (event_id), an event is late iff its event
+  // time is more than `delay` behind the max event time already seen.
+  // This is exactly what a 10-minute watermark drops in the streaming
+  // twin (modulo micro-batch boundaries, which only make streaming more
+  // permissive).
+  val q16LateDrop: QueryDef = QueryDef(
+    "q16_late_drop",
+    """WITH arr AS (
+      |  SELECT concat('user-', user_id) AS stream_name, event_id, epoch_us(ts) AS ts_us,
+      |         max(epoch_us(ts)) OVER (ORDER BY event_id
+      |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |           AS max_seen_us
+      |  FROM events)
+      |SELECT stream_name,
+      |       count(*) AS n_total,
+      |       count(CASE WHEN max_seen_us - ts_us > 600000000 THEN 1 END) AS n_late
+      |FROM arr
+      |GROUP BY stream_name
+      |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
+    // Global arrival-order window: a narrow 2-column global sort, only
+    // acceptable because it models the inherently sequential watermark
+    // clock; the streaming twin tracks this in the engine, not a sort.
+    val arrival = Window.orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    env(spark, dir)
+      .select(col("stream_name"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("max_seen_us", max(col("ts_us")).over(arrival))
+      .groupBy(col("stream_name"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("max_seen_us") - col("ts_us") > 600000000L, 1)).as("n_late"))
+      .orderBy(col("stream_name"))
+  }
+
+  // Q17: stateful per-key processing (the reference's handler model,
+  // Sinks.fs:43-87) — a per-stream running fold. Declarative window
+  // form here; the streaming twin is transformWithState/
+  // flatMapGroupsWithState in graft.streaming with the same output.
+  val q17Stateful: QueryDef = QueryDef(
+    "q17_stateful",
+    """WITH env AS (
+      |  SELECT concat('user-', user_id) AS stream_name,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+      |         event_type, value
+      |  FROM events)
+      |SELECT stream_name, idx,
+      |       CAST(sum(CASE WHEN event_type = 'purchase'
+      |                     THEN CAST(value AS DECIMAL(20,4))
+      |                     ELSE CAST(0 AS DECIMAL(20,4)) END)
+      |            OVER (PARTITION BY stream_name ORDER BY idx
+      |                  ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_spend,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END)
+      |            OVER (PARTITION BY stream_name ORDER BY idx
+      |                  ROWS UNBOUNDED PRECEDING) AS error_count
+      |FROM env
+      |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("stream_name")).orderBy(col("idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    env(spark, dir)
+      .select(col("stream_name"), col("idx"),
+        sum(when(col("event_type") === "purchase", expr("CAST(value AS DECIMAL(20,4))"))
+          .otherwise(expr("CAST(0 AS DECIMAL(20,4))")))
+          .over(w).cast("double").as("running_spend"),
+        count(when(col("event_type") === "error", 1)).over(w).as("error_count"))
+      .orderBy(col("stream_name"), col("idx"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q16Tumbling, q16Sliding, q16Session, q16LateDrop, q17Stateful)
+}
