@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   def registry: Seq[QueryDef] =
-    StreamQueries.all ++ RelationalQueries.all ++ EventTimeQueries.all
+    StreamQueries.all ++ RelationalQueries.all ++ EventTimeQueries.all ++
+      SimilarityQueries.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

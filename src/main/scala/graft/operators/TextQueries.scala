@@ -1,0 +1,198 @@
+package graft.operators
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q18 (part 2): text analysis + multimodal column handling for the
+  * training-data pipeline (BASELINE.json north star).
+  *
+  * Everything is codegen'd `functions._` / expr — no UDFs — except the
+  * multimodal decode, which is deliberately a typed `mapPartitions`
+  * to exercise the real plumbing a binary decoder needs (per-partition
+  * batch iteration, typed output schema), with the decode itself a
+  * clearly-marked deterministic stub (no image/audio libs in this
+  * container).
+  */
+object TextQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Envelope.readTable(spark, dir, "documents")
+
+  // ---- language ID: marker-stopword voting (n-gram heuristic) ----
+  private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val esWords = Seq("el", "la", "de", "los", "que", "y", "en")
+  private val deWords = Seq("der", "die", "das", "und", "ist", "ein", "zu")
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val q18LangId: QueryDef = QueryDef(
+    "q18_lang_id",
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ${inList(enWords)})) AS en_n,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ${inList(esWords)})) AS es_n,
+       |    len(list_filter(string_split(text, ' '), w -> w IN ${inList(deWords)})) AS de_n,
+       |    len(string_split(text, ' ')) AS n_words
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang,
+       |       CASE WHEN en_n >= es_n AND en_n >= de_n AND en_n > 0 THEN 'en'
+       |            WHEN es_n >= de_n AND es_n > 0 THEN 'es'
+       |            WHEN de_n > 0 THEN 'de'
+       |            ELSE 'und' END AS pred_lang,
+       |       en_n, es_n, de_n, n_words
+       |FROM scores
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    def cnt(ws: Seq[String]) =
+      expr(s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        cnt(enWords).as("en_n"), cnt(esWords).as("es_n"), cnt(deWords).as("de_n"),
+        size(split(col("text"), " ")).as("n_words"))
+      .withColumn("pred_lang",
+        when(col("en_n") >= col("es_n") && col("en_n") >= col("de_n") && col("en_n") > 0, "en")
+          .when(col("es_n") >= col("de_n") && col("es_n") > 0, "es")
+          .when(col("de_n") > 0, "de")
+          .otherwise("und"))
+      .select(col("doc_id"), col("labeled_lang"), col("pred_lang"),
+        col("en_n"), col("es_n"), col("de_n"), col("n_words"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- quality scoring: length / punctuation / stopword / digit ratios ----
+  val q18Quality: QueryDef = QueryDef(
+    "q18_quality",
+    s"""WITH feat AS (
+       |  SELECT doc_id,
+       |         length(text) AS n_chars_actual,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         len(list_filter(string_split(text, ' '), w -> w IN ${inList(enWords)}))
+       |           AS n_stop,
+       |         length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |  FROM documents)
+       |SELECT doc_id, n_chars_actual, n_words,
+       |       CAST(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+       |       CAST(n_punct AS DOUBLE) / n_chars_actual AS punct_ratio,
+       |       CAST(n_digit AS DOUBLE) / n_chars_actual AS digit_ratio,
+       |       CASE WHEN n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |                 AND CAST(n_digit AS DOUBLE) / n_chars_actual < 0.3
+       |            THEN 1 ELSE 0 END AS passes_quality
+       |FROM feat
+       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val nStop = expr(s"size(filter(split(text, ' '), w -> w IN ${inList(enWords)}))")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_actual"),
+        size(split(col("text"), " ")).as("n_words"),
+        nStop.as("n_stop"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[.,;:!?]", "")))
+          .as("n_punct"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+          .as("n_digit"))
+      .select(col("doc_id"), col("n_chars_actual"), col("n_words"),
+        (col("n_stop").cast("double") / col("n_words")).as("stopword_ratio"),
+        (col("n_punct").cast("double") / col("n_chars_actual")).as("punct_ratio"),
+        (col("n_digit").cast("double") / col("n_chars_actual")).as("digit_ratio"),
+        when(col("n_words") >= 20 &&
+          col("n_stop").cast("double") / col("n_words") >= 0.01 &&
+          col("n_digit").cast("double") / col("n_chars_actual") < 0.3, 1)
+          .otherwise(0).as("passes_quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- token counting: whitespace + BPE-ish regex pieces ----
+  val q18Tokens: QueryDef = QueryDef(
+    "q18_tokens",
+    """SELECT source,
+      |       count(*) AS n_docs,
+      |       sum(len(string_split(text, ' '))) AS ws_tokens,
+      |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpeish_tokens,
+      |       sum(length(text)) AS total_chars
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("ws_tokens"),
+        sum(expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))"))
+          .as("bpeish_tokens"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  // ---- document fingerprint: md5 over the sorted distinct word set
+  //      (order-insensitive content identity; catches shuffled dups) ----
+  val q18Fingerprint: QueryDef = QueryDef(
+    "q18_fingerprint",
+    """SELECT doc_id,
+      |       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+      |         AS fingerprint,
+      |       len(list_distinct(string_split(text, ' '))) AS vocab
+      |FROM documents
+      |WHERE doc_id % 10 = 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .where(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")
+          .cast("binary")).as("fingerprint"),
+        size(array_distinct(split(col("text"), " "))).as("vocab"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- multimodal: opaque binary column + typed metadata; decode via
+  //      typed mapPartitions (the real per-partition batch plumbing) ----
+
+  /** What a real decoder would emit per asset. */
+  final case class DecodedAsset(
+      asset_id: Long, kind: String, n_bytes: Long, content_hash: String,
+      width: Int, height: Int, n_frames: Long)
+
+  final case class RawAsset(asset_id: Long, kind: String, bytes: Array[Byte])
+
+  /** STUB decoder: the real image/audio decode is unavailable in this
+    * container; this deterministic fake derives "dimensions" from the
+    * content hash so the full pipeline (binary column → per-partition
+    * decode → typed features) is exercised end-to-end and testable.
+    */
+  private def stubDecode(a: RawAsset): DecodedAsset = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(a.bytes)
+    val hex = digest.map("%02x".format(_)).mkString
+    val d0 = Integer.parseInt(hex.substring(0, 1), 16)
+    val d1 = Integer.parseInt(hex.substring(1, 2), 16)
+    DecodedAsset(a.asset_id, a.kind, a.bytes.length.toLong, hex,
+      (d0 % 8 + 1) * 64, (d1 % 8 + 1) * 64, a.bytes.length / 1024 + 1)
+  }
+
+  val q18Multimodal: QueryDef = QueryDef(
+    "q18_multimodal",
+    """WITH assets AS (
+      |  -- bytes = utf-8 encoding of text, so md5(text) == md5(bytes)
+      |  SELECT doc_id AS asset_id, source AS kind,
+      |         octet_length(encode(text)) AS n_bytes, md5(text) AS h
+      |  FROM documents)
+      |SELECT asset_id, kind, n_bytes,
+      |       h AS content_hash,
+      |       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 + 1) * 64 AS width,
+      |       ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 + 1) * 64 AS height,
+      |       n_bytes // 1024 + 1 AS n_frames
+      |FROM assets
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val raw = docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[RawAsset]
+    // Per-partition batch decode: this is where a real pipeline would
+    // hold one decoder instance per partition and stream batches
+    // through it — the shape that scales to 100 TB of media.
+    raw.mapPartitions(_.map(stubDecode))
+      .toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal)
+}
