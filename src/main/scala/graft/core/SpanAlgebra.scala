@@ -1,0 +1,145 @@
+package graft.core
+
+/** Pure span algebra: the per-stream buffering/merge/dedupe semantics at
+  * the heart of the reference engine, re-derived from its documented
+  * invariants (jet/propulsion src/Propulsion/Streams.fs:81-147 and the
+  * property suite tests/Propulsion.Tests/StreamStateTests.fs:112-176):
+  *
+  *  - merged spans are ordered, non-empty, with a gap >= 1 between them
+  *  - no duplicate indexes survive (write-position dedupe)
+  *  - unfolds (snapshot rows) appear only at the tail, one per event
+  *    type, only the freshest set retained, never behind the events
+  *
+  * Pure functions over immutable vectors so the same code drives the
+  * batch window expressions' tests and the streaming state store.
+  */
+object SpanAlgebra {
+
+  /** One event in a stream span. `index` is the 0-based contiguous
+    * per-stream position; `isUnfold` marks snapshot rows that accompany
+    * a position rather than occupy one. */
+  final case class Ev(index: Long, eventType: String, size: Long, isUnfold: Boolean)
+
+  object Ev {
+    def e(index: Long, eventType: String = "e", size: Long = 1): Ev =
+      Ev(index, eventType, size, isUnfold = false)
+    def u(index: Long, eventType: String = "u", size: Long = 1): Ev =
+      Ev(index, eventType, size, isUnfold = true)
+  }
+
+  /** A span: a contiguous run of events, optionally followed by an
+    * unfold suffix at/after the last event index. */
+  type Span = Vector[Ev]
+
+  def spanIndex(s: Span): Long = s.head.index
+
+  /** Next expected index after a span's events (unfolds don't advance). */
+  def nextIndex(s: Span): Long =
+    s.filterNot(_.isUnfold).lastOption.map(_.index + 1)
+      .getOrElse(s.headOption.map(_.index).getOrElse(0L))
+
+  /** Merge an arbitrary bag of (possibly overlapping, gapped,
+    * duplicate-bearing) spans into canonical form. */
+  def merge(spans: Seq[Span]): Vector[Span] = {
+    val flat = spans.toVector.flatten
+    val events = {
+      val seen = scala.collection.mutable.LongMap.empty[Ev]
+      flat.foreach(ev => if (!ev.isUnfold && !seen.contains(ev.index)) seen(ev.index) = ev)
+      seen.values.toVector.sortBy(_.index)
+    }
+    val islands: Vector[Vector[Ev]] =
+      if (events.isEmpty) Vector.empty
+      else events.drop(1).foldLeft(Vector(Vector(events.head))) { (acc, ev) =>
+        if (ev.index == acc.last.last.index + 1) acc.init :+ (acc.last :+ ev)
+        else acc :+ Vector(ev)
+      }
+    val lastEventIdx = events.lastOption.map(_.index)
+    val unfolds = {
+      val us = flat.filter(_.isUnfold)
+      if (us.isEmpty) Vector.empty[Ev]
+      else {
+        val freshestIdx = us.map(_.index).max
+        // stale snapshots (behind the event tail) are dropped entirely
+        if (lastEventIdx.exists(freshestIdx < _)) Vector.empty[Ev]
+        else {
+          // freshest set only; one per event type, last delivery wins
+          val set = us.filter(_.index == freshestIdx)
+          set.reverse.distinctBy(_.eventType).reverse
+        }
+      }
+    }
+    if (unfolds.isEmpty) islands
+    else if (islands.isEmpty) Vector(unfolds)
+    else {
+      val last = islands.last
+      // unfolds ride on the last span when adjacent, else form the tail span
+      if (unfolds.head.index <= last.last.index + 1) islands.init :+ (last ++ unfolds)
+      else islands :+ unfolds
+    }
+  }
+
+  /** Write-position dedupe: drop events below `pos` (already processed);
+    * unfolds survive only at/after `pos`
+    * (Streams.fs:111-117; DOCUMENTATION.md:402-433). */
+  def dropBefore(pos: Long)(spans: Vector[Span]): Vector[Span] =
+    merge(spans.map(_.filter(ev => ev.index >= pos)))
+
+  /** Bound one dispatch to maxEvents/maxBytes: always >= 1 item, and the
+    * unfold suffix is atomic — included whole or not at all
+    * (Streams.fs:89-107). */
+  def slice(maxEvents: Int, maxBytes: Long)(span: Span): Span = {
+    val (events, unfolds) = span.span(!_.isUnfold)
+    var taken = 0
+    var bytes = 0L
+    val kept = events.takeWhile { ev =>
+      val ok = taken == 0 || (taken < maxEvents && bytes + ev.size <= maxBytes)
+      if (ok) { taken += 1; bytes += ev.size }
+      ok
+    }
+    if (kept.sizeIs < events.size) kept // cut mid-events: unfolds can't ride
+    else {
+      val uBytes = unfolds.map(_.size).sum
+      if (unfolds.isEmpty) kept
+      else if (kept.isEmpty) unfolds // unfold-only span dispatches whole
+      else if (taken + unfolds.size <= maxEvents && bytes + uBytes <= maxBytes)
+        kept ++ unfolds
+      else kept
+    }
+  }
+
+  /** Gap test for requireAll mode (Streams.fs:828-867): dispatchable only
+    * if buffered contiguously from the write position. */
+  def queuedIsAtWritePos(spans: Vector[Span], writePos: Long): Boolean =
+    spans.headOption.exists(s => spanIndex(s) <= writePos)
+
+  /** Per-stream buffer state (Streams.fs:165-228 condensed): write
+    * position + canonical span queue + malformed flag. */
+  final case class StreamState(
+      writePos: Long = 0L,
+      queue: Vector[Span] = Vector.empty,
+      malformed: Boolean = false) {
+
+    def ingest(span: Span): StreamState =
+      copy(queue = dropBefore(writePos)(queue :+ span))
+
+    /** Handler progressed to `pos`: advance + trim. */
+    def recordProgress(pos: Long): StreamState = {
+      val wp = math.max(writePos, pos)
+      copy(writePos = wp, queue = dropBefore(wp)(queue))
+    }
+
+    /** The next dispatchable span, honoring requireAll gap-guarding. */
+    def tryDispatch(requireAll: Boolean): Option[Span] =
+      if (malformed) None
+      else queue.headOption.filter(_ => !requireAll || queuedIsAtWritePos(queue, writePos))
+
+    def isEmpty: Boolean = queue.isEmpty
+  }
+
+  /** Merge two buffer states (StreamState.combine, Streams.fs:208-228):
+    * max write pos, queue union re-merged, malformed is sticky. */
+  def combine(a: StreamState, b: StreamState): StreamState = {
+    val wp = math.max(a.writePos, b.writePos)
+    StreamState(wp, dropBefore(wp)(a.queue ++ b.queue), a.malformed || b.malformed)
+  }
+}
