@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.streaming.{AppendSink, CheckpointStore, InputEvent, StreamProcessor}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** End-to-end pipeline CLI — the engine's `sync` tool
+  * (SURVEY §2.11; reference tools/Propulsion.Tool/Sync.fs):
+  *
+  *   events parquet → ndjson feed → JsonLinesSource (DSv2 tranches,
+  *   Trigger.AvailableNow) → from_json parse → per-stream
+  *   StreamProcessor fold → idempotent AppendSink + checkpoint table.
+  *
+  * Usage: runMain graft.Pipeline <sfDir> <workDir>
+  */
+object Pipeline {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val work = args.lift(1).getOrElse(Files.createTempDirectory("graft-pipeline").toString)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // 1. stage the events table as an ndjson feed file
+    Files.createDirectories(Paths.get(work))
+    val feedFile = s"$work/feed.ndjson"
+    val env = graft.model.Envelope.fromEvents(
+      graft.model.Envelope.readTable(spark, sfDir, "events"))
+      .select(col("stream_name"), col("idx"), col("event_type"),
+        col("props").as("data"), col("size").cast("long").as("size"))
+    val lines = env.orderBy(col("idx"), col("stream_name")) // interleave streams
+      .select(to_json(struct(col("*"))).as("j")).as[String].collect()
+    Files.writeString(Paths.get(feedFile), lines.mkString("\n") + "\n")
+    println(s"[pipeline] staged ${lines.length} events -> $feedFile")
+
+    // 2. stream it back through the DSv2 tranche source and the
+    //    per-stream processor, sinking idempotently per micro-batch
+    val feedSchema = StructType(Seq(
+      StructField("stream_name", StringType), StructField("idx", LongType),
+      StructField("event_type", StringType), StructField("data", StringType),
+      StructField("size", LongType)))
+    val parsed = spark.readStream.format("graft.sources.JsonLinesSource")
+      .option("path", feedFile).option("numTranches", "4")
+      .option("maxLinesPerTrigger", "400")
+      .load()
+      .select(from_json(col("value"), feedSchema).as("e"))
+      .select(col("e.stream_name").as("streamName"), col("e.idx").as("index"),
+        col("e.event_type").as("eventType"), col("e.data").as("data"),
+        col("e.size").as("size"), lit(false).as("isUnfold"))
+      .as[InputEvent]
+
+    val processed = StreamProcessor.process[String](
+      parsed, (_, evs) => s"n=${evs.size}")
+
+    val target = s"$work/store"
+    val cpTable = s"$work/checkpoints"
+    val q = processed.writeStream
+      .option("checkpointLocation", s"$work/cp")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], batchId: Long) =>
+        // one store row per event index — the sink's contiguity lattice
+        // operates on event positions, not span summaries
+        val events = batch.toDF()
+          .select(col("streamName").as("stream_name"),
+            explode(expr("sequence(fromIndex, toIndex)")).as("idx"), col("result"))
+        val outcomes = AppendSink.appendIdempotent(spark, target, events)
+        val counts = outcomes.groupBy(col("outcome")).count()
+          .as[(String, Long)].collect().toMap
+        CheckpointStore.commit(spark, cpTable, "jsonlines", "all", "pipeline", batchId)
+        println(s"[pipeline] batch=$batchId outcomes=$counts")
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val stored = spark.read.parquet(target)
+    println(s"[pipeline] store rows=${stored.count()} " +
+      s"streams=${stored.select("stream_name").distinct().count()}")
+    println(s"[pipeline] committed checkpoint=" +
+      CheckpointStore.position(spark, cpTable, "jsonlines", "all", "pipeline"))
+    spark.stop()
+  }
+}

@@ -1,0 +1,146 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Idempotent event-append sink with the reference's outcome lattice
+  * (CosmosStoreSink.fs:44-120): for each incoming per-stream span
+  * `[i, n)` compared to the target's current next position:
+  *
+  *   Ok               target == i        → append everything
+  *   Duplicate        target >= n        → append nothing
+  *   PartialDuplicate i < target < n     → append the trimmed suffix
+  *   PrefixMissing    target < i         → append nothing (gap!)
+  *
+  * `foreachBatch` is at-least-once, so this trim-by-(stream, idx) MERGE
+  * is what turns it into exactly-once sink effects — re-delivered
+  * batches classify as Duplicate and write nothing.
+  *
+  * Storage here is a parquet directory (what the container offers); on
+  * a cluster the same logic targets a Delta/Iceberg table where MERGE
+  * INTO is transactional. The classification plan is one broadcast-able
+  * aggregate of the target's per-stream tails, not a full-table join —
+  * at 100 TB the target tail summary is |streams|-sized, kept in a
+  * compacted summary table.
+  */
+object AppendSink {
+
+  /** Append `incoming(stream_name, idx, ...)` idempotently into the
+    * parquet dir `target`. Returns per-stream outcomes. */
+  def appendIdempotent(
+      spark: SparkSession, target: String, incoming: DataFrame): DataFrame = {
+    val existing = tryReadTarget(spark, target)
+    val tails = existing match {
+      case Some(t) =>
+        t.groupBy(col("stream_name")).agg((max(col("idx")) + 1).as("tgt_next"))
+      case None =>
+        spark.emptyDataFrame
+          .withColumn("stream_name", lit(null).cast("string"))
+          .withColumn("tgt_next", lit(null).cast("long"))
+          .limit(0)
+    }
+    // Materialize the classification BEFORE mutating the target: the
+    // lazy plan reads the target's file listing, which the append below
+    // changes — collecting afterwards would re-classify against the
+    // post-write state. The result is |streams in batch|-sized.
+    import spark.implicits._
+    val spans = incoming.groupBy(col("stream_name"))
+      .agg(min(col("idx")).as("i"), (max(col("idx")) + 1).as("n"))
+      .join(broadcast(tails), Seq("stream_name"), "left")
+      .withColumn("tgt", coalesce(col("tgt_next"), lit(0L)))
+      .withColumn("outcome",
+        when(col("tgt") < col("i"), "PrefixMissing")
+          .when(col("tgt") >= col("n"), "Duplicate")
+          .when(col("tgt") > col("i"), "PartialDuplicate")
+          .otherwise("Ok"))
+      .select(col("stream_name"), col("i"), col("n"), col("tgt"), col("outcome"))
+      .as[(String, Long, Long, Long, String)].collect()
+    val spansDf = spans.toSeq.toDF("stream_name", "i", "n", "tgt_next", "outcome")
+
+    val writable = incoming
+      .join(broadcast(spansDf.select(col("stream_name"),
+        col("tgt_next").as("tgt"), col("outcome"))), Seq("stream_name"))
+      .where(col("outcome").isin("Ok", "PartialDuplicate") && col("idx") >= col("tgt"))
+      .drop("tgt", "outcome")
+    if (spans.exists(s => s._5 == "Ok" || s._5 == "PartialDuplicate"))
+      writable.write.mode(SaveMode.Append).parquet(target)
+
+    spansDf
+  }
+
+  /** Retention pruning (CosmosStorePruner.fs:16-84): delete events with
+    * idx <= pruneTo per stream; returns (pruned, retained) counts. */
+  def prune(
+      spark: SparkSession, target: String, pruneTo: Map[String, Long]): DataFrame = {
+    import spark.implicits._
+    val limits = pruneTo.toSeq.toDF("stream_name", "prune_to")
+    val existing = tryReadTarget(spark, target)
+      .getOrElse(throw new IllegalStateException(s"no target at $target"))
+      .join(broadcast(limits), Seq("stream_name"), "left")
+    val kept = existing.where(col("prune_to").isNull || col("idx") > col("prune_to"))
+      .drop("prune_to")
+    // Stats must be driver-materialized before the rewrite (same
+    // read-what-you-mutate hazard as appendIdempotent).
+    val stats = existing
+      .groupBy(col("stream_name"))
+      .agg(count(when(col("idx") <= col("prune_to"), 1)).as("pruned"),
+        count(when(col("prune_to").isNull || col("idx") > col("prune_to"), 1)).as("retained"))
+      .as[(String, Long, Long)].collect()
+    // parquet has no transactional delete: write survivors to a staging
+    // dir, then swap (a Delta `DELETE WHERE` on a cluster)
+    val staging = target + ".staging"
+    kept.write.mode(SaveMode.Overwrite).parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val targetPath = new org.apache.hadoop.fs.Path(target)
+    val fs = targetPath.getFileSystem(conf)
+    fs.delete(targetPath, true)
+    fs.rename(new org.apache.hadoop.fs.Path(staging), targetPath)
+    stats.toSeq.toDF("stream_name", "pruned", "retained")
+  }
+
+  private def tryReadTarget(spark: SparkSession, target: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(target)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p) && fs.listStatus(p).nonEmpty) Some(spark.read.parquet(target))
+    else None
+  }
+}
+
+/** External checkpoint parity table (IFeedCheckpointStore,
+  * src/Propulsion/Feed/Feed.fs:31-35): (source, tranche, group) → pos,
+  * latest-wins. Structured Streaming's own offset/commit log is the
+  * primary checkpoint; this table exists for interop with stores that
+  * track positions externally, and for the `checkpoint show/override`
+  * tooling surface (§2.11). Parquet rewrite here; JDBC/Delta upsert on
+  * a cluster. */
+object CheckpointStore {
+
+  def commit(spark: SparkSession, dir: String,
+      source: String, tranche: String, group: String, pos: Long): Unit = {
+    import spark.implicits._
+    val updated = read(spark, dir)
+      .filter(r => !(r._1 == source && r._2 == tranche && r._3 == group))
+      .appended((source, tranche, group, pos))
+    updated.toDF("source", "tranche", "group", "pos")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+  }
+
+  def position(spark: SparkSession, dir: String,
+      source: String, tranche: String, group: String): Option[Long] =
+    read(spark, dir).collectFirst {
+      case (s, t, g, p) if s == source && t == tranche && g == group => p
+    }
+
+  def read(spark: SparkSession, dir: String): List[(String, String, String, Long)] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else {
+      import spark.implicits._
+      spark.read.parquet(dir)
+        .select("source", "tranche", "group", "pos")
+        .as[(String, String, String, Long)].collect().toList
+    }
+  }
+}

@@ -1,0 +1,142 @@
+package graft.streaming
+
+import graft.core.SpanAlgebra
+import graft.core.SpanAlgebra.{Ev, Span}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event entering the stream processor (the engine's StreamEvent:
+  * reference src/Propulsion/Sinks.fs:33). */
+final case class InputEvent(
+    streamName: String,
+    index: Long,
+    eventType: String,
+    data: String,
+    size: Long,
+    isUnfold: Boolean)
+
+/** What the handler produced for one dispatched span. */
+final case class ProcessedSpan[A](
+    streamName: String,
+    fromIndex: Long,
+    toIndex: Long,
+    nEvents: Int,
+    result: A)
+
+/** Persisted per-stream buffer between micro-batches. */
+final case class BufferState(
+    writePos: Long,
+    queue: Seq[Seq[InputEvent]],
+    malformed: Boolean)
+
+/** The per-stream handler engine: the Spark-native form of the
+  * reference's Scheduler/Dispatcher/Sink pipeline (SURVEY §2.3–2.5).
+  *
+  * `groupByKey(streamName) + flatMapGroupsWithState` gives, for free,
+  * exactly the contracts the reference builds by hand:
+  *   - ≤1 in-flight handler invocation per stream (per-key serialization);
+  *   - state (write position + buffered spans) carried across batches in
+  *     the state store, checkpointed with the offsets;
+  *   - micro-batch commit = batch-ordered progress (Streams.fs:709-750).
+  *
+  * On top, this class adds the span algebra the state store can't know:
+  * write-position dedupe of redeliveries, island coalescing, gap
+  * hold-back (`requireAll`), malformed-stream quarantine, and state
+  * purge via processing-time timeout (purgeInterval, Streams.fs:904-927).
+  *
+  * Scale: state is per-stream and O(buffered gap), not O(history); the
+  * shuffle is one hash exchange on streamName, the same partitioning
+  * every downstream stateful op reuses. Hot streams serialize by design
+  * (per-stream ordering) — throughput comes from stream cardinality,
+  * exactly like the reference (DOCUMENTATION.md:165-186).
+  */
+object StreamProcessor {
+
+  private def toEv(e: InputEvent): Ev = Ev(e.index, e.eventType, e.size, e.isUnfold)
+
+  /** Run `handle` over every dispatchable span.
+    *
+    * @param handle     stream handler `(streamName, events) => A`; events
+    *                   arrive index-ordered, deduped, starting at/after
+    *                   the stream's write position
+    * @param requireAll hold gapped streams until contiguous from the
+    *                   write position (Streams.fs:828-867)
+    * @param purgeAfterMs drop empty stream states after this idle time
+    *                   (0 = never)
+    */
+  def process[A](
+      events: Dataset[InputEvent],
+      handle: (String, Seq[InputEvent]) => A,
+      requireAll: Boolean = false,
+      purgeAfterMs: Long = 0L)(
+      implicit outEnc: Encoder[ProcessedSpan[A]]): Dataset[ProcessedSpan[A]] = {
+    implicit val stateEnc: Encoder[BufferState] = Encoders.product[BufferState]
+    val timeout =
+      if (purgeAfterMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.streamName)
+      .flatMapGroupsWithState[BufferState, ProcessedSpan[A]](
+        OutputMode.Append(), timeout) { (stream, incoming, state) =>
+        if (state.hasTimedOut) {
+          // purgeInterval: jettison idle (empty) stream state
+          if (state.getOption.forall(_.queue.isEmpty)) state.remove()
+          Iterator.empty
+        } else {
+          val prev = state.getOption.getOrElse(BufferState(0L, Nil, malformed = false))
+          val out = step(stream, incoming.toVector, prev, handle, requireAll) match {
+            case (next, emitted) =>
+              if (next.queue.isEmpty && next.writePos == 0L && !next.malformed) state.remove()
+              else state.update(next)
+              if (purgeAfterMs > 0) state.setTimeoutDuration(purgeAfterMs)
+              emitted
+          }
+          out.iterator
+        }
+      }
+  }
+
+  /** One micro-batch step for one stream — pure, unit-testable. */
+  def step[A](
+      stream: String,
+      incoming: Vector[InputEvent],
+      prev: BufferState,
+      handle: (String, Seq[InputEvent]) => A,
+      requireAll: Boolean): (BufferState, Vector[ProcessedSpan[A]]) = {
+    if (prev.malformed) (prev, Vector.empty)
+    else {
+      val byIndex = incoming.map(e => e.index -> e).toMap
+      val prevEvs: Vector[Span] = prev.queue.toVector.map(_.toVector.map(toEv))
+      val merged = SpanAlgebra.dropBefore(prev.writePos)(
+        SpanAlgebra.merge(prevEvs :+ incoming.sortBy(_.index).map(toEv)))
+      // keep full payloads alongside the algebra's canonical shape
+      val prevByIndex = prev.queue.flatten.map(e => e.index -> e).toMap
+      def payload(ev: Ev): InputEvent =
+        prevByIndex.getOrElse(ev.index,
+          byIndex.getOrElse(ev.index,
+            InputEvent(stream, ev.index, ev.eventType, "", ev.size, ev.isUnfold)))
+
+      var writePos = prev.writePos
+      var queue = merged
+      val emitted = Vector.newBuilder[ProcessedSpan[A]]
+      var continue = true
+      while (continue && queue.nonEmpty) {
+        val head = queue.head
+        val dispatchable =
+          !requireAll || SpanAlgebra.queuedIsAtWritePos(queue, writePos)
+        if (!dispatchable) continue = false
+        else {
+          val evs = head.map(payload)
+          val res = handle(stream, evs)
+          val newPos = math.max(writePos, SpanAlgebra.nextIndex(head))
+          emitted += ProcessedSpan(stream, head.head.index, head.last.index, evs.size, res)
+          writePos = newPos
+          queue = SpanAlgebra.dropBefore(writePos)(queue.tail)
+        }
+      }
+      (BufferState(writePos, queue.map(_.map(payload)), malformed = false), emitted.result())
+    }
+  }
+}

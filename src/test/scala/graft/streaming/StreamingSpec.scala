@@ -1,0 +1,200 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import graft.model.Envelope
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic streaming-engine tests over MemoryStream (the
+  * reference's MemoryStoreSource + AwaitCompletion pattern,
+  * DOCUMENTATION.md:511-521) and the JsonLinesSource DSv2 connector. */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("StreamProcessor: per-stream ordering, write-pos dedupe across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(),
+      (s, evs) => evs.map(e => s"${e.index}:${e.eventType}").mkString("|"))
+    val q = out.writeStream.format("memory").queryName("proc_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-proc")).start()
+
+    // batch 1: stream a events 0-2, stream b events 0-1
+    input.addData(
+      InputEvent("a", 0, "t0", "", 1, isUnfold = false),
+      InputEvent("a", 1, "t1", "", 1, isUnfold = false),
+      InputEvent("a", 2, "t2", "", 1, isUnfold = false),
+      InputEvent("b", 0, "x0", "", 1, isUnfold = false),
+      InputEvent("b", 1, "x1", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    // batch 2: redeliver a's 1-2 (must be dropped) plus new 3-4; b gapped 3
+    input.addData(
+      InputEvent("a", 1, "t1", "", 1, isUnfold = false),
+      InputEvent("a", 2, "t2", "", 1, isUnfold = false),
+      InputEvent("a", 3, "t3", "", 1, isUnfold = false),
+      InputEvent("a", 4, "t4", "", 1, isUnfold = false),
+      InputEvent("b", 3, "x3", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("proc_out").as[ProcessedSpan[String]].collect()
+      .groupBy(_.streamName).view.mapValues(_.sortBy(_.fromIndex).toList).toMap
+    // stream a: [0..2] then the deduped [3..4]
+    assert(rows("a").map(r => (r.fromIndex, r.toIndex, r.result)) ==
+      List((0L, 2L, "0:t0|1:t1|2:t2"), (3L, 4L, "3:t3|4:t4")))
+    // stream b: [0..1]; gapped 3 dispatched as its own span (default mode)
+    assert(rows("b").map(r => (r.fromIndex, r.toIndex)) == List((0L, 1L), (3L, 3L)))
+  }
+
+  test("streaming tumbling window equals the batch q16 oracle shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val streamed = input.toDS()
+      .toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(concat(lit("user-"), col("user_id")).as("stream_name"),
+        window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("stream_name"), unix_micros(col("window.start")).as("ws"), col("n"))
+    val q = streamed.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-win")).start()
+    input.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+    // push the watermark far past the data so every window finalizes
+    input.addData((999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 9999L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = Envelope.fromEvents(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events"))
+      .groupBy(col("stream_name"), window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("stream_name"), unix_micros(col("window.start")).as("ws"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val stream = spark.table("win_out").as[(String, Long, Long)].collect().toSet
+      .filterNot(_._1 == "user-9999")
+    assert(stream == batch)
+  }
+
+  test("JsonLinesSource: tranche-partitioned delivery, exactly-once resume after restart") {
+    import spark.implicits._
+    val file = Files.createTempFile("feed", ".ndjson")
+    Files.writeString(file, (0 until 20).map(i => s"""{"n":$i}""").mkString("\n") + "\n")
+    val cp = tmp("cp-jsonl")
+    val outDir = tmp("jsonl-out")
+
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.JsonLinesSource")
+        .option("path", file.toString).option("numTranches", "4")
+        .option("maxLinesPerTrigger", "3")
+        .load()
+        .select(col("tranche"), col("line_no"),
+          get_json_object(col("value"), "$.n").cast("long").as("n"))
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(outDir).as[(Int, Long, Long)].collect()
+    assert(first.map(_._3).sorted.toList == (0L until 20L).toList) // all, once
+    assert(first.map(_._1).distinct.sorted.toList == List(0, 1, 2, 3)) // 4 tranches
+
+    // append 8 more lines; a restarted query must deliver only those
+    Files.writeString(file,
+      (20 until 28).map(i => s"""{"n":$i}""").mkString("\n") + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+    val second = spark.read.parquet(outDir).as[(Int, Long, Long)].collect()
+    assert(second.map(_._3).sorted.toList == (0L until 28L).toList)
+  }
+
+  test("AppendSink: outcome lattice and idempotent re-delivery") {
+    import spark.implicits._
+    val target = tmp("sink-target") + "/store"
+    val batch1 = Seq(("s-1", 0L, "e"), ("s-1", 1L, "e"), ("s-2", 0L, "e"))
+      .toDF("stream_name", "idx", "payload")
+    val out1 = AppendSink.appendIdempotent(spark, target, batch1)
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out1.map(r => (r._1, r._5)).toList == List(("s-1", "Ok"), ("s-2", "Ok")))
+
+    // redelivery + partial overlap + gap
+    val batch2 = Seq(
+      ("s-1", 1L, "e"), ("s-1", 2L, "e"), // partial duplicate → trim to idx 2
+      ("s-2", 0L, "e"), // full duplicate
+      ("s-3", 5L, "e")) // prefix missing (gap)
+      .toDF("stream_name", "idx", "payload")
+    val out2 = AppendSink.appendIdempotent(spark, target, batch2)
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out2.map(r => (r._1, r._5)).toList ==
+      List(("s-1", "PartialDuplicate"), ("s-2", "Duplicate"), ("s-3", "PrefixMissing")))
+
+    val stored = spark.read.parquet(target).as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2)).sorted.toList
+    assert(stored == List(("s-1", 0L), ("s-1", 1L), ("s-1", 2L), ("s-2", 0L)))
+
+    // pruning: drop s-1 up to idx 1
+    val pruneStats = AppendSink.prune(spark, target, Map("s-1" -> 1L))
+      .as[(String, Long, Long)].collect().sortBy(_._1).toList
+    assert(pruneStats == List(("s-1", 2L, 1L), ("s-2", 0L, 1L)))
+    val after = spark.read.parquet(target).as[(String, Long, String)].collect()
+      .map(r => (r._1, r._2)).sorted.toList
+    assert(after == List(("s-1", 2L), ("s-2", 0L)))
+  }
+
+  test("CheckpointStore: latest-wins commit and read-back") {
+    val dir = tmp("cp-store") + "/checkpoints"
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 42L)
+    CheckpointStore.commit(spark, dir, "feed", "1", "g1", 7L)
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 99L) // overwrite
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").contains(99L))
+    assert(CheckpointStore.position(spark, dir, "feed", "1", "g1").contains(7L))
+    assert(CheckpointStore.position(spark, dir, "feed", "2", "g1").isEmpty)
+  }
+
+  test("BusyMonitor: classification and abend watchdog") {
+    var now = 0L
+    val mon = new Observability.BusyMonitor(() => now)
+    mon.recordFailure("a-bad"); mon.recordFailure("a-bad")
+    mon.recordNoProgress("a-stuck")
+    mon.recordSuccess("a-ok")
+    assert(mon.classify("a-ok") == Observability.Running)
+    assert(mon.classify("a-bad") == Observability.Failing(2, 0L))
+    assert(mon.classify("a-stuck") == Observability.Stuck(0L))
+    now = 5000L
+    val ex = intercept[Observability.HealthCheckException](mon.healthCheck(1000L))
+    assert(ex.stuckStreams.map(_._1) == Seq("a-stuck"))
+    assert(ex.failingStreams == Seq(("a-bad", 2)))
+    // recovery clears
+    mon.recordSuccess("a-bad"); mon.recordSuccess("a-stuck")
+    mon.healthCheck(1000L) // no throw
+  }
+}
