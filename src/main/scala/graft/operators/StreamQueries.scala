@@ -80,7 +80,7 @@ object StreamQueries {
         |WHERE env.idx >= coalesce(wp.write_pos, 0)
         |GROUP BY env.stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = env(spark, dir).cache()
+    val e = env(spark, dir)
     val wp = e.where(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType))
       .groupBy(col("stream_name"))
       .agg((max(col("idx")) + 1).as("write_pos"))
@@ -177,7 +177,7 @@ object StreamQueries {
         |            ELSE 'Ok' END AS outcome
         |FROM incoming LEFT JOIN target ON incoming.stream_name = target.stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = env(spark, dir).cache()
+    val e = env(spark, dir)
     val cut15 = lit("2024-01-15 00:00:00").cast(TimestampType)
     val cut10 = lit("2024-01-10 00:00:00").cast(TimestampType)
     val target = e.where(col("ts") < cut15).groupBy(col("stream_name"))
@@ -209,7 +209,7 @@ object StreamQueries {
         |FROM env JOIN k ON env.stream_name = k.stream_name
         |GROUP BY env.stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = env(spark, dir).cache()
+    val e = env(spark, dir)
     val k = e.groupBy(col("stream_name"))
       .agg(floor((max(col("idx")) + 1) / 2).cast(LongType).as("prune_to"))
     e.join(k, Seq("stream_name"))
@@ -246,7 +246,7 @@ object StreamQueries {
         |            ELSE req_n - cur_next END AS appended
         |FROM req LEFT JOIN epoch ON req.stream_name = epoch.stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = env(spark, dir).cache()
+    val e = env(spark, dir)
     val epoch = e.where(col("ts") < lit("2024-01-20 00:00:00").cast(TimestampType))
       .groupBy(col("stream_name")).agg((max(col("idx")) + 1).as("cur_next"))
     val req = e.where(col("ts") >= lit("2024-01-05 00:00:00").cast(TimestampType))
