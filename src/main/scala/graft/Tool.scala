@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.CheckpointStore
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Operations CLI — the engine's `propulsion`-tool surface
+  * (SURVEY §2.11; reference tools/Propulsion.Tool/Program.fs):
+  *
+  *   checkpoint-show <cpDir>
+  *   checkpoint-override <cpDir> <source> <tranche> <group> <pos>
+  *   stats <storeDir>          # per-stream store summary (q06 shape)
+  *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
+  */
+object Tool {
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "sync" :: rest => Pipeline.main(rest.toArray)
+    case cmd :: rest => withSpark { spark => run(spark, cmd, rest) }
+    case Nil =>
+      System.err.println("usage: checkpoint-show|checkpoint-override|stats|sync ...")
+      sys.exit(2)
+  }
+
+  private def run(spark: SparkSession, cmd: String, rest: List[String]): Unit =
+    (cmd, rest) match {
+      case ("checkpoint-show", dir :: Nil) =>
+        val rows = CheckpointStore.read(spark, dir)
+        if (rows.isEmpty) println("(no checkpoints)")
+        else rows.sortBy(r => (r._1, r._2, r._3)).foreach { case (s, t, g, p) =>
+          println(f"$s%-16s tranche=$t%-6s group=$g%-12s pos=$p")
+        }
+      case ("checkpoint-override", dir :: source :: tranche :: group :: pos :: Nil) =>
+        CheckpointStore.commit(spark, dir, source, tranche, group, pos.toLong)
+        println(s"checkpoint set: $source/$tranche/$group -> $pos")
+      case ("stats", store :: Nil) =>
+        spark.read.parquet(store)
+          .groupBy(col("stream_name"))
+          .agg((max(col("idx")) + 1).as("write_pos"), count(lit(1)).as("n_events"))
+          .orderBy(col("stream_name"))
+          .show(100, truncate = false)
+      case _ =>
+        System.err.println(s"bad arguments for $cmd")
+        sys.exit(2)
+    }
+
+  private def withSpark[A](f: SparkSession => A): A = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tool")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try f(spark) finally spark.stop()
+  }
+}

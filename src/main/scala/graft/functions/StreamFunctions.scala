@@ -35,6 +35,12 @@ object StreamFunctions {
   /** System streams are `$`-prefixed (StreamFilter.fs:28). */
   def isSystemStream(streamName: Column): Column = streamName.startsWith("$")
 
+  /** Drop snapshot rows before processing (`EventsOnly` / `stripUnfolds`,
+    * Streams.fs:145-147), for envelopes carrying an is_unfold column. */
+  def stripUnfolds(df: org.apache.spark.sql.DataFrame,
+      isUnfoldCol: String = "is_unfold"): org.apache.spark.sql.DataFrame =
+    df.where(!col(isUnfoldCol))
+
   /** Allow/deny-list + regex stream filter (StreamFilter.fs:6-46).
     *
     * Empty allow-lists admit everything in that dimension; deny always

@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.functions.SpanCodec
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Q19: wire-codec and remaining aggregation shapes.
+  *
+  * The codec round-trip is verified structurally: render every stream's
+  * span to RenderedSpan JSON, parse it back, and the output must equal
+  * the plain envelope — so the oracle is simply the envelope query. Any
+  * render/parse asymmetry (ordering, index arithmetic, escaping) breaks
+  * the hash match.
+  */
+object CodecQueries {
+
+  private def env(spark: SparkSession, dir: String): DataFrame =
+    Envelope.fromEvents(Envelope.readTable(spark, dir, "events"))
+
+  val q19CodecRoundtrip: QueryDef = QueryDef(
+    "q19_codec_roundtrip",
+    """SELECT concat('user-', user_id) AS stream_name,
+      |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+      |       event_type, props AS data
+      |FROM events
+      |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
+    val envelope = env(spark, dir)
+      .select(col("stream_name"), col("idx"), col("event_type"),
+        col("props").as("data"))
+    SpanCodec.parseSpans(SpanCodec.renderSpans(envelope))
+      .orderBy(col("stream_name"), col("idx"))
+  }
+
+  // grouping-sets coverage beyond rollup: full cube over flag/status
+  val q19Cube: QueryDef = QueryDef(
+    "q19_cube",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    Envelope.readTable(spark, dir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(l_quantity AS DECIMAL(20,4))")).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q19CodecRoundtrip, q19Cube)
+}
