@@ -1,0 +1,77 @@
+package graft.operators
+
+import graft.model.Envelope
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path operators: the techniques that keep the engine's plans
+  * healthy at 100 TB — key salting for skewed aggregations and
+  * bucketed (co-located) joins. Each is exposed as a reusable helper
+  * AND exercised by an oracle-checked query proving the technique is
+  * result-identical to the naive plan.
+  */
+object ScaleOps {
+
+  /** Two-phase salted aggregation for skewed keys: group on
+    * (key, hash(salt) % n) map-side, then re-aggregate per key. The
+    * hot key's rows spread over `saltBuckets` reducers instead of one.
+    *
+    * The re-aggregation must be given merge expressions for the partial
+    * results (sum→sum, count→sum, min→min, ...). Results are identical
+    * to a direct groupBy for any decomposable aggregate.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      saltSource: Column,
+      saltBuckets: Int,
+      partialAggs: Seq[Column],
+      mergeAggs: Seq[Column]): DataFrame =
+    df.groupBy(key.as("key"), (pmod(hash(saltSource), lit(saltBuckets))).as("salt"))
+      .agg(partialAggs.head, partialAggs.tail: _*)
+      .groupBy(col("key"))
+      .agg(mergeAggs.head, mergeAggs.tail: _*)
+
+  /** Salted skew aggregation, oracle-checked against the direct plan:
+    * per event_type (only 5 distinct values = extreme skew at scale),
+    * count + exact decimal sum, via 16 salt buckets. */
+  val q20SaltedSkewAgg: QueryDef = QueryDef(
+    "q20_salted_skew_agg",
+    """SELECT event_type, count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(20,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (spark, dir) =>
+    val events = Envelope.readTable(spark, dir, "events")
+    saltedAgg(events,
+      key = col("event_type"),
+      saltSource = col("event_id"),
+      saltBuckets = 16,
+      partialAggs = Seq(count(lit(1)).as("pn"),
+        sum(expr("CAST(value AS DECIMAL(20,4))")).as("psum")),
+      mergeAggs = Seq(sum(col("pn")).as("n"),
+        sum(col("psum")).cast("double").as("sum_value")))
+      .select(col("key").as("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exact interpolated percentiles (sort-based `percentile`, not the
+    * sketch) — deterministic, so oracle-checkable unlike approx
+    * variants. */
+  val q20Percentiles: QueryDef = QueryDef(
+    "q20_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_qty,
+      |       quantile_cont(l_extendedprice, 0.95) AS p95_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Envelope.readTable(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q20SaltedSkewAgg, q20Percentiles)
+}

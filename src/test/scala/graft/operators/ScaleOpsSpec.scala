@@ -1,0 +1,83 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.sources.PeriodicSnapshotSource
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-path behaviors: bucketed joins avoid shuffles, the periodic
+  * snapshot source advances its traversal-time base across restarts. */
+class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-scaleops-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-warehouse").toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("bucketed tables join with no shuffle exchange; results match plain join") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+    Bucketing.writeBucketed(li, "li_b", 8, Seq("l_orderkey"))
+    Bucketing.writeBucketed(o, "o_b", 8, Seq("l_orderkey"))
+
+    val plain = li.join(o, Seq("l_orderkey")).count()
+    val colocated = spark.conf.get("spark.sql.autoBroadcastJoinThreshold") match {
+      case _ =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try Bucketing.colocatedJoin(spark, "li_b", "o_b", Seq("l_orderkey"))
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+    assert(!Bucketing.hasShuffle(colocated), colocated.queryExecution.executedPlan.toString)
+    assert(colocated.count() == plain)
+  }
+
+  test("PeriodicSnapshotSource: full re-crawl per run, epoch base advances across restarts") {
+    import spark.implicits._
+    val file = Files.createTempFile("snap", ".txt")
+    Files.writeString(file, (0 until 5).map(i => s"item-$i").mkString("\n") + "\n")
+    val cp = Files.createTempDirectory("cp-periodic").toString
+    val out = Files.createTempDirectory("periodic-out").toString
+
+    def crawlOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.PeriodicSnapshotSource")
+        .option("path", file.toString).load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    crawlOnce()
+    val first = spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(first.length == 5)
+    assert(first.map(_._1).distinct.toList == List(1L))
+    assert(first.head._3 == 1L * PeriodicSnapshotSource.BasePositionPerEpoch)
+
+    crawlOnce() // restart: next epoch, full re-crawl, indexes advance
+    val second = spark.read.parquet(out)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    assert(second.length == 10)
+    assert(second.map(_._1).distinct.sorted.toList == List(1L, 2L))
+    val epoch2 = second.filter(_._1 == 2L)
+    assert(epoch2.head._3 == 2L * PeriodicSnapshotSource.BasePositionPerEpoch)
+    // synthetic indexes are globally monotonic across crawls
+    assert(second.map(_._3).sorted.toList == second.map(_._3).toList.sorted)
+    assert(epoch2.map(_._3).min > first.map(_._3).max)
+  }
+}
