@@ -73,5 +73,50 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[QueryDef] = Seq(q20SaltedSkewAgg, q20Percentiles)
+  /** Binned range join: the scale-safe form of a non-equi time-window
+    * join. A naive `a.ts BETWEEN b.lo AND b.hi` is a broadcast
+    * nested-loop (O(|a|·|b|)); binning both sides to fixed windows turns
+    * it into an equi join on the bin — each row joins only its bin's
+    * candidates, then the exact predicate filters. Bin width should be
+    * >= the range width so each range spans <= 2 bins.
+    */
+  def binnedRangeJoin(
+      left: DataFrame, leftTs: String,
+      right: DataFrame, rightLo: String, rightHi: String,
+      binWidth: Long): DataFrame = {
+    val l = left.withColumn("__bin", expr(s"$leftTs div $binWidth"))
+    val r = right.withColumn("__bin",
+      explode(expr(s"sequence($rightLo div $binWidth, ($rightHi - 1) div $binWidth)")))
+    l.join(r, Seq("__bin"))
+      .where(col(leftTs) >= col(rightLo) && col(leftTs) < col(rightHi))
+      .drop("__bin")
+  }
+
+  /** Range join demo, oracle-checked: count events falling inside each
+    * order's [orderdate, orderdate+24h) activity window, per order
+    * priority. Bin = 1 day, so each window spans <= 2 bins. */
+  val q20RangeJoin: QueryDef = QueryDef(
+    "q20_range_join",
+    """SELECT o_orderpriority, count(*) AS n_hits,
+      |       count(DISTINCT event_id) AS n_events
+      |FROM orders JOIN events
+      |  ON events.ts >= o_orderdate AND events.ts < o_orderdate + INTERVAL 1 DAY
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+    val dayUs = 86400000000L
+    val events = Envelope.readTable(spark, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
+    val orders = Envelope.readTable(spark, dir, "orders")
+      // o_orderdate is parquet TIMESTAMP(MILLIS) → NTZ; session TZ is
+      // UTC so the LTZ cast is wall-clock-identity
+      .select(col("o_orderpriority"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("lo_us"))
+      .withColumn("hi_us", col("lo_us") + dayUs)
+    binnedRangeJoin(events, "ts_us", orders, "lo_us", "hi_us", dayUs)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("event_id")).as("n_events"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q20SaltedSkewAgg, q20Percentiles, q20RangeJoin)
 }

@@ -302,7 +302,80 @@ object SimilarityQueries {
       .orderBy(col("bucket"))
   }
 
+  // ---- IVF-style ANN: partition the corpus into clusters (here the
+  //      label column stands in for a k-means assignment), precompute
+  //      scaled-integer centroids, route each probe to its nearest
+  //      centroid, search only that cluster. At 100 TB this turns a
+  //      full-corpus scan per probe into |cluster| work, and both
+  //      phases are plain joins/aggregations. ----
+  val q18AnnIvf: QueryDef = QueryDef(
+    "q18_ann_ivf",
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS d,
+      |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |cent AS (
+      |  SELECT label, d,
+      |         CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+      |  FROM dims GROUP BY label, d),
+      |probe_dist AS (
+      |  SELECT p.vec_id, c.label,
+      |         CAST(sum((p.x - c.cx) * (p.x - c.cx)) AS BIGINT) AS dist2
+      |  FROM dims p JOIN cent c ON p.d = c.d
+      |  WHERE p.vec_id < 5
+      |  GROUP BY p.vec_id, c.label),
+      |routed AS (
+      |  SELECT vec_id AS probe_id, label AS probe_label FROM (
+      |    SELECT vec_id, label,
+      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS rn
+      |    FROM probe_dist) r WHERE rn = 1),
+      |pairs AS (
+      |  SELECT r.probe_id, r.probe_label, c.vec_id AS cand_id,
+      |         CAST(list_sum(list_transform(range(1, len(p.embedding) + 1),
+      |           i -> CAST(round(CAST(p.embedding[i] AS DOUBLE)
+      |                           * CAST(c.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)))
+      |           AS BIGINT) AS dot_s
+      |  FROM routed r
+      |  JOIN embeddings p ON p.vec_id = r.probe_id
+      |  JOIN embeddings c ON c.label = r.probe_label AND c.vec_id <> r.probe_id)
+      |SELECT probe_id, probe_label, cand_id, dot_s, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY probe_id
+      |                               ORDER BY dot_s DESC, cand_id) AS rnk
+      |  FROM pairs) f
+      |WHERE rnk <= 3
+      |ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
+    val e = embs(spark, dir)
+    val dims = e
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("x", expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)"))
+    val cent = dims.groupBy(col("label"), col("d"))
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("cx"))
+      .select(col("label").as("c_label"), col("d"), col("cx"))
+    val probeDist = dims.where(col("vec_id") < 5)
+      .join(broadcast(cent), Seq("d"))
+      .groupBy(col("vec_id"), col("c_label"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).cast("long").as("dist2"))
+    val byProbe = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_label"))
+    val routed = probeDist.withColumn("rn", row_number().over(byProbe))
+      .where(col("rn") === 1)
+      .select(col("vec_id").as("probe_id"), col("c_label").as("probe_label"))
+    val probes = e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val cands = e.select(col("vec_id").as("cand_id"), col("label").as("probe_label"),
+      col("embedding").as("ce"))
+    val rankW = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot_s").desc, col("cand_id"))
+    broadcast(routed)
+      .join(probes, Seq("probe_id"))
+      .join(cands, Seq("probe_label"))
+      .where(col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("probe_label"), col("cand_id"),
+        dotScaled("pe", "ce").cast("long").as("dot_s"))
+      .withColumn("rnk", row_number().over(rankW))
+      .where(col("rnk") <= 3)
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh)
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf)
 }
