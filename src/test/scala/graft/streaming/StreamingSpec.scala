@@ -104,6 +104,72 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("StreamProcessor on real data reproduces the batch q17 stateful fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real envelope, delivered as a stream in two arbitrary chunks
+    val envelope = Envelope.fromEvents(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events"))
+      .select(col("stream_name").as("streamName"), col("idx").as("index"),
+        col("event_type").as("eventType"),
+        format_number(col("value"), 4).as("data"), // exact decimal string
+        col("size").cast("long").as("size"), lit(false).as("isUnfold"))
+      .as[InputEvent].collect().sortBy(e => (e.index, e.streamName))
+
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(),
+      // handler: per-span purchase-spend sum in exact cents
+      (_, evs) => evs.filter(_.eventType == "purchase")
+        .map(e => BigDecimal(e.data.replace(",", "")) * 100).sum.toLong.toString)
+    val q = out.writeStream.format("memory").queryName("q17_stream")
+      .outputMode("append").option("checkpointLocation", tmp("cp-q17")).start()
+    val (chunk1, chunk2) = envelope.splitAt(envelope.length / 2)
+    input.addData(chunk1.toIndexedSeq); q.processAllAvailable()
+    input.addData(chunk2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    // streaming totals per stream == batch q17 final running_spend
+    val streamed = spark.table("q17_stream").as[ProcessedSpan[String]].collect()
+      .groupBy(_.streamName).view
+      .mapValues(_.map(r => BigDecimal(r.result.toLong) / 100).sum).toMap
+    val batch = graft.operators.EventTimeQueries.q17Stateful
+      .build(spark, "/root/testdata/sf0.001")
+      .groupBy(col("stream_name"))
+      .agg(max(col("running_spend")).as("final_spend"))
+      .as[(String, Double)].collect().toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (s, v) =>
+      assert((v - BigDecimal(batch(s))).abs < BigDecimal(0.005), s)
+    }
+  }
+
+  test("StreamProcessor requireAll holds gapped streams until the gap fills") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(), (_, evs) => evs.map(_.index).mkString(","),
+      requireAll = true)
+    val q = out.writeStream.format("memory").queryName("reqall_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-reqall")).start()
+    // batch 1: gapped delivery (2,3 without 0,1) → must be held
+    input.addData(
+      InputEvent("g", 2, "t", "", 1, isUnfold = false),
+      InputEvent("g", 3, "t", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    assert(spark.table("reqall_out").isEmpty)
+    // batch 2: the gap fills → everything dispatches in order
+    input.addData(
+      InputEvent("g", 0, "t", "", 1, isUnfold = false),
+      InputEvent("g", 1, "t", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("reqall_out").as[ProcessedSpan[String]].collect()
+    assert(rows.map(r => (r.fromIndex, r.toIndex, r.result)).toList ==
+      List((0L, 3L, "0,1,2,3")))
+  }
+
   test("JsonLinesSource: tranche-partitioned delivery, exactly-once resume after restart") {
     import spark.implicits._
     val file = Files.createTempFile("feed", ".ndjson")
