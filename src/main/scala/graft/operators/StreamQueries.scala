@@ -80,12 +80,16 @@ object StreamQueries {
         |WHERE env.idx >= coalesce(wp.write_pos, 0)
         |GROUP BY env.stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = env(spark, dir)
-    val wp = e.where(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType))
-      .groupBy(col("stream_name"))
-      .agg((max(col("idx")) + 1).as("write_pos"))
-    e.join(wp, Seq("stream_name"), "left")
-      .where(col("idx") >= coalesce(col("write_pos"), lit(0L)))
+    // Single-pass form: the write position is a conditional max over the
+    // same per-stream partitioning the envelope window already
+    // established — no second scan, no join, no extra shuffle.
+    val byStream = Window.partitionBy(col("stream_name"))
+    env(spark, dir)
+      .withColumn("write_pos", coalesce(
+        max(when(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType), col("idx")))
+          .over(byStream) + 1L,
+        lit(0L)))
+      .where(col("idx") >= col("write_pos"))
       .groupBy(col("stream_name"))
       .agg(count(lit(1)).as("accepted"), min(col("idx")).as("first_idx"), max(col("idx")).as("last_idx"))
       .orderBy(col("stream_name"))

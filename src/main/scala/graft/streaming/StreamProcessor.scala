@@ -15,13 +15,19 @@ final case class InputEvent(
     size: Long,
     isUnfold: Boolean)
 
-/** What the handler produced for one dispatched span. */
+/** What the handler produced for one dispatched span. A `failed` row is
+  * the dead-letter record of the span that poisoned the stream: after
+  * emitting it, the stream is quarantined (malformed) and dispatches
+  * nothing further (reference malformed classification,
+  * Streams.fs:165-178, 338-341). */
 final case class ProcessedSpan[A](
     streamName: String,
     fromIndex: Long,
     toIndex: Long,
     nEvents: Int,
-    result: A)
+    result: A,
+    failed: Boolean = false,
+    error: String = "")
 
 /** Persisted per-stream buffer between micro-batches. */
 final case class BufferState(
@@ -98,7 +104,14 @@ object StreamProcessor {
       }
   }
 
-  /** One micro-batch step for one stream — pure, unit-testable. */
+  /** One micro-batch step for one stream — pure, unit-testable.
+    *
+    * A handler exception quarantines the stream: a dead-letter
+    * ProcessedSpan(failed=true) is emitted for the poisoned span, the
+    * state is marked malformed, and nothing further dispatches (the
+    * write position does NOT advance past the failure, so a redeploy
+    * with a fixed handler resumes exactly there).
+    */
   def step[A](
       stream: String,
       incoming: Vector[InputEvent],
@@ -120,6 +133,7 @@ object StreamProcessor {
 
       var writePos = prev.writePos
       var queue = merged
+      var malformed = false
       val emitted = Vector.newBuilder[ProcessedSpan[A]]
       var continue = true
       while (continue && queue.nonEmpty) {
@@ -129,14 +143,21 @@ object StreamProcessor {
         if (!dispatchable) continue = false
         else {
           val evs = head.map(payload)
-          val res = handle(stream, evs)
-          val newPos = math.max(writePos, SpanAlgebra.nextIndex(head))
-          emitted += ProcessedSpan(stream, head.head.index, head.last.index, evs.size, res)
-          writePos = newPos
-          queue = SpanAlgebra.dropBefore(writePos)(queue.tail)
+          scala.util.Try(handle(stream, evs)) match {
+            case scala.util.Success(res) =>
+              emitted += ProcessedSpan(stream, head.head.index, head.last.index, evs.size, res)
+              writePos = math.max(writePos, SpanAlgebra.nextIndex(head))
+              queue = SpanAlgebra.dropBefore(writePos)(queue.tail)
+            case scala.util.Failure(e) =>
+              emitted += ProcessedSpan(stream, head.head.index, head.last.index,
+                evs.size, null.asInstanceOf[A], failed = true,
+                error = String.valueOf(e.getMessage))
+              malformed = true
+              continue = false
+          }
         }
       }
-      (BufferState(writePos, queue.map(_.map(payload)), malformed = false), emitted.result())
+      (BufferState(writePos, queue.map(_.map(payload)), malformed), emitted.result())
     }
   }
 }

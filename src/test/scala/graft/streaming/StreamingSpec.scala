@@ -236,6 +236,47 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == List(("s-1", 2L), ("s-2", 0L)))
   }
 
+  test("malformed quarantine: a-bad poisons on failure, a-ok unaffected, watchdog abends") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(),
+      (s, evs) =>
+        if (s == "a-bad") throw new RuntimeException("transient")
+        else s"ok:${evs.size}")
+    val q = out.writeStream.format("memory").queryName("health_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-health")).start()
+    input.addData(
+      InputEvent("a-ok", 0, "t", "", 1, isUnfold = false),
+      InputEvent("a-ok", 1, "t", "", 1, isUnfold = false),
+      InputEvent("a-bad", 0, "t", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    // later batch: quarantined stream dispatches nothing more; a-ok continues
+    input.addData(
+      InputEvent("a-bad", 1, "t", "", 1, isUnfold = false),
+      InputEvent("a-ok", 2, "t", "", 1, isUnfold = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("health_out").as[ProcessedSpan[String]].collect()
+    val bad = rows.filter(_.streamName == "a-bad")
+    assert(bad.length == 1 && bad.head.failed && bad.head.error == "transient")
+    assert(rows.filter(_.streamName == "a-ok").map(_.result).sorted.toList ==
+      List("ok:1", "ok:2")) // [0,1] then [2]
+
+    // dead-letter rows feed the watchdog (reference SinkHealthTests path)
+    var now = 10000L
+    val mon = new Observability.BusyMonitor(() => now)
+    rows.foreach(r =>
+      if (r.failed) mon.recordFailure(r.streamName) else mon.recordSuccess(r.streamName))
+    mon.recordNoProgress("a-stuck") // third fixture stream: alive, no progress
+    now += 60000L
+    val ex = intercept[Observability.HealthCheckException](mon.healthCheck(30000L))
+    assert(ex.failingStreams.map(_._1) == Seq("a-bad"))
+    assert(ex.stuckStreams.map(_._1) == Seq("a-stuck"))
+  }
+
   test("CheckpointStore: latest-wins commit and read-back") {
     val dir = tmp("cp-store") + "/checkpoints"
     CheckpointStore.commit(spark, dir, "feed", "0", "g1", 42L)
