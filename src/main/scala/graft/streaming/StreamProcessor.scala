@@ -120,16 +120,21 @@ object StreamProcessor {
       requireAll: Boolean): (BufferState, Vector[ProcessedSpan[A]]) = {
     if (prev.malformed) (prev, Vector.empty)
     else {
-      val byIndex = incoming.map(e => e.index -> e).toMap
+      // payload identity is (index, type, isUnfold): unfolds share an
+      // index with each other and with the event at that position
+      def key(e: InputEvent) = (e.index, e.eventType, e.isUnfold)
+      val byKey = incoming.map(e => key(e) -> e).toMap
       val prevEvs: Vector[Span] = prev.queue.toVector.map(_.toVector.map(toEv))
       val merged = SpanAlgebra.dropBefore(prev.writePos)(
         SpanAlgebra.merge(prevEvs :+ incoming.sortBy(_.index).map(toEv)))
       // keep full payloads alongside the algebra's canonical shape
-      val prevByIndex = prev.queue.flatten.map(e => e.index -> e).toMap
-      def payload(ev: Ev): InputEvent =
-        prevByIndex.getOrElse(ev.index,
-          byIndex.getOrElse(ev.index,
+      val prevByKey = prev.queue.flatten.map(e => key(e) -> e).toMap
+      def payload(ev: Ev): InputEvent = {
+        val k = (ev.index, ev.eventType, ev.isUnfold)
+        prevByKey.getOrElse(k,
+          byKey.getOrElse(k,
             InputEvent(stream, ev.index, ev.eventType, "", ev.size, ev.isUnfold)))
+      }
 
       var writePos = prev.writePos
       var queue = merged

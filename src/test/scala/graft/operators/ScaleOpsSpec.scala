@@ -47,6 +47,17 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colocated.count() == plain)
   }
 
+  test("stripedBackfill: parallel chunk reads, strictly ordered delivery") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_linenumber"))
+    val delivered = collection.mutable.Buffer.empty[(Int, Int)]
+    graft.sources.Backfill.stripedBackfill(
+      li, expr("l_orderkey div 500"), numChunks = 13,
+      (c, rows) => delivered += ((c, rows.length)), maxDop = 4)
+    assert(delivered.map(_._1).toList == (0 until 13).toList) // gap-free order
+    assert(delivered.map(_._2).sum == li.count())             // nothing lost
+  }
+
   test("PeriodicSnapshotSource: full re-crawl per run, epoch base advances across restarts") {
     import spark.implicits._
     val file = Files.createTempFile("snap", ".txt")

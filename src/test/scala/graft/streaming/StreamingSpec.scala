@@ -236,6 +236,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == List(("s-1", 2L), ("s-2", 0L)))
   }
 
+  test("StreamProcessor: only the freshest unfold set reaches the handler") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(),
+      (_, evs) => evs.map(e =>
+        s"${if (e.isUnfold) "u" else "e"}${e.index}:${e.eventType}").mkString("|"))
+    val q = out.writeStream.format("memory").queryName("unfold_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-unfold")).start()
+    // two unfold generations delivered together: only idx-3's set survives
+    input.addData(
+      InputEvent("u-1", 0, "t", "", 1, isUnfold = false),
+      InputEvent("u-1", 1, "t", "", 1, isUnfold = false),
+      InputEvent("u-1", 2, "snap", "", 1, isUnfold = true),
+      InputEvent("u-1", 2, "t", "", 1, isUnfold = false),
+      InputEvent("u-1", 3, "snap", "", 1, isUnfold = true),
+      InputEvent("u-1", 3, "other", "", 1, isUnfold = true))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("unfold_out").as[ProcessedSpan[String]].collect()
+    assert(rows.length == 1)
+    assert(rows.head.result == "e0:t|e1:t|e2:t|u3:snap|u3:other")
+  }
+
   test("malformed quarantine: a-bad poisons on failure, a-ok unaffected, watchdog abends") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
