@@ -32,6 +32,10 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // §2.8 observability: roll up StreamingQueryProgress per query
+    val stats = new graft.streaming.Observability.StatsListener
+    spark.streams.addListener(stats)
+
     // 1. stage the events table as an ndjson feed file
     Files.createDirectories(Paths.get(work))
     val feedFile = s"$work/feed.ndjson"
@@ -85,6 +89,9 @@ object Pipeline {
     val stored = spark.read.parquet(target)
     println(s"[pipeline] store rows=${stored.count()} " +
       s"streams=${stored.select("stream_name").distinct().count()}")
+    stats.snapshot.values.foreach(s => println(
+      s"[pipeline] stats batches=${s.batches} inputRows=${s.inputRows} " +
+        s"stateRows=${s.stateRows} lastBatchMs=${s.lastBatchDurationMs}"))
     println(s"[pipeline] committed checkpoint=" +
       CheckpointStore.position(spark, cpTable, "jsonlines", "all", "pipeline"))
     spark.stop()

@@ -301,8 +301,38 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  // Q15b: array/map function coverage — build collections per stream,
+  // operate on them (sort, slice, contains, map lookup), all codegen'd.
+  val q15ArrayMap: QueryDef = QueryDef(
+    "q15_array_map",
+    """WITH per_user AS (
+      |  SELECT user_id,
+      |         list_sort(list(DISTINCT event_type)) AS types,
+      |         count(*) AS n
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id,
+      |       len(types) AS n_types,
+      |       types[1] AS first_type,
+      |       array_to_string(types[1:2], ',') AS first_two,
+      |       CAST(list_contains(types, 'purchase') AS INT) AS has_purchase,
+      |       n
+      |FROM per_user
+      |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"),
+        count(lit(1)).as("n"))
+      .select(col("user_id"),
+        size(col("types")).as("n_types"),
+        col("types").getItem(0).as("first_type"),
+        array_join(slice(col("types"), 1, 2), ",").as("first_two"),
+        array_contains(col("types"), "purchase").cast("int").as("has_purchase"),
+        col("n"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10WindowRank, q11Join, q11AsOf, q11SemiAnti,
     q12Agg, q12Rollup, q12Distinct, q12Approx,
-    q13TopK, q14SetOps, q15Scalar)
+    q13TopK, q14SetOps, q15Scalar, q15ArrayMap)
 }
