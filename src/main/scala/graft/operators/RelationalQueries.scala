@@ -27,22 +27,26 @@ object RelationalQueries {
   // Q10: ranking / analytic windows over lineitem.
   val q10WindowRank: QueryDef = QueryDef(
     "q10_window_rank",
+    // (orderkey, linenumber) is NOT unique in this data (the generator
+    // emits duplicate deliveries by design) — the window order carries
+    // quantity/price tiebreaks so any remaining ties are bit-identical
+    // rows, making running sums engine-independent.
     """SELECT l_suppkey, l_orderkey, l_linenumber,
       |       rank() OVER w AS rnk,
       |       dense_rank() OVER w AS drnk,
       |       lag(l_orderkey) OVER w AS prev_order,
       |       lead(l_orderkey) OVER w AS next_order,
-      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4)))
-      |            OVER (PARTITION BY l_suppkey
-      |                  ORDER BY l_shipdate, l_orderkey, l_linenumber
-      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) OVER
+      |            (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
       |         AS running_qty
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_suppkey
-      |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
-      |ORDER BY l_suppkey, rnk""".stripMargin) { (spark, dir) =>
+      |             ORDER BY l_shipdate, l_orderkey, l_linenumber,
+      |                      l_quantity, l_extendedprice)
+      |ORDER BY l_suppkey, rnk, l_orderkey, l_linenumber""".stripMargin) { (spark, dir) =>
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"))
     t(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         rank().over(w).as("rnk"),
@@ -52,7 +56,7 @@ object RelationalQueries {
         sum(dec("l_quantity"))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_qty"))
-      .orderBy(col("l_suppkey"), col("rnk"))
+      .orderBy(col("l_suppkey"), col("rnk"), col("l_orderkey"), col("l_linenumber"))
   }
 
   // Q11a: multi-way join with broadcast dims (TPC-H Q3 shape). The
@@ -61,8 +65,9 @@ object RelationalQueries {
   val q11Join: QueryDef = QueryDef(
     "q11_join",
     """SELECT o_orderkey,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))), 2) * 100 AS BIGINT)
+      |         AS revenue_cents,
       |       any_value(c_mktsegment) AS segment,
       |       count(*) AS n_lines
       |FROM customer
@@ -79,8 +84,8 @@ object RelationalQueries {
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"))
       .agg(
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("double").as("revenue"),
+        (round(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))), 2) * 100)
+          .cast("long").as("revenue_cents"),
         first(col("c_mktsegment")).as("segment"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("o_orderkey"))
@@ -147,11 +152,13 @@ object RelationalQueries {
     """SELECT l_returnflag, l_linestatus,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
       |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS sum_disc_price,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))), 2) * 100 AS BIGINT)
+      |         AS sum_disc_price_cents,
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))
       |                * (1 - CAST(l_discount AS DECIMAL(20,4)))
-      |                * (1 + CAST(l_tax AS DECIMAL(20,4)))) AS DOUBLE) AS sum_charge,
+      |                * (1 + CAST(l_tax AS DECIMAL(20,4)))), 2) * 100 AS BIGINT)
+      |         AS sum_charge_cents,
       |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_qty,
       |       CAST(sum(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / count(*) AS avg_disc,
       |       count(*) AS count_order
@@ -165,10 +172,14 @@ object RelationalQueries {
       .agg(
         sum(dec("l_quantity")).cast("double").as("sum_qty"),
         sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-          .cast("double").as("sum_disc_price"),
-        sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")) * (lit(1) + dec("l_tax")))
-          .cast("double").as("sum_charge"),
+        // integer cents: the scale-8/12 decimal chains convert to double
+        // with one-ulp differences across engines (two-step int→double→
+        // scale vs correctly-rounded); exact-integer output sidesteps it
+        (round(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))), 2) * 100)
+          .cast("long").as("sum_disc_price_cents"),
+        (round(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+          * (lit(1) + dec("l_tax"))), 2) * 100)
+          .cast("long").as("sum_charge_cents"),
         (sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec("l_discount")).cast("double") / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -232,8 +243,9 @@ object RelationalQueries {
   val q13TopK: QueryDef = QueryDef(
     "q13_topk",
     """SELECT l_orderkey AS o_orderkey,
-      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))
-      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))) AS DOUBLE) AS revenue
+      |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(20,4))
+      |                * (1 - CAST(l_discount AS DECIMAL(20,4)))), 2) * 100 AS BIGINT)
+      |         AS revenue_cents
       |FROM lineitem
       |GROUP BY l_orderkey
       |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(20,4))
@@ -244,7 +256,8 @@ object RelationalQueries {
       .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
       .orderBy(col("rev_dec").desc, col("o_orderkey"))
       .limit(10)
-      .select(col("o_orderkey"), col("rev_dec").cast("double").as("revenue"))
+      .select(col("o_orderkey"),
+        (round(col("rev_dec"), 2) * 100).cast("long").as("revenue_cents"))
   }
 
   // Q14: set operations over customer segments.
