@@ -375,7 +375,62 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- embedding-cosine near-dup dedup, label-blocked: candidate
+  //      pairs are generated only within a cluster block (the IVF
+  //      partitioning), then the exact cosine threshold collapses each
+  //      pair to the lower vec_id. The dot products run as a codegen'd
+  //      explode + hash-aggregate (an interpreted higher-order-function
+  //      dot is ~40µs/pair — 50× slower at corpus scale), with
+  //      scaled-integer products so the sums stay order-independent. ----
+  val q18DedupEmbed: QueryDef = QueryDef(
+    "q18_dedup_embed",
+    """WITH dims AS (
+      |  SELECT vec_id, label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
+      |nrm AS (
+      |  SELECT vec_id, CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS n2
+      |  FROM dims GROUP BY vec_id),
+      |dots AS (
+      |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+      |         CAST(sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
+      |  FROM dims a JOIN dims b
+      |    ON a.label = b.label AND a.d = b.d AND a.vec_id < b.vec_id
+      |  GROUP BY a.vec_id, b.vec_id)
+      |SELECT keep_id, dup_id,
+      |       CAST(dot_s AS DOUBLE)
+      |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+      |FROM dots
+      |JOIN nrm na ON na.vec_id = keep_id
+      |JOIN nrm nb ON nb.vec_id = dup_id
+      |WHERE CAST(dot_s AS DOUBLE)
+      |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) > 0.35
+      |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
+    val dims = embs(spark, dir)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .withColumn("x", col("v").cast("double"))
+    val nrm = dims.groupBy(col("vec_id"))
+      .agg(sum(expr("CAST(round(x * x * 1e12) AS BIGINT)")).cast("long").as("n2"))
+    val a = dims.select(col("label"), col("d"), col("vec_id").as("keep_id"),
+      col("x").as("xa"))
+    val b = dims.select(col("label"), col("d"), col("vec_id").as("dup_id"),
+      col("x").as("xb"))
+    val dots = a.join(b, Seq("label", "d"))
+      .where(col("keep_id") < col("dup_id"))
+      .groupBy(col("keep_id"), col("dup_id"))
+      .agg(sum(expr("CAST(round(xa * xb * 1e12) AS BIGINT)")).cast("long").as("dot_s"))
+    val cosine = col("dot_s").cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
+    dots
+      .join(broadcast(nrm.select(col("vec_id").as("keep_id"), col("n2").as("n2_a"))),
+        Seq("keep_id"))
+      .join(broadcast(nrm.select(col("vec_id").as("dup_id"), col("n2").as("n2_b"))),
+        Seq("dup_id"))
+      .select(col("keep_id"), col("dup_id"), cosine.as("cosine"))
+      .where(col("cosine") > 0.35)
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf)
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed)
 }
