@@ -10,6 +10,9 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Forked `runMain` output must reach stdout verbatim (no "[info] "
+// prefix): the bench/verify harness parses the emitted JSON line.
+outputStrategy := Some(StdoutOutput)
 // Suites share one local SparkSession lifecycle; run them sequentially
 // so session stop/create in one suite can't race another.
 Test / parallelExecution := false

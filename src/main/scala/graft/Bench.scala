@@ -31,15 +31,23 @@ object Bench {
     SparkEntry.queries.get("q06_stream_hwm").foreach(f => f(spark, sfDir).count())
     SparkEntry.queries.get("q12_agg").foreach(f => f(spark, sfDir).count())
 
+    // A failing query must not masquerade as a fast run: its time is
+    // reported as -1 and the error surfaces in an `errors` map.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
+    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val total = results.collect { case (_, v, None) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,9 +72,16 @@ object Pipeline {
     val q = processed.writeStream
       .option("checkpointLocation", s"$work/cp")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[_], batchId: Long) =>
+        // quarantined (failed) spans are dead-lettered, never appended to
+        // the store as if processed — only healthy spans explode to rows
+        val df = batch.toDF()
+        val dead = df.where(col("failed"))
+        if (!dead.isEmpty)
+          dead.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(s"$work/deadletter")
         // one store row per event index — the sink's contiguity lattice
         // operates on event positions, not span summaries
-        val events = batch.toDF()
+        val events = df.where(!col("failed"))
           .select(col("streamName").as("stream_name"),
             explode(expr("sequence(fromIndex, toIndex)")).as("idx"), col("result"))
         val outcomes = AppendSink.appendIdempotent(spark, target, events)

@@ -85,8 +85,10 @@ object SpanAlgebra {
     merge(spans.map(_.filter(ev => ev.index >= pos)))
 
   /** Bound one dispatch to maxEvents/maxBytes: always >= 1 item, and the
-    * unfold suffix is atomic — included whole or not at all
-    * (Streams.fs:89-107). */
+    * unfold suffix is atomic — included whole or not at all. When every
+    * event fits the budget, the unfold suffix ships unconditionally
+    * (budget-exempt): the reference's trimEvents/slice never separates a
+    * complete span from its snapshots (Streams.fs:89-107). */
   def slice(maxEvents: Int, maxBytes: Long)(span: Span): Span = {
     val (events, unfolds) = span.span(!_.isUnfold)
     var taken = 0
@@ -97,14 +99,7 @@ object SpanAlgebra {
       ok
     }
     if (kept.sizeIs < events.size) kept // cut mid-events: unfolds can't ride
-    else {
-      val uBytes = unfolds.map(_.size).sum
-      if (unfolds.isEmpty) kept
-      else if (kept.isEmpty) unfolds // unfold-only span dispatches whole
-      else if (taken + unfolds.size <= maxEvents && bytes + uBytes <= maxBytes)
-        kept ++ unfolds
-      else kept
-    }
+    else kept ++ unfolds // all events fit: unfolds ride, budget-exempt
   }
 
   /** Gap test for requireAll mode (Streams.fs:828-867): dispatchable only

@@ -5,45 +5,66 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Wire codec for stream spans — the Kafka span format of the reference
-  * (`RenderedSpan {s, i, e:[{c,d}]}`, src/Propulsion.Kafka/Codec.fs:46-75)
+  * (`RenderedSpan {s, i, e:[{c,t,d,m}]}`, src/Propulsion.Kafka/Codec.fs:46-75)
   * as pure Catalyst expressions: `to_json(struct(...))` on render,
   * `from_json` + `posexplode` on parse (index = i + pos).
+  *
+  * Each rendered event carries the reference's full per-event shape:
+  * `c` (event type), `t` (timestamp, ISO-8601 with microseconds), `d`
+  * (data), `m` (meta). `t`/`m` default to null when the input has no
+  * such columns — `to_json` omits null fields, so minimal envelopes
+  * still render as the compact `{c,d}` form, and parse fills nulls back.
   *
   * Everything stays codegen'd; rendering shuffles once on the stream key
   * (map-side combinable collect_list), parsing is a narrow generator.
   */
 object SpanCodec {
 
+  /** ISO-8601 with microsecond precision — rendered in UTC, round-trips
+    * a micro-precision timestamp losslessly. */
+  private val isoMicros = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   val wireSchema: StructType = StructType(Seq(
     StructField("s", StringType),
     StructField("i", LongType),
     StructField("e", ArrayType(StructType(Seq(
       StructField("c", StringType),
-      StructField("d", StringType)))))))
+      StructField("t", StringType),
+      StructField("d", StringType),
+      StructField("m", StringType)))))))
 
   /** Render one span per stream from envelope rows
-    * (stream_name, idx, event_type, data). Events are sorted by idx via
-    * array_sort on (idx, c, d) structs — deterministic without a
-    * sort-within-group shuffle. */
-  def renderSpans(env: DataFrame): DataFrame =
+    * (stream_name, idx, event_type, data[, ts, meta]). Events are sorted
+    * by idx via array_sort on (idx, ...) structs — deterministic without
+    * a sort-within-group shuffle. */
+  def renderSpans(env: DataFrame): DataFrame = {
+    val tCol: Column =
+      if (env.columns.contains("ts")) date_format(col("ts"), isoMicros)
+      else lit(null).cast(StringType)
+    val mCol: Column =
+      if (env.columns.contains("meta")) col("meta") else lit(null).cast(StringType)
     env
       .groupBy(col("stream_name"))
       .agg(min(col("idx")).as("i"),
         array_sort(collect_list(struct(col("idx"), col("event_type").as("c"),
-          col("data").as("d")))).as("evs"))
+          tCol.as("t"), col("data").as("d"), mCol.as("m")))).as("evs"))
       .select(col("stream_name"),
         to_json(struct(
           col("stream_name").as("s"), col("i"),
-          expr("transform(evs, x -> struct(x.c AS c, x.d AS d))").as("e")))
+          expr("transform(evs, x -> struct(x.c AS c, x.t AS t, x.d AS d, x.m AS m))")
+            .as("e")))
           .as("value"))
+  }
 
   /** Parse rendered span JSON back to envelope rows; index = i + pos
-    * (Codec.fs:63-68 enum semantics). */
+    * (Codec.fs:63-68 enum semantics). `ts`/`meta` come back null when
+    * the wire event omitted them. */
   def parseSpans(rendered: DataFrame, valueCol: String = "value"): DataFrame =
     rendered
       .select(from_json(col(valueCol), wireSchema).as("sp"))
       .select(col("sp.s").as("stream_name"), col("sp.i").as("i"),
         posexplode(col("sp.e")).as(Seq("pos", "ev")))
       .select(col("stream_name"), (col("i") + col("pos")).as("idx"),
-        col("ev.c").as("event_type"), col("ev.d").as("data"))
+        col("ev.c").as("event_type"), col("ev.d").as("data"),
+        to_timestamp(col("ev.t"), isoMicros).as("ts"), col("ev.m").as("meta"))
 }

@@ -22,13 +22,16 @@ object CodecQueries {
     "q19_codec_roundtrip",
     """SELECT concat('user-', user_id) AS stream_name,
       |       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
-      |       event_type, props AS data
+      |       event_type, props AS data,
+      |       epoch_us(ts) AS ts_us
       |FROM events
       |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
     val envelope = env(spark, dir)
       .select(col("stream_name"), col("idx"), col("event_type"),
-        col("props").as("data"))
+        col("props").as("data"), col("ts"))
     SpanCodec.parseSpans(SpanCodec.renderSpans(envelope))
+      .select(col("stream_name"), col("idx"), col("event_type"), col("data"),
+        unix_micros(col("ts")).as("ts_us"))
       .orderBy(col("stream_name"), col("idx"))
   }
 

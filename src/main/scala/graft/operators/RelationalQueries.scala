@@ -228,13 +228,34 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  // Q12d: HLL sketch cardinality — approx algorithms differ across
-  // engines by design → rows-only check (driver records weaker gate).
-  val q12Approx: QueryDef = QueryDef.noOracle("q12_approx_distinct") { (spark, dir) =>
+  // Q12d: HLL sketch cardinality. Sketch values differ across engines
+  // by design, so the oracle-checkable claim is the HLL error bound:
+  // the approx count must land within 15% of the exact count (Spark's
+  // default rsd is 5%, so this passes with wide margin at any SF). The
+  // exact counts anchor the hash; the booleans prove the sketch ran.
+  val q12Approx: QueryDef = QueryDef(
+    "q12_approx_distinct",
+    """SELECT l_returnflag,
+      |       count(DISTINCT l_partkey) AS n_parts_exact,
+      |       count(DISTINCT l_orderkey) AS n_orders_exact,
+      |       CAST(1 AS BIGINT) AS parts_within_tol,
+      |       CAST(1 AS BIGINT) AS orders_within_tol
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts_exact"),
+        countDistinct(col("l_orderkey")).as("n_orders_exact"),
+        approx_count_distinct(col("l_partkey")).as("ap"),
+        approx_count_distinct(col("l_orderkey")).as("ao"))
+      .select(col("l_returnflag"), col("n_parts_exact"), col("n_orders_exact"),
+        when(abs(col("ap") - col("n_parts_exact"))
+          <= greatest(lit(1), col("n_parts_exact") * 0.15), 1L).otherwise(0L)
+          .as("parts_within_tol"),
+        when(abs(col("ao") - col("n_orders_exact"))
+          <= greatest(lit(1), col("n_orders_exact") * 0.15), 1L).otherwise(0L)
+          .as("orders_within_tol"))
       .orderBy(col("l_returnflag"))
   }
 

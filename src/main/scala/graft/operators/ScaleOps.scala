@@ -92,30 +92,29 @@ object ScaleOps {
       .drop("__bin")
   }
 
-  /** Range join demo, oracle-checked: count events falling inside each
-    * order's [orderdate, orderdate+24h) activity window, per order
-    * priority. Bin = 1 day, so each window spans <= 2 bins. */
+  /** Range join demo, oracle-checked: per event type, count events
+    * landing inside any signup's [ts, ts+15min) activation window — a
+    * non-equi time-window join between two event sets that genuinely
+    * overlap. Bin = 15 min, so each window spans <= 2 bins. */
   val q20RangeJoin: QueryDef = QueryDef(
     "q20_range_join",
-    """SELECT o_orderpriority, count(*) AS n_hits,
-      |       count(DISTINCT event_id) AS n_events
-      |FROM orders JOIN events
-      |  ON events.ts >= o_orderdate AND events.ts < o_orderdate + INTERVAL 1 DAY
-      |GROUP BY o_orderpriority
-      |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
-    val dayUs = 86400000000L
+    """WITH win AS (
+      |  SELECT ts AS lo, ts + INTERVAL 15 MINUTE AS hi
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT e.event_type, count(*) AS n_hits,
+      |       count(DISTINCT e.event_id) AS n_events
+      |FROM events e JOIN win ON e.ts >= win.lo AND e.ts < win.hi
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val winUs = 15L * 60 * 1000000
     val events = Envelope.readTable(spark, dir, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"))
-    val orders = Envelope.readTable(spark, dir, "orders")
-      // o_orderdate is parquet TIMESTAMP(MILLIS) → NTZ; session TZ is
-      // UTC so the LTZ cast is wall-clock-identity
-      .select(col("o_orderpriority"),
-        unix_micros(col("o_orderdate").cast("timestamp")).as("lo_us"))
-      .withColumn("hi_us", col("lo_us") + dayUs)
-    binnedRangeJoin(events, "ts_us", orders, "lo_us", "hi_us", dayUs)
-      .groupBy(col("o_orderpriority"))
+      .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val windows = events.where(col("event_type") === "signup")
+      .select(col("ts_us").as("lo_us"), (col("ts_us") + winUs).as("hi_us"))
+    binnedRangeJoin(events, "ts_us", windows, "lo_us", "hi_us", winUs)
+      .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("event_id")).as("n_events"))
-      .orderBy(col("o_orderpriority"))
+      .orderBy(col("event_type"))
   }
 
   val all: Seq[QueryDef] = Seq(q20SaltedSkewAgg, q20Percentiles, q20RangeJoin)

@@ -106,9 +106,10 @@ object TextQueries {
     "q18_tokens",
     """SELECT source,
       |       count(*) AS n_docs,
-      |       sum(len(string_split(text, ' '))) AS ws_tokens,
-      |       sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS bpeish_tokens,
-      |       sum(length(text)) AS total_chars
+      |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+      |       CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |         AS bpeish_tokens,
+      |       CAST(sum(length(text)) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY source
       |ORDER BY source""".stripMargin) { (spark, dir) =>

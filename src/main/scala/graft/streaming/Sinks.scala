@@ -27,7 +27,17 @@ import org.apache.spark.sql.functions._
 object AppendSink {
 
   /** Append `incoming(stream_name, idx, ...)` idempotently into the
-    * parquet dir `target`. Returns per-stream outcomes. */
+    * parquet dir `target`. Returns per-island outcomes.
+    *
+    * Classification is per contiguous island, not per stream-batch
+    * min/max: a batch carrying islands [0..1] and [3..3] appends only
+    * the gap-free prefix and classifies the gapped island as
+    * PrefixMissing (held for redelivery), so a gap is never persisted
+    * and the late middle event can still classify as Ok later — the
+    * reference sink's span-at-a-time contract (CosmosStoreSink.fs:76-83).
+    * Islands are folded per stream in index order, each advancing the
+    * effective target position the next island classifies against.
+    */
   def appendIdempotent(
       spark: SparkSession, target: String, incoming: DataFrame): DataFrame = {
     val existing = tryReadTarget(spark, target)
@@ -43,29 +53,54 @@ object AppendSink {
     // Materialize the classification BEFORE mutating the target: the
     // lazy plan reads the target's file listing, which the append below
     // changes — collecting afterwards would re-classify against the
-    // post-write state. The result is |streams in batch|-sized.
+    // post-write state. The result is |islands in batch|-sized (bounded
+    // by the micro-batch, not the table).
     import spark.implicits._
-    val spans = incoming.groupBy(col("stream_name"))
+    val islandId = col("idx") - row_number().over(
+      Window.partitionBy(col("stream_name")).orderBy(col("idx")))
+    val islands = incoming.select(col("stream_name"), col("idx")).distinct()
+      .withColumn("island", islandId)
+      .groupBy(col("stream_name"), col("island"))
       .agg(min(col("idx")).as("i"), (max(col("idx")) + 1).as("n"))
       .join(broadcast(tails), Seq("stream_name"), "left")
       .withColumn("tgt", coalesce(col("tgt_next"), lit(0L)))
-      .withColumn("outcome",
-        when(col("tgt") < col("i"), "PrefixMissing")
-          .when(col("tgt") >= col("n"), "Duplicate")
-          .when(col("tgt") > col("i"), "PartialDuplicate")
-          .otherwise("Ok"))
-      .select(col("stream_name"), col("i"), col("n"), col("tgt"), col("outcome"))
-      .as[(String, Long, Long, Long, String)].collect()
-    val spansDf = spans.toSeq.toDF("stream_name", "i", "n", "tgt_next", "outcome")
+      .select(col("stream_name"), col("i"), col("n"), col("tgt"))
+      .as[(String, Long, Long, Long)].collect()
 
-    val writable = incoming
-      .join(broadcast(spansDf.select(col("stream_name"),
-        col("tgt_next").as("tgt"), col("outcome"))), Seq("stream_name"))
-      .where(col("outcome").isin("Ok", "PartialDuplicate") && col("idx") >= col("tgt"))
-      .drop("tgt", "outcome")
-    if (spans.exists(s => s._5 == "Ok" || s._5 == "PartialDuplicate"))
-      writable.write.mode(SaveMode.Append).parquet(target)
+    // Sequential per-stream fold in index order: an Ok/Partial island
+    // advances the position the next island is judged against.
+    val classified = islands.groupBy(_._1).toSeq.flatMap { case (stream, spans) =>
+      var eff = spans.head._4
+      spans.sortBy(_._2).map { case (_, i, n, _) =>
+        val (outcome, nextEff) =
+          if (eff < i) ("PrefixMissing", eff)
+          else if (eff >= n) ("Duplicate", eff)
+          else if (eff > i) ("PartialDuplicate", n)
+          else ("Ok", n)
+        val row = (stream, i, n, eff, outcome)
+        eff = nextEff
+        row
+      }
+    }
+    val spansDf = classified.toDF("stream_name", "i", "n", "tgt_next", "outcome")
 
+    // Appended indexes form one contiguous [tgt0, effFinal) run per
+    // stream (each accepted island starts exactly at the effective
+    // position), so the write filter is a single broadcast range check.
+    val ranges = classified.groupBy(_._1).toSeq.collect {
+      case (stream, rows) if rows.exists(r => r._5 == "Ok" || r._5 == "PartialDuplicate") =>
+        val from = rows.head._4 // initial target position for the stream
+        val until = rows.collect { case (_, _, n, _, o) if o == "Ok" || o == "PartialDuplicate" => n }.max
+        (stream, from, until)
+    }
+    if (ranges.nonEmpty) {
+      val rangesDf = ranges.toDF("stream_name", "w_from", "w_until")
+      incoming
+        .join(broadcast(rangesDf), Seq("stream_name"))
+        .where(col("idx") >= col("w_from") && col("idx") < col("w_until"))
+        .drop("w_from", "w_until")
+        .write.mode(SaveMode.Append).parquet(target)
+    }
     spansDf
   }
 

@@ -236,6 +236,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after == List(("s-1", 2L), ("s-2", 0L)))
   }
 
+  test("AppendSink: gapped islands classify per island, gap never persisted") {
+    import spark.implicits._
+    val target = tmp("sink-islands") + "/store"
+    // one batch carrying islands [0..1] and [3..3] of the same stream:
+    // the contiguous prefix appends, the gapped island is held
+    val batch1 = Seq(("s-9", 0L, "e"), ("s-9", 1L, "e"), ("s-9", 3L, "e"))
+      .toDF("stream_name", "idx", "payload")
+    val out1 = AppendSink.appendIdempotent(spark, target, batch1)
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(out1.map(r => (r._2, r._3, r._5)).toList ==
+      List((0L, 2L, "Ok"), (3L, 4L, "PrefixMissing")))
+    assert(spark.read.parquet(target).agg(max(col("idx"))).as[Long].head() == 1L)
+
+    // the late middle event arrives: it is NOT a duplicate (no gap was
+    // persisted), and the redelivered island [3..3] now also lands
+    val batch2 = Seq(("s-9", 2L, "e"), ("s-9", 3L, "e"))
+      .toDF("stream_name", "idx", "payload")
+    val out2 = AppendSink.appendIdempotent(spark, target, batch2)
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._2)
+    assert(out2.map(_._5).toList == List("Ok"))
+    assert(out2.head._2 == 2L && out2.head._3 == 4L)
+    val stored = spark.read.parquet(target).select("idx").as[Long]
+      .collect().sorted.toList
+    assert(stored == List(0L, 1L, 2L, 3L))
+  }
+
   test("StreamProcessor: only the freshest unfold set reaches the handler") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
