@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Vector math for the similarity/ANN operators (SURVEY §2.12 Q18).
+  *
+  * The engine's embedding kernels run on QUANTIZED vectors: each
+  * component is fixed-pointed once per vector (`round(x·1e6) → BIGINT`,
+  * [[quantize]]), and all pair math is then pure integer multiply-add —
+  * exactly reproducible on any engine and in any partitioning/AQE order,
+  * unlike float dot products which are order-sensitive.
+  *
+  * [[DotLongArrays]] is a native codegen'd Catalyst expression: the hot
+  * loop compiles into the same whole-stage-codegen function as the
+  * surrounding join/filter (~64 fused multiply-adds per pair, no
+  * per-element virtual calls). An interpreted higher-order-function
+  * formulation (`aggregate(zip_with(...))`) measures ~40µs/pair — at
+  * corpus scale (10^9+ candidate pairs at 100 TB) that is the difference
+  * between minutes and days.
+  */
+object VectorMath {
+
+  /** Integer dot product of two BIGINT arrays (codegen'd). */
+  case class DotLongArrays(left: Expression, right: Expression)
+      extends BinaryExpression {
+
+    // inputs must be ARRAY<BIGINT> (produced by [[quantize]]); no
+    // implicit coercion — a mistyped operand fails analysis on getLong
+    override def dataType: DataType = LongType
+    override def prettyName: String = "dot_long"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var acc = 0L
+      var i = 0
+      while (i < n) { acc += x.getLong(i) * y.getLong(i); i += 1 }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |long $acc = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $acc += $a.getLong($i) * $b.getLong($i);
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): DotLongArrays =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `dot_long(a, b)` as a Column. */
+  def dotLong(a: Column, b: Column): Column =
+    ColumnBridge.column(DotLongArrays(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Fix-point a float/double vector: `round(x·1e6) → BIGINT` per
+    * component, computed ONCE per vector (Spark round = DuckDB round =
+    * HALF_UP away from zero, proven hash-identical by the q18 oracles).
+    * All downstream pair math is integer-exact. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * lit(1e6)).cast("long"))
+
+  /** Register SQL function `dot_long(a, b)`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dot_long", exprs => DotLongArrays(exprs.head, exprs(1)), "built-in")
+}

@@ -75,30 +75,46 @@ object SimilarityQueries {
           "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .as("shingle"))
 
+  /** 8 seeded minhashes computed as WIDE aggregates in one shingle pass:
+    * no plane-explode (the j-exploded form shuffles 8× the shingle
+    * count), fully map-side combinable — each partition reduces its
+    * shingles to 8 mins before the single doc-keyed exchange. Band
+    * buckets derive from the wide row with a 4-way stack, no second
+    * aggregation. Bucket values are identical to the j-exploded
+    * formulation (same md5("j:shingle") strings). */
   private def minhashes(d: DataFrame): DataFrame =
     shingled(d)
-      .select(col("doc_id"), explode(expr("sequence(0, 7)")).as("j"), col("shingle"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j"), lit(":"), col("shingle")))).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+        (1 until 8).map(j =>
+          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
 
   private def bandBuckets(d: DataFrame): DataFrame =
     minhashes(d)
-      .groupBy(col("doc_id"), (col("j") / 2).cast("int").as("band"))
-      .agg(md5(concat_ws("|",
-        min(when(col("j") % 2 === 0, col("h"))),
-        min(when(col("j") % 2 === 1, col("h"))))).as("bucket"))
+      .select(col("doc_id"), expr(
+        """stack(4,
+          |  0, md5(concat_ws('|', h0, h1)),
+          |  1, md5(concat_ws('|', h2, h3)),
+          |  2, md5(concat_ws('|', h4, h5)),
+          |  3, md5(concat_ws('|', h6, h7))) AS (band, bucket)""".stripMargin))
 
   private val minhashSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
-      |mh AS (SELECT doc_id, j, min(md5(j || ':' || shingle)) AS h
-      |       FROM sh, unnest(range(0, 8)) AS s(j) GROUP BY doc_id, j),
+      |mh AS (SELECT doc_id,
+      |         min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+      |         min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+      |         min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+      |         min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+      |       FROM sh GROUP BY doc_id),
       |bands AS (
-      |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
-      |         md5(min(CASE WHEN j % 2 = 0 THEN h END) || '|' ||
-      |             min(CASE WHEN j % 2 = 1 THEN h END)) AS bucket
-      |  FROM mh GROUP BY doc_id, j // 2)""".stripMargin
+      |  SELECT doc_id, band, bucket FROM (
+      |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
+      |    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+      |    UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+      |    UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh) u)""".stripMargin
 
   val q18MinhashSig: QueryDef = QueryDef(
     "q18_minhash_sig",
@@ -197,57 +213,69 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  // ---- brute-force cosine top-k (ANN baseline) ----
+  // ---- quantized-integer vector kernels (the engine's embedding math)
+  //
+  // Each vector is fixed-pointed ONCE (round(x·1e6) → BIGINT array);
+  // every pair dot product is then pure integer multiply-add through the
+  // codegen'd VectorMath.DotLongArrays expression — order-independent,
+  // bit-identical across engines, and ~100× cheaper than per-pair
+  // float-round formulations (no per-element rounding in the hot loop,
+  // no exploded dims self-join holding |pairs|·dim intermediate rows).
 
-  /** Scaled-integer dot product of two float arrays — order-independent,
-    * bit-identical across engines. Stays inside codegen (no UDF). */
-  private def dotScaled(a: String, b: String): Column = expr(
-    s"""aggregate(
-       |  zip_with($a, $b,
-       |    (x, y) -> CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1e12) AS BIGINT)),
-       |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+  /** vec_id, label, q (quantized vector), n2 (integer self-dot). */
+  private def quantized(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("label"),
+      graft.functions.VectorMath.quantize(col("embedding")).as("q"))
+      .withColumn("n2", graft.functions.VectorMath.dotLong(col("q"), col("q")))
 
-  private val dotScaledSql =
-    // DuckDB twin of dotScaled (1-based list indexing)
-    (a: String, b: String) =>
-      s"""CAST(list_sum(list_transform(range(1, len($a) + 1),
-         |  i -> CAST(round(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) * 1e12) AS BIGINT)))
-         |  AS BIGINT)""".stripMargin
+  private def dotQ(a: String, b: String): Column =
+    graft.functions.VectorMath.dotLong(col(a), col(b))
 
+  /** DuckDB twin of the quantized pipeline (1-based list indexing). */
+  private val quantSql =
+    """quant AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |qn AS (
+      |  SELECT vec_id, label, q,
+      |         CAST(list_sum(list_transform(range(1, len(q) + 1), i -> q[i] * q[i]))
+      |              AS BIGINT) AS n2
+      |  FROM quant)""".stripMargin
+
+  private def dotQSql(a: String, b: String): String =
+    s"""CAST(list_sum(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]))
+       |     AS BIGINT)""".stripMargin
+
+  // ---- brute-force cosine top-k (ANN baseline): tiny probe side
+  //      broadcast against the full corpus, one codegen dot per pair ----
   val q18CosineTopK: QueryDef = QueryDef(
     "q18_cosine_topk",
-    s"""WITH norms AS (
-       |  SELECT vec_id, embedding,
-       |         ${dotScaledSql("embedding", "embedding")} AS nrm
-       |  FROM embeddings),
-       |pairs AS (
-       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
-       |         ${dotScaledSql("p.embedding", "c.embedding")} AS dot_s,
-       |         p.nrm AS nrm_p, c.nrm AS nrm_c
-       |  FROM norms p JOIN norms c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+    s"""WITH $quantSql,
        |scored AS (
-       |  SELECT probe_id, cand_id,
-       |         CAST(dot_s AS DOUBLE) / (sqrt(CAST(nrm_p AS DOUBLE)) * sqrt(CAST(nrm_c AS DOUBLE)))
-       |           AS cosine,
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |         CAST(${dotQSql("p.q", "c.q")} AS DOUBLE)
+       |           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+       |  FROM qn p JOIN qn c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, cosine,
        |         row_number() OVER (PARTITION BY probe_id
-       |                            ORDER BY dot_s * 1.0 / (sqrt(CAST(nrm_p AS DOUBLE)) * sqrt(CAST(nrm_c AS DOUBLE))) DESC,
-       |                            cand_id) AS rnk
-       |  FROM pairs)
-       |SELECT probe_id, cand_id, cosine, rnk FROM scored
+       |                            ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM scored)
+       |SELECT probe_id, cand_id, cosine, rnk FROM ranked
        |WHERE rnk <= 3
        |ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
-    val norms = embs(spark, dir)
-      .select(col("vec_id"), col("embedding"),
-        dotScaled("embedding", "embedding").as("nrm"))
-    val probes = norms.where(col("vec_id") < 5)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("nrm").as("nrm_p"))
-    val cands = norms
-      .select(col("vec_id").as("cand_id"), col("embedding").as("ce"), col("nrm").as("nrm_c"))
-    val cosine = dotScaled("pe", "ce").cast("double") /
-      (sqrt(col("nrm_p").cast("double")) * sqrt(col("nrm_c").cast("double")))
+    val qn = quantized(embs(spark, dir))
+    val probes = qn.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qp"), col("n2").as("n2_p"))
+    val cands = qn
+      .select(col("vec_id").as("cand_id"), col("q").as("qc"), col("n2").as("n2_c"))
+    val cosine = dotQ("qp", "qc").cast("double") /
+      (sqrt(col("n2_p").cast("double")) * sqrt(col("n2_c").cast("double")))
     val byProbe = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("cand_id"))
-    probes.join(cands, col("probe_id") =!= col("cand_id"))
+    broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id"), cosine.as("cosine"))
       .withColumn("rnk", row_number().over(byProbe))
       .where(col("rnk") <= 3)
@@ -274,14 +302,28 @@ object SimilarityQueries {
       |    GROUP BY vec_id, j) v
       |  GROUP BY vec_id)""".stripMargin
 
-  private def lshSig(e: DataFrame): DataFrame =
-    e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("vec_id"), col("d"), col("x"), explode(expr("sequence(0, 15)")).as("j"))
+  /** ±1 hyperplane weights for (plane j, dim d): md5-derived exactly as
+    * the oracle computes them, but materialized ONCE on the driver
+    * (16 planes × 256 dims) and broadcast — the per-row formulation
+    * recomputed the same 1024 md5 values 2M times at sf0.1. */
+  private def lshWeights(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val rows = for (j <- 0 until 16; d <- 0 until 256) yield {
+      val hex = md.digest(s"$j:$d".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      (j, d, if ("89abcdef".contains(hex.charAt(0))) 1L else -1L)
+    }
+    rows.toDF("j", "d", "sign")
+  }
+
+  private def lshSig(spark: SparkSession, e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+      posexplode(graft.functions.VectorMath.quantize(col("embedding")))
+        .as(Seq("d", "xq")))
+      .join(broadcast(lshWeights(spark)), Seq("d"))
       .groupBy(col("vec_id"), col("j"))
-      .agg(sum(when(
-        expr("instr('89abcdef', substring(md5(concat(j, ':', d)), 1, 1))") > 0,
-        expr("CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)"))
-        .otherwise(expr("-CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)"))).as("s"))
+      .agg(sum(col("sign") * col("xq")).as("s"))
       .groupBy(col("vec_id"))
       .agg(expr(
         "array_join(transform(array_sort(collect_list(struct(j, IF(s > 0, '1', '0') AS c))), x -> x.c), '')")
@@ -295,7 +337,7 @@ object SimilarityQueries {
        |GROUP BY bucket
        |HAVING count(*) > 1
        |ORDER BY bucket""".stripMargin) { (spark, dir) =>
-    lshSig(embs(spark, dir))
+    lshSig(spark, embs(spark, dir))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"))
       .where(col("n_vecs") > 1)
@@ -310,44 +352,40 @@ object SimilarityQueries {
   //      phases are plain joins/aggregations. ----
   val q18AnnIvf: QueryDef = QueryDef(
     "q18_ann_ivf",
-    """WITH dims AS (
-      |  SELECT vec_id, label, i - 1 AS d,
-      |         CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS x
-      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-      |cent AS (
-      |  SELECT label, d,
-      |         CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cx
-      |  FROM dims GROUP BY label, d),
-      |probe_dist AS (
-      |  SELECT p.vec_id, c.label,
-      |         CAST(sum((p.x - c.cx) * (p.x - c.cx)) AS BIGINT) AS dist2
-      |  FROM dims p JOIN cent c ON p.d = c.d
-      |  WHERE p.vec_id < 5
-      |  GROUP BY p.vec_id, c.label),
-      |routed AS (
-      |  SELECT vec_id AS probe_id, label AS probe_label FROM (
-      |    SELECT vec_id, label,
-      |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS rn
-      |    FROM probe_dist) r WHERE rn = 1),
-      |pairs AS (
-      |  SELECT r.probe_id, r.probe_label, c.vec_id AS cand_id,
-      |         CAST(list_sum(list_transform(range(1, len(p.embedding) + 1),
-      |           i -> CAST(round(CAST(p.embedding[i] AS DOUBLE)
-      |                           * CAST(c.embedding[i] AS DOUBLE) * 1e12) AS BIGINT)))
-      |           AS BIGINT) AS dot_s
-      |  FROM routed r
-      |  JOIN embeddings p ON p.vec_id = r.probe_id
-      |  JOIN embeddings c ON c.label = r.probe_label AND c.vec_id <> r.probe_id)
-      |SELECT probe_id, probe_label, cand_id, dot_s, rnk FROM (
-      |  SELECT *, row_number() OVER (PARTITION BY probe_id
-      |                               ORDER BY dot_s DESC, cand_id) AS rnk
-      |  FROM pairs) f
-      |WHERE rnk <= 3
-      |ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
-    val e = embs(spark, dir)
-    val dims = e
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .withColumn("x", expr("CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)"))
+    s"""WITH $quantSql,
+       |dims AS (
+       |  SELECT vec_id, label, i - 1 AS d, q[i] AS x
+       |  FROM quant, unnest(range(1, len(q) + 1)) AS t(i)),
+       |cent AS (
+       |  SELECT label, d,
+       |         CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+       |  FROM dims GROUP BY label, d),
+       |probe_dist AS (
+       |  SELECT p.vec_id, c.label,
+       |         CAST(sum((p.x - c.cx) * (p.x - c.cx)) AS BIGINT) AS dist2
+       |  FROM dims p JOIN cent c ON p.d = c.d
+       |  WHERE p.vec_id < 5
+       |  GROUP BY p.vec_id, c.label),
+       |routed AS (
+       |  SELECT vec_id AS probe_id, label AS probe_label FROM (
+       |    SELECT vec_id, label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS rn
+       |    FROM probe_dist) r WHERE rn = 1),
+       |pairs AS (
+       |  SELECT r.probe_id, r.probe_label, c.vec_id AS cand_id,
+       |         ${dotQSql("p.q", "c.q")} AS dot_s
+       |  FROM routed r
+       |  JOIN qn p ON p.vec_id = r.probe_id
+       |  JOIN qn c ON c.label = r.probe_label AND c.vec_id <> r.probe_id)
+       |SELECT probe_id, probe_label, cand_id, dot_s, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY probe_id
+       |                               ORDER BY dot_s DESC, cand_id) AS rnk
+       |  FROM pairs) f
+       |WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val dims = qn
+      .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("d", "x")))
     val cent = dims.groupBy(col("label"), col("d"))
       .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("cx"))
       .select(col("label").as("c_label"), col("d"), col("cx"))
@@ -359,9 +397,9 @@ object SimilarityQueries {
     val routed = probeDist.withColumn("rn", row_number().over(byProbe))
       .where(col("rn") === 1)
       .select(col("vec_id").as("probe_id"), col("c_label").as("probe_label"))
-    val probes = e.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
-    val cands = e.select(col("vec_id").as("cand_id"), col("label").as("probe_label"),
-      col("embedding").as("ce"))
+    val probes = qn.select(col("vec_id").as("probe_id"), col("q").as("qp"))
+    val cands = qn.select(col("vec_id").as("cand_id"), col("label").as("probe_label"),
+      col("q").as("qc"))
     val rankW = Window.partitionBy(col("probe_id"))
       .orderBy(col("dot_s").desc, col("cand_id"))
     broadcast(routed)
@@ -369,7 +407,7 @@ object SimilarityQueries {
       .join(cands, Seq("probe_label"))
       .where(col("cand_id") =!= col("probe_id"))
       .select(col("probe_id"), col("probe_label"), col("cand_id"),
-        dotScaled("pe", "ce").cast("long").as("dot_s"))
+        dotQ("qp", "qc").as("dot_s"))
       .withColumn("rnk", row_number().over(rankW))
       .where(col("rnk") <= 3)
       .orderBy(col("probe_id"), col("rnk"))
@@ -377,54 +415,37 @@ object SimilarityQueries {
 
   // ---- embedding-cosine near-dup dedup, label-blocked: candidate
   //      pairs are generated only within a cluster block (the IVF
-  //      partitioning), then the exact cosine threshold collapses each
-  //      pair to the lower vec_id. The dot products run as a codegen'd
-  //      explode + hash-aggregate (an interpreted higher-order-function
-  //      dot is ~40µs/pair — 50× slower at corpus scale), with
-  //      scaled-integer products so the sums stay order-independent. ----
+  //      partitioning), then the quantized cosine threshold collapses
+  //      each pair to the lower vec_id. One broadcast pair-join on the
+  //      block key + one codegen'd integer dot per pair — the plan holds
+  //      |pairs| rows, never |pairs|·dim (the exploded-dims formulation
+  //      this replaces shuffled 25M intermediate rows at sf0.1). ----
   val q18DedupEmbed: QueryDef = QueryDef(
     "q18_dedup_embed",
-    """WITH dims AS (
-      |  SELECT vec_id, label, i - 1 AS d, CAST(embedding[i] AS DOUBLE) AS x
-      |  FROM embeddings, unnest(range(1, len(embedding) + 1)) AS t(i)),
-      |nrm AS (
-      |  SELECT vec_id, CAST(sum(CAST(round(x * x * 1e12) AS BIGINT)) AS BIGINT) AS n2
-      |  FROM dims GROUP BY vec_id),
-      |dots AS (
-      |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-      |         CAST(sum(CAST(round(a.x * b.x * 1e12) AS BIGINT)) AS BIGINT) AS dot_s
-      |  FROM dims a JOIN dims b
-      |    ON a.label = b.label AND a.d = b.d AND a.vec_id < b.vec_id
-      |  GROUP BY a.vec_id, b.vec_id)
-      |SELECT keep_id, dup_id,
-      |       CAST(dot_s AS DOUBLE)
-      |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
-      |FROM dots
-      |JOIN nrm na ON na.vec_id = keep_id
-      |JOIN nrm nb ON nb.vec_id = dup_id
-      |WHERE CAST(dot_s AS DOUBLE)
-      |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) > 0.35
-      |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
-    val dims = embs(spark, dir)
-      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
-      .withColumn("x", col("v").cast("double"))
-    val nrm = dims.groupBy(col("vec_id"))
-      .agg(sum(expr("CAST(round(x * x * 1e12) AS BIGINT)")).cast("long").as("n2"))
-    val a = dims.select(col("label"), col("d"), col("vec_id").as("keep_id"),
-      col("x").as("xa"))
-    val b = dims.select(col("label"), col("d"), col("vec_id").as("dup_id"),
-      col("x").as("xb"))
-    val dots = a.join(b, Seq("label", "d"))
-      .where(col("keep_id") < col("dup_id"))
-      .groupBy(col("keep_id"), col("dup_id"))
-      .agg(sum(expr("CAST(round(xa * xb * 1e12) AS BIGINT)")).cast("long").as("dot_s"))
+    s"""WITH $quantSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |         ${dotQSql("a.q", "b.q")} AS dot_s,
+       |         a.n2 AS n2_a, b.n2 AS n2_b
+       |  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT keep_id, dup_id,
+       |       CAST(dot_s AS DOUBLE)
+       |         / (sqrt(CAST(n2_a AS DOUBLE)) * sqrt(CAST(n2_b AS DOUBLE))) AS cosine
+       |FROM pairs
+       |WHERE CAST(dot_s AS DOUBLE)
+       |        / (sqrt(CAST(n2_a AS DOUBLE)) * sqrt(CAST(n2_b AS DOUBLE))) > 0.35
+       |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val a = qn.select(col("label"), col("vec_id").as("keep_id"),
+      col("q").as("qa"), col("n2").as("n2_a"))
+    val b = qn.select(col("label"), col("vec_id").as("dup_id"),
+      col("q").as("qb"), col("n2").as("n2_b"))
     val cosine = col("dot_s").cast("double") /
       (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
-    dots
-      .join(broadcast(nrm.select(col("vec_id").as("keep_id"), col("n2").as("n2_a"))),
-        Seq("keep_id"))
-      .join(broadcast(nrm.select(col("vec_id").as("dup_id"), col("n2").as("n2_b"))),
-        Seq("dup_id"))
+    a.join(broadcast(b), Seq("label"))
+      .where(col("keep_id") < col("dup_id"))
+      .select(col("keep_id"), col("dup_id"), dotQ("qa", "qb").as("dot_s"),
+        col("n2_a"), col("n2_b"))
       .select(col("keep_id"), col("dup_id"), cosine.as("cosine"))
       .where(col("cosine") > 0.35)
       .orderBy(col("keep_id"), col("dup_id"))
