@@ -168,5 +168,52 @@ object EventTimeQueries {
       .orderBy(col("stream_name"), col("idx"))
   }
 
-  val all: Seq[QueryDef] = Seq(q16Tumbling, q16Sliding, q16Session, q16LateDrop, q17Stateful)
+  // Q16e: stream-stream interval join (click→purchase attribution):
+  // for each purchase, the clicks of the same user in the preceding 30
+  // minutes. This is the batch-relational form; the streaming twin — a
+  // watermarked MemoryStream interval join producing identical pair
+  // counts — runs in StreamingSpec ("stream-stream interval join").
+  // At scale both sides shuffle once on user_id and the range predicate
+  // evaluates inside the per-key sort — no cross product.
+  val q16StreamJoin: QueryDef = QueryDef(
+    "q16_stream_join",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+      |  FROM events WHERE event_type = 'click'),
+      |pairs AS (
+      |  SELECT p.user_id, p.p_id, c.c_id
+      |  FROM p LEFT JOIN c
+      |    ON p.user_id = c.user_id
+      |   AND c.c_us <= p.p_us AND c.c_us > p.p_us - 1800000000)
+      |SELECT concat('user-', user_id) AS stream_name,
+      |       count(DISTINCT p_id) AS n_purchases,
+      |       count(DISTINCT CASE WHEN c_id IS NOT NULL THEN p_id END) AS n_attributed,
+      |       count(c_id) AS n_pairs
+      |FROM pairs
+      |GROUP BY user_id
+      |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
+    val e = Envelope.readTable(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"))
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_us"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts_us").as("c_us"))
+    p.join(c,
+      p("user_id") === c("user_id") &&
+        col("c_us") <= col("p_us") && col("c_us") > col("p_us") - 1800000000L,
+      "left")
+      .select(p("user_id").as("uid"), col("p_id"), col("c_id"))
+      .groupBy(concat(lit("user-"), col("uid")).as("stream_name"))
+      .agg(countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(when(col("c_id").isNotNull, col("p_id"))).as("n_attributed"),
+        count(col("c_id")).as("n_pairs"))
+      .orderBy(col("stream_name"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q17Stateful)
 }

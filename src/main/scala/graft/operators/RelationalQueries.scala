@@ -365,8 +365,54 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  // Q12e: explicit GROUPING SETS (beyond rollup/cube — an arbitrary
+  // set list), exercised through the engine's full SQL surface.
+  val q12GroupingSets: QueryDef = QueryDef(
+    "q12_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem_gs")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty
+        |FROM graft_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  // Q15c: pivot (wide conditional aggregation) — event-type counts per
+  // user bucket. The Spark side uses the native relational pivot; the
+  // oracle is the equivalent conditional aggregation.
+  val q15Pivot: QueryDef = QueryDef(
+    "q15_pivot",
+    """SELECT user_id % 10 AS bucket,
+      |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (spark, dir) =>
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    t(spark, dir, "events")
+      .groupBy((col("user_id") % 10).as("bucket"))
+      .pivot("event_type", types)
+      .count()
+      .na.fill(0L, types) // empty cells count 0, like the conditional agg
+      .toDF("bucket" +: types.map("n_" + _): _*)
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10WindowRank, q11Join, q11AsOf, q11SemiAnti,
-    q12Agg, q12Rollup, q12Distinct, q12Approx,
-    q13TopK, q14SetOps, q15Scalar, q15ArrayMap)
+    q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets,
+    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot)
 }

@@ -435,6 +435,14 @@ object SimilarityQueries {
        |WHERE CAST(dot_s AS DOUBLE)
        |        / (sqrt(CAST(n2_a AS DOUBLE)) * sqrt(CAST(n2_b AS DOUBLE))) > 0.35
        |ORDER BY keep_id, dup_id""".stripMargin) { (spark, dir) =>
+    nearDupPairs(spark, dir)
+      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  /** Label-blocked near-dup pairs above the cosine threshold
+    * (keep_id, dup_id, cosine) — the shared core of q18_dedup_embed and
+    * q18_dedup_resolve. */
+  private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val qn = quantized(embs(spark, dir))
     val a = qn.select(col("label"), col("vec_id").as("keep_id"),
       col("q").as("qa"), col("n2").as("n2_a"))
@@ -448,10 +456,41 @@ object SimilarityQueries {
         col("n2_a"), col("n2_b"))
       .select(col("keep_id"), col("dup_id"), cosine.as("cosine"))
       .where(col("cosine") > 0.35)
-      .orderBy(col("keep_id"), col("dup_id"))
+  }
+
+  // ---- dedup resolution: the survivor set after near-dup collapse —
+  //      any vector with a smaller-id near-duplicate is dropped (the
+  //      greedy keep-lowest rule), reported per cluster block. The drop
+  //      set is an anti-join, so the full corpus never re-materializes
+  //      through the pair join. ----
+  val q18DedupResolve: QueryDef = QueryDef(
+    "q18_dedup_resolve",
+    s"""WITH $quantSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+       |         ${dotQSql("a.q", "b.q")} AS dot_s,
+       |         a.n2 AS n2_a, b.n2 AS n2_b
+       |  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id < b.vec_id),
+       |dups AS (
+       |  SELECT DISTINCT dup_id FROM pairs
+       |  WHERE CAST(dot_s AS DOUBLE)
+       |          / (sqrt(CAST(n2_a AS DOUBLE)) * sqrt(CAST(n2_b AS DOUBLE))) > 0.35)
+       |SELECT e.label, count(*) AS n_total,
+       |       count(CASE WHEN d.dup_id IS NULL THEN 1 END) AS n_kept
+       |FROM embeddings e LEFT JOIN dups d ON e.vec_id = d.dup_id
+       |GROUP BY e.label
+       |ORDER BY e.label""".stripMargin) { (spark, dir) =>
+    val dups = nearDupPairs(spark, dir).select(col("dup_id")).distinct()
+    embs(spark, dir)
+      .join(broadcast(dups), col("vec_id") === col("dup_id"), "left")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"),
+        count(when(col("dup_id").isNull, 1)).as("n_kept"))
+      .orderBy(col("label"))
   }
 
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed)
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
+    q18DedupResolve)
 }

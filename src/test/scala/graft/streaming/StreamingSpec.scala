@@ -104,6 +104,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch q16_stream_join pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)].collect()
+
+    // two watermarked streams: purchases join clicks of the same user
+    // within the preceding 30 minutes (the engine's attribution join)
+    val pIn = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val cIn = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val p = pIn.toDS().toDF("p_id", "p_ts", "p_uid", "p_type")
+      .where(col("p_type") === "purchase").withWatermark("p_ts", "1 minute")
+    val c = cIn.toDS().toDF("c_id", "c_ts", "c_uid", "c_type")
+      .where(col("c_type") === "click").withWatermark("c_ts", "1 minute")
+    val joined = p.join(c,
+      col("p_uid") === col("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_uid").as("uid"), col("p_id"), col("c_id"))
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-ssj")).start()
+    pIn.addData(events.toIndexedSeq)
+    cIn.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    val eventsDf = events.toSeq.toDF("event_id", "ts", "user_id", "event_type")
+    val pB = eventsDf.where(col("event_type") === "purchase")
+      .select(col("user_id").as("uid"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val cB = eventsDf.where(col("event_type") === "click")
+      .select(col("user_id").as("c_uid"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val batch = pB.join(cB,
+      col("uid") === col("c_uid") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") > col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("uid"), col("p_id"), col("c_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    val stream = spark.table("ssj_out").as[(Long, Long, Long)].collect().toSet
+    assert(stream == batch)
+    assert(stream.nonEmpty)
+  }
+
   test("StreamProcessor on real data reproduces the batch q17 stateful fold") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
