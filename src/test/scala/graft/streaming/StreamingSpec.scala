@@ -104,6 +104,46 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("transformWithState engine is span-identical to flatMapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[InputEvent]
+      val out = StreamProcessorTws.process[String](
+        input.toDS(),
+        (_, evs) => evs.map(e => s"${e.index}:${e.eventType}").mkString("|"))
+      val q = out.writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").option("checkpointLocation", tmp("cp-tws")).start()
+      input.addData(
+        InputEvent("a", 0, "t0", "", 1, isUnfold = false),
+        InputEvent("a", 1, "t1", "", 1, isUnfold = false),
+        InputEvent("b", 0, "x0", "", 1, isUnfold = false))
+      q.processAllAvailable()
+      // redelivery dedupe + continuation across micro-batches
+      input.addData(
+        InputEvent("a", 1, "t1", "", 1, isUnfold = false),
+        InputEvent("a", 2, "t2", "", 1, isUnfold = false),
+        InputEvent("b", 2, "x2", "", 1, isUnfold = false)) // gap: b missing 1
+      q.processAllAvailable()
+      q.stop()
+
+      val rows = spark.table("tws_out").as[ProcessedSpan[String]].collect()
+        .groupBy(_.streamName).view.mapValues(_.sortBy(_.fromIndex).toList).toMap
+      assert(rows("a").map(r => (r.fromIndex, r.toIndex, r.result)) ==
+        List((0L, 1L, "0:t0|1:t1"), (2L, 2L, "2:t2")))
+      assert(rows("b").map(r => (r.fromIndex, r.toIndex)) == List((0L, 0L), (2L, 2L)))
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch q16_stream_join pairs") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
