@@ -14,7 +14,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_scan_filter", "q11_join", "q12_agg", "q13_topk",
-        "q18_cosine_topk", "q18_minhash_pairs")
+        "q18_cosine_topk", "q18_minhash_pairs", "q18_dedup_embed",
+        "q16_stream_join", "q20_range_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
