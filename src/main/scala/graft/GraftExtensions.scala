@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.BodyCodec
+import graft.functions.{BodyCodec, VectorMath}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -27,5 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("inflate"),
       new ExpressionInfo(BodyCodec.DeflateDecompress.getClass.getName, "inflate"),
       (exprs: Seq[Expression]) => BodyCodec.DeflateDecompress(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dot_long"),
+      new ExpressionInfo(VectorMath.DotLongArrays.getClass.getName, "dot_long"),
+      (exprs: Seq[Expression]) => VectorMath.DotLongArrays(exprs.head, exprs(1))))
   }
 }

@@ -270,7 +270,31 @@ object StreamQueries {
       .orderBy(col("stream_name"))
   }
 
+  // Q21: two-phase index+hydrate source (DynamoStoreSource.fs:43-144,
+  // EventLoadMode 115-144): build the span-summary index from the
+  // envelope, synthesize the envelope back from the index alone
+  // (IndexOnly), hydrate bodies by (stream, idx) join (WithData). The
+  // round-trip must reproduce the envelope exactly — any index
+  // mis-summarization, position arithmetic or hydration key error
+  // breaks the hash.
+  val q21IndexHydrate: QueryDef = QueryDef(
+    "q21_index_hydrate",
+    envSql +
+      """
+        |SELECT stream_name, idx, event_type, props AS data
+        |FROM env
+        |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
+    val envelope = env(spark, dir)
+      .select(col("stream_name"), col("idx"), col("event_type"),
+        col("props").as("data"))
+    val index = graft.sources.IndexHydrate.buildIndex(envelope)
+    graft.sources.IndexHydrate.hydrate(index, envelope, Seq("data"))
+      .select(col("stream_name"), col("idx"), col("event_type"), col("data"))
+      .orderBy(col("stream_name"), col("idx"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanFilter, q02Categorize, q03DedupeWritePos, q04GapsIslands,
-    q05UnfoldRetention, q06StreamHwm, q07AppendOutcome, q08Prune, q09EpochIngest)
+    q05UnfoldRetention, q06StreamHwm, q07AppendOutcome, q08Prune, q09EpochIngest,
+    q21IndexHydrate)
 }

@@ -26,6 +26,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT CAST(inflate(deflate(CAST('payload-123' AS BINARY))) AS STRING) AS s")
         .as[String].head()
       assert(out == "payload-123")
+      val dot = spark.sql(
+        "SELECT dot_long(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+        .as[Long].head()
+      assert(dot == 32L)
     } finally spark.stop()
   }
 }

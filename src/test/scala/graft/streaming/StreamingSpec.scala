@@ -286,6 +286,20 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.map(_._3).sorted.toList == (0L until 28L).toList)
   }
 
+  test("IndexHydrate: IndexOnly synthesizes the envelope without touching the store") {
+    import spark.implicits._
+    val envelope = Envelope.fromEvents(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events"))
+      .select(col("stream_name"), col("idx"), col("event_type"))
+    val index = graft.sources.IndexHydrate.buildIndex(envelope)
+    // contiguous per-stream envelope → one island per stream
+    assert(index.count() == envelope.select("stream_name").distinct().count())
+    val synthesized = graft.sources.IndexHydrate.readIndexOnly(index)
+      .as[(String, Long, String)].collect().toSet
+    val expected = envelope.as[(String, Long, String)].collect().toSet
+    assert(synthesized == expected)
+  }
+
   test("AppendSink: outcome lattice and idempotent re-delivery") {
     import spark.implicits._
     val target = tmp("sink-target") + "/store"
