@@ -82,8 +82,12 @@ object StreamQueries {
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
     // Single-pass form: the write position is a conditional max over the
     // same per-stream partitioning the envelope window already
-    // established — no second scan, no join, no extra shuffle.
-    val byStream = Window.partitionBy(col("stream_name"))
+    // established — no second scan, no join, no extra shuffle. Partition
+    // by user_id, not the derived stream_name: the envelope's index
+    // window hashed on user_id, and reusing the same expression lets
+    // Catalyst elide the second Exchange+Sort entirely (stream_name is
+    // bijective with user_id but Catalyst can't prove it).
+    val byStream = Window.partitionBy(col("user_id"))
     env(spark, dir)
       .withColumn("write_pos", coalesce(
         max(when(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampType), col("idx")))
