@@ -59,6 +59,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(spark_df)} oracle={len(oracle_df)}")
             n_bad += 1
             continue
+        # dtype-kind mismatch (e.g. DuckDB HUGEINT -> pandas float64 vs
+        # Spark int64) hashes differently in the driver even when == holds
+        # cell-by-cell in Python; treat it as a failure locally too.
+        kind_bad = [
+            (col, spark_df[col].dtype, oracle_df[col].dtype)
+            for col in spark_df.columns
+            if spark_df[col].dtype.kind != oracle_df[col].dtype.kind]
+        if kind_bad:
+            col, sk, ok = kind_bad[0]
+            print(f"FAIL {name}: dtype mismatch col={col} spark={sk} oracle={ok}")
+            n_bad += 1
+            continue
         bad = None
         for col in spark_df.columns:
             sv, ov = spark_df[col].tolist(), oracle_df[col].tolist()
