@@ -64,8 +64,13 @@ object Pipeline {
         col("e.size").as("size"), lit(false).as("isUnfold"))
       .as[InputEvent]
 
+    // requireAll: a stream dispatches only contiguously from its write
+    // position, so the sink can never see a gapped island — paired with
+    // the per-island PrefixMissing classification this makes the
+    // pipeline loss-free by construction (held spans persist in the
+    // state store and resume on the next run).
     val processed = StreamProcessor.process[String](
-      parsed, (_, evs) => s"n=${evs.size}")
+      parsed, (_, evs) => s"n=${evs.size}", requireAll = true)
 
     val target = s"$work/store"
     val cpTable = s"$work/checkpoints"
