@@ -70,17 +70,8 @@ object AppendSink {
     // Sequential per-stream fold in index order: an Ok/Partial island
     // advances the position the next island is judged against.
     val classified = islands.groupBy(_._1).toSeq.flatMap { case (stream, spans) =>
-      var eff = spans.head._4
-      spans.sortBy(_._2).map { case (_, i, n, _) =>
-        val (outcome, nextEff) =
-          if (eff < i) ("PrefixMissing", eff)
-          else if (eff >= n) ("Duplicate", eff)
-          else if (eff > i) ("PartialDuplicate", n)
-          else ("Ok", n)
-        val row = (stream, i, n, eff, outcome)
-        eff = nextEff
-        row
-      }
+      classifyIslands(spans.head._4, spans.map(s => (s._2, s._3)))
+        .map { case (i, n, tgt, outcome) => (stream, i, n, tgt, outcome) }
     }
     val spansDf = classified.toDF("stream_name", "i", "n", "tgt_next", "outcome")
 
@@ -132,6 +123,34 @@ object AppendSink {
     fs.delete(targetPath, true)
     fs.rename(new org.apache.hadoop.fs.Path(staging), targetPath)
     stats.toSeq.toDF("stream_name", "pruned", "retained")
+  }
+
+  /** Pure island-classification fold (the sink's outcome lattice,
+    * CosmosStoreSink.fs:76-83, span-at-a-time): given the target's
+    * current next position and a batch's contiguous islands `[i, n)`,
+    * classify each in index order, advancing the effective position on
+    * every accepted island. Returns (i, n, tgtAtClassification, outcome).
+    *
+    * Invariants (property-tested in SinksLatticeSpec):
+    *  - accepted spans are exactly the gap-free prefix from tgt;
+    *  - the union of accepted ranges is one contiguous [tgt, effFinal);
+    *  - islands beyond the first gap all classify PrefixMissing;
+    *  - re-classifying the same batch against the advanced target is a
+    *    no-op (every island Duplicate) — idempotent redelivery.
+    */
+  def classifyIslands(
+      tgt: Long, islands: Seq[(Long, Long)]): Seq[(Long, Long, Long, String)] = {
+    var eff = tgt
+    islands.sortBy(_._1).map { case (i, n) =>
+      val (outcome, nextEff) =
+        if (eff < i) ("PrefixMissing", eff)
+        else if (eff >= n) ("Duplicate", eff)
+        else if (eff > i) ("PartialDuplicate", n)
+        else ("Ok", n)
+      val row = (i, n, eff, outcome)
+      eff = nextEff
+      row
+    }
   }
 
   private def tryReadTarget(spark: SparkSession, target: String): Option[DataFrame] = {
