@@ -489,8 +489,98 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  // ---- the full cleaning pipeline, composed: quality filter → exact
+  //      dedup (hash-groupBy, keep lowest id) → minhash-LSH near-dup
+  //      drop — per-source survivor counts at every stage. This is the
+  //      shape a training-data run takes at 100 TB: every stage is a
+  //      hash shuffle on doc identity or bucket, no stage re-reads the
+  //      corpus, and the near-dup candidate set comes from band buckets,
+  //      never all pairs. ----
+  private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private def stopList = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  val q18CleanCorpus: QueryDef = QueryDef(
+    "q18_clean_corpus",
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, source FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 10 = 0),
+       |feat AS (
+       |  SELECT doc_id, text, source,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         length(text) AS n_chars,
+       |         len(list_filter(string_split(text, ' '), w -> w IN $stopList)) AS n_stop,
+       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |  FROM corpus),
+       |flags AS (
+       |  SELECT *, (n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |             AND CAST(n_digit AS DOUBLE) / n_chars < 0.3) AS q_pass
+       |  FROM feat),
+       |ek AS (
+       |  SELECT *, (q_pass AND doc_id = min(CASE WHEN q_pass THEN doc_id END)
+       |                         OVER (PARTITION BY md5(text))) AS e_keep
+       |  FROM flags),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ek WHERE e_keep),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+       |mh AS (SELECT doc_id,
+       |         min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
+       |         min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
+       |         min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
+       |         min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
+       |       FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
+       |    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+       |    UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+       |    UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh) u),
+       |nd AS (
+       |  SELECT DISTINCT b.doc_id AS dup_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT source,
+       |       count(*) AS n_docs,
+       |       count(CASE WHEN q_pass THEN 1 END) AS n_quality,
+       |       count(CASE WHEN e_keep THEN 1 END) AS n_after_exact,
+       |       count(CASE WHEN e_keep AND nd.dup_id IS NULL THEN 1 END) AS n_after_near
+       |FROM ek LEFT JOIN nd ON ek.doc_id = nd.dup_id
+       |GROUP BY source
+       |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir).select(col("doc_id"), col("text"), col("source"))
+    val corpus = d.union(d.where(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("source")))
+    val nStop = expr(s"size(filter(split(text, ' '), w -> w IN $stopList))")
+    val flags = corpus
+      .withColumn("n_words", size(split(col("text"), " ")))
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_stop", nStop)
+      .withColumn("n_digit",
+        length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+      .withColumn("q_pass", col("n_words") >= 20 &&
+        col("n_stop").cast("double") / col("n_words") >= 0.01 &&
+        col("n_digit").cast("double") / col("n_chars") < 0.3)
+    val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    val ek = flags.withColumn("e_keep",
+      col("q_pass") &&
+        col("doc_id") === min(when(col("q_pass"), col("doc_id"))).over(byHash))
+    val bands = bandBuckets(ek.where(col("e_keep")).select(col("doc_id"), col("text")))
+    val nd = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
+      .join(bands.select(col("doc_id").as("dup_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .where(col("a_id") < col("dup_id"))
+      .select(col("dup_id")).distinct()
+    ek.join(nd, ek("doc_id") === nd("dup_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("q_pass"), 1)).as("n_quality"),
+        count(when(col("e_keep"), 1)).as("n_after_exact"),
+        count(when(col("e_keep") && col("dup_id").isNull, 1)).as("n_after_near"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
-    q18DedupResolve)
+    q18DedupResolve, q18CleanCorpus)
 }
