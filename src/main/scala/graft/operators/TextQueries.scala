@@ -194,6 +194,42 @@ object TextQueries {
       .orderBy(col("asset_id"))
   }
 
+  // ---- frame sampling: every 3rd frame of each probe asset, with a
+  //      deterministic per-frame content hash — the video-path shape
+  //      (decode → frame index explode → per-frame feature) where the
+  //      explode generator runs inside codegen and per-frame work
+  //      parallelizes over the standard shuffle, no driver involvement.
+  //      The frame "decode" remains the stubbed deterministic fake; the
+  //      plumbing (typed decode → generator → per-frame hash) is real. ----
+  val q18FrameSample: QueryDef = QueryDef(
+    "q18_frame_sample",
+    """WITH assets AS (
+      |  SELECT doc_id AS asset_id, source AS kind,
+      |         octet_length(encode(text)) AS n_bytes, md5(text) AS h
+      |  FROM documents),
+      |probe AS (
+      |  SELECT asset_id, kind, h, n_bytes // 1024 + 1 AS n_frames
+      |  FROM assets WHERE asset_id % 20 = 0)
+      |SELECT asset_id, kind, n_frames, fno AS frame_no,
+      |       md5(h || ':' || fno) AS frame_hash
+      |FROM probe, unnest(range(0, n_frames, 3)) AS t(fno)
+      |ORDER BY asset_id, frame_no""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val raw = docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[RawAsset]
+    raw.mapPartitions(_.map(stubDecode)).toDF()
+      .where(col("asset_id") % 20 === 0)
+      .select(col("asset_id"), col("kind"), col("n_frames"),
+        explode(expr("sequence(0, n_frames - 1, 3)")).as("frame_no"),
+        col("content_hash"))
+      .select(col("asset_id"), col("kind"), col("n_frames"), col("frame_no"),
+        md5(concat(col("content_hash"), lit(":"), col("frame_no")).cast("binary"))
+          .as("frame_hash"))
+      .orderBy(col("asset_id"), col("frame_no"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal)
+    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample)
 }
