@@ -47,6 +47,74 @@ object Observability {
     }
   }
 
+  /** Per-(category, outcome) handler latency accumulator — the
+    * reference's LatencyStats/LatencyStatsSet (Streams.fs:572-603):
+    * counts, totals and log-2 bucket histograms, with percentile
+    * estimates read from the bucket upper bounds. `instrument` wraps a
+    * stream handler so every invocation records under
+    * (stream category, ok|failed) with no engine changes — the same
+    * decorator composes over StreamProcessor and StreamProcessorTws
+    * handlers. Thread-safe (executor threads record, driver snapshots).
+    */
+  final class LatencyStats(clockNanos: () => Long = () => System.nanoTime()) {
+
+    final case class LatencySummary(
+        count: Long, totalMs: Double, maxMs: Double,
+        p50Ms: Double, p95Ms: Double, p99Ms: Double)
+
+    // 64 log-2 buckets over microseconds; bucket upper bound = 2^(i+1)us
+    private val buckets = new ConcurrentHashMap[String, Array[java.util.concurrent.atomic.AtomicLong]]
+    private val totals = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+    private val maxes = new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]
+
+    def record(key: String, nanos: Long): Unit = {
+      val us = math.max(1L, nanos / 1000)
+      val idx = math.min(63, 63 - java.lang.Long.numberOfLeadingZeros(us))
+      buckets.computeIfAbsent(key,
+        _ => Array.fill(64)(new java.util.concurrent.atomic.AtomicLong))(idx)
+        .incrementAndGet()
+      totals.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
+        .addAndGet(us)
+      maxes.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong)
+        .accumulateAndGet(us, (a, b) => math.max(a, b))
+    }
+
+    def snapshot(key: String): Option[LatencySummary] =
+      Option(buckets.get(key)).map { bs =>
+        val counts = bs.map(_.get())
+        val n = counts.sum
+        def pct(p: Double): Double = {
+          val target = math.ceil(n * p).toLong
+          var acc = 0L
+          var i = 0
+          while (i < 64 && acc < target) { acc += counts(i); i += 1 }
+          math.pow(2.0, i.toDouble) / 1000.0 // bucket upper bound, ms
+        }
+        LatencySummary(n, totals.get(key).get() / 1000.0,
+          maxes.get(key).get() / 1000.0, pct(0.5), pct(0.95), pct(0.99))
+      }
+
+    def keys: Seq[String] = buckets.keySet.asScala.toSeq.sorted
+
+    /** Wrap a handler: every invocation records under
+      * "{category}/{ok|failed}"; failures re-throw unchanged. */
+    def instrument[A](
+        handle: (String, Seq[InputEvent]) => A): (String, Seq[InputEvent]) => A =
+      (stream, evs) => {
+        val t0 = clockNanos()
+        val category = stream.split("-", 2)(0)
+        try {
+          val r = handle(stream, evs)
+          record(s"$category/ok", clockNanos() - t0)
+          r
+        } catch {
+          case e: Throwable =>
+            record(s"$category/failed", clockNanos() - t0)
+            throw e
+        }
+      }
+  }
+
   sealed trait StreamHealth
   case object Running extends StreamHealth
   final case class Failing(attempts: Int, firstFailureMs: Long) extends StreamHealth
