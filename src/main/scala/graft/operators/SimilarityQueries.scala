@@ -128,6 +128,22 @@ object SimilarityQueries {
       .orderBy(col("doc_id"), col("band"))
   }
 
+  /** Candidate pairs per (band, bucket) WITHOUT a bands self-join: group
+    * each bucket's doc ids and enumerate ordered pairs bucket-locally
+    * (buckets are tiny by construction — that is the point of LSH). One
+    * pass over the bands pipeline instead of two full recomputations,
+    * and the standard candidate-enumeration shape at corpus scale. */
+  private def bucketPairs(bands: DataFrame): DataFrame =
+    bands
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .where(size(col("ds")) > 1)
+      .select(col("band"), explode(expr(
+        """flatten(transform(ds,
+          |  (a, i) -> transform(slice(ds, i + 2, size(ds)),
+          |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
+      .select(col("band"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+
   val q18MinhashPairs: QueryDef = QueryDef(
     "q18_minhash_pairs",
     s"""WITH $minhashSql
@@ -137,11 +153,7 @@ object SimilarityQueries {
        |  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val b = bandBuckets(docs(spark, dir))
-    val a2 = b.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    b.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-      .join(a2, Seq("band", "bucket"))
-      .where(col("doc_a") < col("doc_b"))
+    bucketPairs(bandBuckets(docs(spark, dir)))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(countDistinct(col("band")).as("shared_bands"))
       .orderBy(col("doc_a"), col("doc_b"))
@@ -565,11 +577,7 @@ object SimilarityQueries {
       col("q_pass") &&
         col("doc_id") === min(when(col("q_pass"), col("doc_id"))).over(byHash))
     val bands = bandBuckets(ek.where(col("e_keep")).select(col("doc_id"), col("text")))
-    val nd = bands.select(col("doc_id").as("a_id"), col("band"), col("bucket"))
-      .join(bands.select(col("doc_id").as("dup_id"), col("band"), col("bucket")),
-        Seq("band", "bucket"))
-      .where(col("a_id") < col("dup_id"))
-      .select(col("dup_id")).distinct()
+    val nd = bucketPairs(bands).select(col("doc_b").as("dup_id")).distinct()
     ek.join(nd, ek("doc_id") === nd("dup_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
