@@ -117,5 +117,42 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[QueryDef] = Seq(q20SaltedSkewAgg, q20Percentiles, q20RangeJoin)
+  /** Salted join for skewed keys: the fact side salts each row into one
+    * of `buckets` sub-keys, the (small) dim side replicates across all
+    * buckets, and the join runs on (key, salt) — a hot key's rows spread
+    * over `buckets` reducers instead of hammering one. Row-identical to
+    * the plain join for any inputs (the salt is a pure partitioning
+    * artifact). This is the manual form of what AQE's skew-join split
+    * does adaptively; at 100 TB you want it explicit for joins you KNOW
+    * are skewed (e.g. category/event-type keys with Zipfian mass). */
+  def saltedJoin(
+      facts: DataFrame, dim: DataFrame, key: String,
+      saltSource: Column, buckets: Int): DataFrame = {
+    val salted = facts.withColumn("__salt", pmod(hash(saltSource), lit(buckets)))
+    val dimRep = dim.withColumn("__salt", explode(expr(s"sequence(0, ${buckets - 1})")))
+    salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted join, oracle-checked against the plain-join result: events
+    * (5 event types = extreme key skew at scale) joined to a per-type
+    * dim through 16 salt buckets; counts must prove no row was lost or
+    * duplicated by the salting. */
+  val q20SaltedJoin: QueryDef = QueryDef(
+    "q20_salted_join",
+    """WITH dim AS (
+      |  SELECT event_type, count(*) AS type_total FROM events GROUP BY 1)
+      |SELECT e.event_type, count(*) AS n_events, min(type_total) AS type_total
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val events = Envelope.readTable(spark, dir, "events")
+    val dim = events.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
+    saltedJoin(events, dim, "event_type", col("event_id"), buckets = 16)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), min(col("type_total")).as("type_total"))
+      .orderBy(col("event_type"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin)
 }

@@ -286,6 +286,50 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.map(_._3).sorted.toList == (0L until 28L).toList)
   }
 
+  test("StreamProcessor state survives a query restart: write-pos dedupes redeliveries") {
+    import spark.implicits._
+    val file = Files.createTempFile("feed-state", ".ndjson")
+    def line(s: String, i: Long) = s"""{"s":"$s","i":$i}"""
+    // run 1: stream a gets [0..2], stream b gets [0..1]
+    Files.writeString(file,
+      (Seq(line("a", 0), line("a", 1), line("a", 2), line("b", 0), line("b", 1))
+        .mkString("\n")) + "\n")
+    val cp = tmp("cp-state-resume")
+    val outDir = tmp("state-resume-out")
+
+    def run(): Unit = {
+      val parsed = spark.readStream.format("graft.sources.JsonLinesSource")
+        .option("path", file.toString).option("numTranches", "1")
+        .load()
+        .select(
+          get_json_object(col("value"), "$.s").as("streamName"),
+          get_json_object(col("value"), "$.i").cast("long").as("index"),
+          lit("t").as("eventType"), lit("").as("data"),
+          lit(1L).as("size"), lit(false).as("isUnfold"))
+        .as[InputEvent]
+      val q = StreamProcessor.process[Int](parsed, (_, evs) => evs.size)
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+
+    // run 2 (fresh query instance, same checkpoint): REDELIVER a's 1-2
+    // plus new a:3, b:2 — the recovered per-stream write position must
+    // drop the redeliveries, so only [3..3] and [2..2] dispatch
+    Files.writeString(file,
+      (Seq(line("a", 1), line("a", 2), line("a", 3), line("b", 2))
+        .mkString("\n")) + "\n",
+      java.nio.file.StandardOpenOption.APPEND)
+    run()
+
+    val spans = spark.read.parquet(outDir)
+      .select("streamName", "fromIndex", "toIndex")
+      .as[(String, Long, Long)].collect().sorted.toList
+    assert(spans == List(("a", 0L, 2L), ("a", 3L, 3L), ("b", 0L, 1L), ("b", 2L, 2L)))
+  }
+
   test("IndexHydrate: IndexOnly synthesizes the envelope without touching the store") {
     import spark.implicits._
     val envelope = Envelope.fromEvents(
