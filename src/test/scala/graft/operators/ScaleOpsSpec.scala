@@ -47,6 +47,28 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colocated.count() == plain)
   }
 
+  test("date-partitioned writes prune partitions on read (PartitionFilters)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").toString + "/events"
+    val events = graft.model.Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("event_date", to_date(col("ts")))
+    events.write.partitionBy("event_date").parquet(dir)
+
+    val probe = events.where(col("event_date") === "2024-01-05")
+    val expected = probe.count()
+    assert(expected > 0)
+
+    val pruned = spark.read.parquet(dir).where(col("event_date") === "2024-01-05")
+    assert(pruned.count() == expected)
+    // the date predicate must prune at the partition level, not post-scan
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-05"))
+    // salted-join helper is row-identical to the plain join on this data
+    val dim = events.groupBy(col("event_type")).agg(count(lit(1)).as("tt"))
+    val saltedN = ScaleOps.saltedJoin(events, dim, "event_type", col("event_id"), 8).count()
+    assert(saltedN == events.join(dim, Seq("event_type")).count())
+  }
+
   test("stripedBackfill: parallel chunk reads, strictly ordered delivery") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       .select(col("l_orderkey"), col("l_linenumber"))
