@@ -146,6 +146,37 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  // Q11d: full outer join — both unmatched sides survive (forces a
+  // shuffle join; full outer cannot broadcast). Keys: customers with no
+  // qualifying orders AND order keys outside the customer probe range.
+  val q11FullOuter: QueryDef = QueryDef(
+    "q11_full_outer",
+    """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+      |o AS (SELECT o_custkey, count(*) AS n_orders,
+      |             CAST(sum(CAST(o_totalprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_price
+      |      FROM orders WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+      |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+      |       c_custkey IS NOT NULL AS has_customer,
+      |       o_custkey IS NOT NULL AS has_orders,
+      |       coalesce(n_orders, 0) AS n_orders
+      |FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+      |ORDER BY custkey""".stripMargin) { (spark, dir) =>
+    val c = t(spark, dir, "customer")
+      .where(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_acctbal"))
+    val o = t(spark, dir, "orders")
+      .where(col("o_custkey") % 2 === 0)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec("o_totalprice")).cast("double").as("sum_price"))
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_custkey").isNotNull.as("has_customer"),
+        col("o_custkey").isNotNull.as("has_orders"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .orderBy(col("custkey"))
+  }
+
   // Q12a: TPC-H Q1 — hash aggregation with partial (map-side) combine.
   val q12Agg: QueryDef = QueryDef(
     "q12_agg",
@@ -412,7 +443,7 @@ object RelationalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q10WindowRank, q11Join, q11AsOf, q11SemiAnti,
+    q10WindowRank, q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets,
     q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot)
 }
