@@ -75,20 +75,23 @@ object SimilarityQueries {
           "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .as("shingle"))
 
-  /** 8 seeded minhashes computed as WIDE aggregates in one shingle pass:
-    * no plane-explode (the j-exploded form shuffles 8× the shingle
-    * count), fully map-side combinable — each partition reduces its
-    * shingles to 8 mins before the single doc-keyed exchange. Band
-    * buckets derive from the wide row with a 4-way stack, no second
-    * aggregation. Bucket values are identical to the j-exploded
-    * formulation (same md5("j:shingle") strings). */
+  /** 8 minhashes computed as WIDE aggregates in one shingle pass with
+    * ONE md5 per shingle: minhash j orders shingles by the j-th 4-hex
+    * slice of md5(shingle) (full hash appended as tiebreak), so the 8
+    * orderings are pairwise-independent 16-bit hash families without 8×
+    * the digest work. No plane-explode (the j-exploded form shuffles 8×
+    * the shingle count), fully map-side combinable — each partition
+    * reduces its shingles to 8 mins before the single doc-keyed
+    * exchange. Band buckets derive from the wide row with a 4-way
+    * stack, no second aggregation. */
   private def minhashes(d: DataFrame): DataFrame =
     shingled(d)
+      .withColumn("h", md5(col("shingle").cast("binary")))
       .groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("shingle")))).as("h0"),
+        min(concat(substring(col("h"), 1, 4), col("h"))).as("h0"),
         (1 until 8).map(j =>
-          min(md5(concat(lit(s"$j:"), col("shingle")))).as(s"h$j")): _*)
+          min(concat(substring(col("h"), 4 * j + 1, 4), col("h"))).as(s"h$j")): _*)
 
   private def bandBuckets(d: DataFrame): DataFrame =
     minhashes(d)
@@ -103,12 +106,13 @@ object SimilarityQueries {
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+      |hh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
       |mh AS (SELECT doc_id,
-      |         min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-      |         min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-      |         min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-      |         min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-      |       FROM sh GROUP BY doc_id),
+      |         min(substr(h, 1, 4) || h) AS h0, min(substr(h, 5, 4) || h) AS h1,
+      |         min(substr(h, 9, 4) || h) AS h2, min(substr(h, 13, 4) || h) AS h3,
+      |         min(substr(h, 17, 4) || h) AS h4, min(substr(h, 21, 4) || h) AS h5,
+      |         min(substr(h, 25, 4) || h) AS h6, min(substr(h, 29, 4) || h) AS h7
+      |       FROM hh GROUP BY doc_id),
       |bands AS (
       |  SELECT doc_id, band, bucket FROM (
       |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
@@ -535,12 +539,13 @@ object SimilarityQueries {
        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM ek WHERE e_keep),
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+       |hh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
        |mh AS (SELECT doc_id,
-       |         min(md5('0:' || shingle)) AS h0, min(md5('1:' || shingle)) AS h1,
-       |         min(md5('2:' || shingle)) AS h2, min(md5('3:' || shingle)) AS h3,
-       |         min(md5('4:' || shingle)) AS h4, min(md5('5:' || shingle)) AS h5,
-       |         min(md5('6:' || shingle)) AS h6, min(md5('7:' || shingle)) AS h7
-       |       FROM sh GROUP BY doc_id),
+       |         min(substr(h, 1, 4) || h) AS h0, min(substr(h, 5, 4) || h) AS h1,
+       |         min(substr(h, 9, 4) || h) AS h2, min(substr(h, 13, 4) || h) AS h3,
+       |         min(substr(h, 17, 4) || h) AS h4, min(substr(h, 21, 4) || h) AS h5,
+       |         min(substr(h, 25, 4) || h) AS h6, min(substr(h, 29, 4) || h) AS h7
+       |       FROM hh GROUP BY doc_id),
        |bands AS (
        |  SELECT doc_id, band, bucket FROM (
        |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
