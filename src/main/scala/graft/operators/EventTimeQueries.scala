@@ -157,7 +157,8 @@ object EventTimeQueries {
       |                  ROWS UNBOUNDED PRECEDING) AS error_count
       |FROM env
       |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy(col("stream_name")).orderBy(col("idx"))
+    // raw-key partitioning reuses the envelope's exchange (see q03)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("idx"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     env(spark, dir)
       .select(col("stream_name"), col("idx"),

@@ -117,7 +117,9 @@ object StreamQueries {
         |FROM isl
         |GROUP BY stream_name
         |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy(col("stream_name")).orderBy(col("idx"))
+    // partition by the raw key: the envelope's exchange (hash user_id)
+    // already satisfies this clustering, so only a sort is added
+    val w = Window.partitionBy(col("user_id")).orderBy(col("idx"))
     env(spark, dir)
       .where(col("event_id") % 7 =!= 0)
       .withColumn("grp", col("idx") - (row_number().over(w).cast(LongType) - 1))
@@ -139,7 +141,9 @@ object StreamQueries {
         |      FROM env) t
         |WHERE rn = 1
         |ORDER BY stream_name, event_type""".stripMargin) { (spark, dir) =>
-    val w = Window.partitionBy(col("stream_name"), col("event_type")).orderBy(col("idx").desc)
+    // (user_id, event_type) clustering is satisfied by the envelope's
+    // hash(user_id) exchange (subset rule) — no second shuffle
+    val w = Window.partitionBy(col("user_id"), col("event_type")).orderBy(col("idx").desc)
     env(spark, dir)
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
