@@ -53,7 +53,12 @@ object StreamProcessorTws {
     * Requires the RocksDB state store provider
     * (`spark.sql.streaming.stateStore.providerClass`). A non-NONE `ttl`
     * purges idle stream state declaratively (needs processing-time
-    * mode, which this enables automatically). */
+    * mode, which this enables automatically). Caveat: in processing-time
+    * mode the trigger clock keeps scheduling batches, so deterministic
+    * test waits (`processAllAvailable`) do not settle — use TTL only in
+    * continuously-running production queries; tests and AvailableNow
+    * drains should pass TTLConfig.NONE (or use [[StreamProcessor]]'s
+    * timeout-based purge). */
   def process[A](
       events: Dataset[InputEvent],
       handle: (String, Seq[InputEvent]) => A,
