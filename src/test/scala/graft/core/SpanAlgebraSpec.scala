@@ -125,6 +125,9 @@ class SpanAlgebraSpec extends AnyFunSuite {
             assert(events.size <= maxE && events.map(_.size).sum <= maxB)
           // slice is a prefix of the span's events
           assert(s.startsWith(events))
+          // when every event fits, the unfold suffix ships unconditionally
+          // (budget-exempt — reference trimEvents/slice semantics)
+          if (events.size == s.count(!_.isUnfold)) assert(inU == allU)
           true
         }
     })
