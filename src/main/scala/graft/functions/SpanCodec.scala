@@ -36,15 +36,21 @@ object SpanCodec {
   /** Render one span per stream from envelope rows
     * (stream_name, idx, event_type, data[, ts, meta]). Events are sorted
     * by idx via array_sort on (idx, ...) structs — deterministic without
-    * a sort-within-group shuffle. */
-  def renderSpans(env: DataFrame): DataFrame = {
+    * a sort-within-group shuffle.
+    *
+    * `coKeys`: raw keys bijective with stream_name (e.g. the user_id the
+    * envelope's index window hashed on). Grouping on (coKeys ++
+    * stream_name) lets an upstream hash exchange on the raw key satisfy
+    * the aggregation's clustering (subset rule) — no re-shuffle on the
+    * derived stream name. */
+  def renderSpans(env: DataFrame, coKeys: Seq[Column] = Nil): DataFrame = {
     val tCol: Column =
       if (env.columns.contains("ts")) date_format(col("ts"), isoMicros)
       else lit(null).cast(StringType)
     val mCol: Column =
       if (env.columns.contains("meta")) col("meta") else lit(null).cast(StringType)
     env
-      .groupBy(col("stream_name"))
+      .groupBy((coKeys :+ col("stream_name")): _*)
       .agg(min(col("idx")).as("i"),
         array_sort(collect_list(struct(col("idx"), col("event_type").as("c"),
           tCol.as("t"), col("data").as("d"), mCol.as("m")))).as("evs"))

@@ -27,9 +27,9 @@ object CodecQueries {
       |FROM events
       |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
     val envelope = env(spark, dir)
-      .select(col("stream_name"), col("idx"), col("event_type"),
+      .select(col("user_id"), col("stream_name"), col("idx"), col("event_type"),
         col("props").as("data"), col("ts"))
-    SpanCodec.parseSpans(SpanCodec.renderSpans(envelope))
+    SpanCodec.parseSpans(SpanCodec.renderSpans(envelope, coKeys = Seq(col("user_id"))))
       .select(col("stream_name"), col("idx"), col("event_type"), col("data"),
         unix_micros(col("ts")).as("ts_us"))
       .orderBy(col("stream_name"), col("idx"))
