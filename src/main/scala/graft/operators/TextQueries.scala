@@ -230,6 +230,33 @@ object TextQueries {
       .orderBy(col("asset_id"), col("frame_no"))
   }
 
+  // ---- deterministic hash sampling: reproducible ~20% corpus subsets
+  //      keyed on md5(doc_id) buckets — unlike rng-seeded sampleBy, the
+  //      SAME documents are selected on any engine, any partitioning,
+  //      any rerun (what a training-data pipeline needs for eval holdout
+  //      splits). Two lowercase hex digits compare lexicographically in
+  //      value order, so the threshold is a plain string compare. ----
+  val q18Sample: QueryDef = QueryDef(
+    "q18_sample",
+    """SELECT source, count(*) AS n_docs,
+      |       count(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+      |             THEN 1 END) AS n_sampled,
+      |       min(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '33'
+      |           THEN doc_id END) AS first_sampled
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin) { (spark, dir) =>
+    val inSample =
+      substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "33"
+    docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(inSample, 1)).as("n_sampled"),
+        min(when(inSample, col("doc_id"))).as("first_sampled"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample)
+    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
+    q18Sample)
 }
