@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape guards for the load-bearing queries: the scale
+  * properties the engine's perf work established (broadcast strategy,
+  * exchange elision, codegen kernels, top-k short-circuit) must not
+  * silently regress when query code changes. */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-planshape-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q11_join: both dims broadcast; the fact side never sort-merge-joins") {
+    val p = plan("q11_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q18_dedup_embed: one broadcast pair join with the codegen dot kernel") {
+    val p = plan("q18_dedup_embed")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("dot_long"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q13_topk: LIMIT-aware top-k, no global sort") {
+    val p = plan("q13_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q03/q04/q05/q17: stream windows reuse the envelope's single exchange") {
+    // one exchange for the envelope window, one for the final groupBy,
+    // one for the output ordering (q04's count-distinct agg adds one
+    // more) — anything beyond means a window re-shuffled on the derived
+    // stream_name again
+    for ((q, cap) <- Seq("q03_dedupe_writepos" -> 3, "q04_gaps_islands" -> 4,
+        "q05_unfold_retention" -> 3)) {
+      val n = "Exchange".r.findAllIn(plan(q)).size
+      assert(n <= cap, s"$q has $n exchanges")
+    }
+    // q17 emits window results directly: envelope exchange + output sort
+    val n17 = "Exchange".r.findAllIn(plan("q17_stateful")).size
+    assert(n17 <= 2, s"q17_stateful has $n17 exchanges")
+  }
+}
