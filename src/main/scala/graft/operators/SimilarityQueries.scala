@@ -195,6 +195,68 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- simhash near-dup pairing, pigeonhole-blocked: the integer
+  //      simhash splits into 4 byte blocks; hamming <= 3 forces at
+  //      least one identical block (3 flips touch <= 3 of 4 blocks), so
+  //      candidates come from per-(block, value) buckets — never all
+  //      pairs — and the exact filter is one codegen'd
+  //      bit_count(xor) <= 2 per candidate. ----
+  val q18SimhashPairs: QueryDef = QueryDef(
+    "q18_simhash_pairs",
+    """WITH wrd AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |votes AS (
+      |  SELECT doc_id, bit,
+      |         sum(CASE WHEN strpos('89abcdef', substr(md5(w), bit + 1, 1)) > 0
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM wrd, unnest(range(0, 32)) AS t(bit)
+      |  GROUP BY doc_id, bit),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0
+      |                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, j, (sig >> CAST(8 * j AS INTEGER)) & 255 AS blk
+      |  FROM sigs, unnest(range(0, 4)) AS p(j)),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM blocks a JOIN blocks b
+      |    ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id)
+      |SELECT doc_a, doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+      |FROM cand
+      |JOIN sigs sa ON sa.doc_id = doc_a
+      |JOIN sigs sb ON sb.doc_id = doc_b
+      |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val votes = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), explode(expr("sequence(0, 31)")).as("bit"), col("w"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(when(
+        expr("instr('89abcdef', substring(md5(w), bit + 1, 1))") > 0, 1)
+        .otherwise(-1)).as("v"))
+    val sigs = votes.groupBy(col("doc_id"))
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).cast("long").as("sig"))
+    val blocks = sigs
+      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("j"), col("sig"))
+      .select(col("doc_id"), col("j").as("band"),
+        expr("shiftright(sig, 8 * j) & 255").cast("string").as("bucket"))
+    val cand = bucketPairs(blocks)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val hamming = expr("bit_count(sa ^ sb)")
+    cand
+      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))),
+        Seq("doc_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
+      .where(col("hamming") <= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- n-gram Jaccard on a probe subset (all pairs of doc_id < 30) ----
   val q18NgramJaccard: QueryDef = QueryDef(
     "q18_ngram_jaccard",
@@ -593,7 +655,7 @@ object SimilarityQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash,
+    q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus)
 }
