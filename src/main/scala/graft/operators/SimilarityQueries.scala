@@ -164,7 +164,33 @@ object SimilarityQueries {
   }
 
   // ---- SimHash: 32-bit signature from word votes; bit i comes from
-  //      the i-th hex digit of md5(word) (high digit → +1) ----
+  //      the i-th hex digit of md5(word) (high digit → +1).
+  //
+  //      Computed WITHOUT a word×bit explode: "digit >= 8" is the
+  //      nibble's high bit, so one translate() maps the 32 hex digits of
+  //      md5(word) to a 32-char 0/1 vote row, and 32 wide map-side
+  //      combinable sums per doc replace the |words|·32-row shuffle of
+  //      the naive formulation. Identical votes, identical signatures. ----
+
+  /** (doc_id, sig: BIGINT, simhash: 32-char bit string) per document. */
+  private def simhashSigs(d: DataFrame): DataFrame = {
+    val wordBits = d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"),
+        translate(substring(md5(col("w").cast("binary")), 1, 32),
+          "0123456789abcdef", "0000000011111111").as("bits"))
+    val ones = (0 until 32).map(b =>
+      sum(expr(s"CAST(substring(bits, ${b + 1}, 1) AS INT)")).as(s"o$b"))
+    val sigExpr = (0 until 32)
+      .map(b => s"IF(2 * o$b > nw, ${1L << b}L, 0L)").mkString(" + ")
+    val bitsExpr = (0 until 32)
+      .map(b => s"IF(2 * o$b > nw, '1', '0')").mkString("concat(", ", ", ")")
+    wordBits
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("nw"), ones: _*)
+      .select(col("doc_id"), expr(sigExpr).as("sig"), expr(bitsExpr).as("simhash"))
+  }
+
   val q18Simhash: QueryDef = QueryDef(
     "q18_simhash",
     """WITH wrd AS (
@@ -181,26 +207,19 @@ object SimilarityQueries {
       |FROM votes
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), explode(expr("sequence(0, 31)")).as("bit"), col("w"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(
-        expr("instr('89abcdef', substring(md5(w), bit + 1, 1))") > 0, 1)
-        .otherwise(-1)).as("v"))
-      .groupBy(col("doc_id"))
-      .agg(expr(
-        "array_join(transform(array_sort(collect_list(struct(bit, IF(v > 0, '1', '0') AS c))), x -> x.c), '')")
-        .as("simhash"))
+    simhashSigs(docs(spark, dir))
+      .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
   }
 
-  // ---- simhash near-dup pairing, pigeonhole-blocked: the integer
-  //      simhash splits into 4 byte blocks; hamming <= 3 forces at
-  //      least one identical block (3 flips touch <= 3 of 4 blocks), so
-  //      candidates come from per-(block, value) buckets — never all
-  //      pairs — and the exact filter is one codegen'd
-  //      bit_count(xor) <= 2 per candidate. ----
+  // ---- simhash near-dup pairing, pigeonhole-blocked: for a hamming
+  //      threshold of 2, the 32-bit simhash splits into THREE blocks
+  //      (11/11/10 bits) — 2 flips touch at most 2 of 3 blocks, so
+  //      every qualifying pair shares a block, and the wide blocks keep
+  //      buckets selective (byte-sized blocks left one bucket holding
+  //      65% of this corpus). Candidates come from per-(block, value)
+  //      buckets — never all pairs — and the exact filter is one
+  //      codegen'd bit_count(xor) <= 2 per candidate. ----
   val q18SimhashPairs: QueryDef = QueryDef(
     "q18_simhash_pairs",
     """WITH wrd AS (
@@ -218,8 +237,11 @@ object SimilarityQueries {
       |                       ELSE 0 END) AS BIGINT) AS sig
       |  FROM votes GROUP BY doc_id),
       |blocks AS (
-      |  SELECT doc_id, j, (sig >> CAST(8 * j AS INTEGER)) & 255 AS blk
-      |  FROM sigs, unnest(range(0, 4)) AS p(j)),
+      |  SELECT doc_id, j,
+      |         CASE j WHEN 0 THEN sig & 2047
+      |                WHEN 1 THEN (sig >> 11) & 2047
+      |                ELSE (sig >> 22) & 1023 END AS blk
+      |  FROM sigs, unnest(range(0, 3)) AS p(j)),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM blocks a JOIN blocks b
@@ -230,30 +252,29 @@ object SimilarityQueries {
       |JOIN sigs sb ON sb.doc_id = doc_b
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val votes = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), explode(expr("sequence(0, 31)")).as("bit"), col("w"))
-      .groupBy(col("doc_id"), col("bit"))
-      .agg(sum(when(
-        expr("instr('89abcdef', substring(md5(w), bit + 1, 1))") > 0, 1)
-        .otherwise(-1)).as("v"))
-    val sigs = votes.groupBy(col("doc_id"))
-      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-        .otherwise(0L)).cast("long").as("sig"))
+    val sigs = simhashSigs(docs(spark, dir)).select(col("doc_id"), col("sig"))
+    // Candidates via a distributed (block, value) equi-join carrying
+    // both signatures, with the exact bit_count filter applied INSIDE
+    // the join's output before any dedup: simhash blocks are heavily
+    // skewed on real corpora (one dominant pattern here holds 65% of
+    // docs), so pairs must stream through the codegen filter rather
+    // than materialize per-bucket arrays — only the ~|survivors| rows
+    // reach the distinct.
     val blocks = sigs
-      .select(col("doc_id"), explode(expr("sequence(0, 3)")).as("j"), col("sig"))
-      .select(col("doc_id"), col("j").as("band"),
-        expr("shiftright(sig, 8 * j) & 255").cast("string").as("bucket"))
-    val cand = bucketPairs(blocks)
-      .select(col("doc_a"), col("doc_b")).distinct()
-    val hamming = expr("bit_count(sa ^ sb)")
-    cand
-      .join(broadcast(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sa"))),
-        Seq("doc_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sb"))),
-        Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), hamming.as("hamming"))
-      .where(col("hamming") <= 2)
+      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"), col("sig"))
+      .select(col("doc_id"), col("j"),
+        expr("""CASE j WHEN 0 THEN sig & 2047L
+               |       WHEN 1 THEN shiftright(sig, 11) & 2047L
+               |       ELSE shiftright(sig, 22) & 1023L END""".stripMargin).as("blk"),
+        col("sig"))
+    val a = blocks.select(col("j"), col("blk"), col("doc_id").as("doc_a"),
+      col("sig").as("sa"))
+    val b = blocks.select(col("j"), col("blk"), col("doc_id").as("doc_b"),
+      col("sig").as("sb"))
+    a.join(b, Seq("j", "blk"))
+      .where(col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb)") <= 2)
+      .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
