@@ -201,13 +201,18 @@ object EventTimeQueries {
         col("event_type"))
     val p = e.where(col("event_type") === "purchase")
       .select(col("user_id"), col("event_id").as("p_id"), col("ts_us").as("p_us"))
+    // c_uid rename: both sides derive from the same base scan, so an
+    // `p("user_id") === c("user_id")` condition would go through Spark's
+    // ambiguous-self-join resolution heuristics; distinct key names make
+    // the condition unambiguous by construction.
     val c = e.where(col("event_type") === "click")
-      .select(col("user_id"), col("event_id").as("c_id"), col("ts_us").as("c_us"))
+      .select(col("user_id").as("c_uid"), col("event_id").as("c_id"),
+        col("ts_us").as("c_us"))
     p.join(c,
-      p("user_id") === c("user_id") &&
+      col("user_id") === col("c_uid") &&
         col("c_us") <= col("p_us") && col("c_us") > col("p_us") - 1800000000L,
       "left")
-      .select(p("user_id").as("uid"), col("p_id"), col("c_id"))
+      .select(col("user_id").as("uid"), col("p_id"), col("c_id"))
       .groupBy(concat(lit("user-"), col("uid")).as("stream_name"))
       .agg(countDistinct(col("p_id")).as("n_purchases"),
         countDistinct(when(col("c_id").isNotNull, col("p_id"))).as("n_attributed"),

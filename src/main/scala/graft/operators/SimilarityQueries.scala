@@ -77,9 +77,11 @@ object SimilarityQueries {
 
   /** 8 minhashes computed as WIDE aggregates in one shingle pass with
     * ONE md5 per shingle: minhash j orders shingles by the j-th 4-hex
-    * slice of md5(shingle) (full hash appended as tiebreak), so the 8
-    * orderings are pairwise-independent 16-bit hash families without 8×
-    * the digest work. No plane-explode (the j-exploded form shuffles 8×
+    * slice of md5(shingle) (full hash appended as tiebreak). The 8
+    * orderings share one digest, so they are approximately independent
+    * 16-bit families only while shingle counts stay ≪ 2^16 (true for
+    * document-sized inputs; widen the slices to 8 hex chars if
+    * million-shingle documents are expected). No plane-explode (the j-exploded form shuffles 8×
     * the shingle count), fully map-side combinable — each partition
     * reduces its shingles to 8 mins before the single doc-keyed
     * exchange. Band buckets derive from the wide row with a 4-way
@@ -549,7 +551,10 @@ object SimilarityQueries {
       col("q").as("qb"), col("n2").as("n2_b"))
     val cosine = col("dot_s").cast("double") /
       (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
-    a.join(broadcast(b), Seq("label"))
+    // No broadcast hint: the label block key is the IVF partitioning, so
+    // a shuffle join on it scales to any corpus size; at bench SF the
+    // planner's size estimate picks broadcast on its own.
+    a.join(b, Seq("label"))
       .where(col("keep_id") < col("dup_id"))
       .select(col("keep_id"), col("dup_id"), dotQ("qa", "qb").as("dot_s"),
         col("n2_a"), col("n2_b"))

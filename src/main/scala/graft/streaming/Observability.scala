@@ -52,9 +52,14 @@ object Observability {
     * counts, totals and log-2 bucket histograms, with percentile
     * estimates read from the bucket upper bounds. `instrument` wraps a
     * stream handler so every invocation records under
-    * (stream category, ok|failed) with no engine changes — the same
-    * decorator composes over StreamProcessor and StreamProcessorTws
-    * handlers. Thread-safe (executor threads record, driver snapshots).
+    * (stream category, ok|failed) with no engine changes. Driver-side
+    * only: state is per-JVM and not Serializable, so it instruments
+    * handlers that run in-process (local mode, tests, driver-side
+    * foreachBatch loops). Handlers shipped to remote executors inside
+    * (flatMapGroups/transform)WithState need SparkSession metrics or
+    * accumulators instead — recordings in deserialized task-side copies
+    * would be invisible to a driver snapshot(). Thread-safe within the
+    * JVM.
     */
   final class LatencyStats(clockNanos: () => Long = () => System.nanoTime()) {
 
