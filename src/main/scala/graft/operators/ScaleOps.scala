@@ -153,6 +153,55 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  // ---- Z-order (Morton) interleave for multidimensional data layout:
+  //      sorting/range-partitioning a 100 TB table by zvalue(a, b) and
+  //      writing file-per-range gives min/max stats that prune on BOTH
+  //      columns (the Delta OPTIMIZE ZORDER technique, as plain Spark).
+  //      The interleave is a 32-term integer expression — codegen'd,
+  //      deterministic, no UDF. ----
+
+  /** 16-bit × 16-bit Morton interleave term string; `shift(col, i)`
+    * renders the dialect's right-shift. */
+  private def zTerms(shift: (String, Int) => String, x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"(${shift(x, i)} & 1) * ${1L << (2 * i)} + " +
+        s"(${shift(y, i)} & 1) * ${1L << (2 * i + 1)}")
+      .mkString("(", " + ", ")")
+
+  /** Z-value of two BIGINT columns (low 16 bits each) — use with
+    * `repartitionByRange`/`sortWithinPartitions` before a write to get
+    * two-dimensional min/max pruning. */
+  def zvalue(x: String, y: String): Column =
+    expr(zTerms((c, i) => s"shiftright($c, $i)", x, y))
+
+  /** Z-order layout audit, oracle-checked: bucket lineitem by the top
+    * z-bits of (partkey, suppkey) and report per-bucket ranges of both
+    * dims — tight ranges in BOTH columns are exactly what makes the
+    * layout prunable two-dimensionally. */
+  val q20Zorder: QueryDef = QueryDef(
+    "q20_zorder",
+    s"""WITH pts AS (
+       |  SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
+       |         CAST(l_suppkey AS BIGINT) & 65535 AS y
+       |  FROM lineitem),
+       |zv AS (SELECT x, y, ${zTerms((c, i) => s"($c >> $i)", "x", "y")} AS z FROM pts)
+       |SELECT z >> 24 AS zbucket, count(*) AS n,
+       |       min(x) AS x_min, max(x) AS x_max,
+       |       min(y) AS y_min, max(y) AS y_max
+       |FROM zv
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin) { (spark, dir) =>
+    Envelope.readTable(spark, dir, "lineitem")
+      .select((col("l_partkey").cast("long").bitwiseAND(65535L)).as("x"),
+        (col("l_suppkey").cast("long").bitwiseAND(65535L)).as("y"))
+      .withColumn("z", zvalue("x", "y"))
+      .groupBy(expr("shiftright(z, 24)").as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+      .orderBy(col("zbucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin)
+    q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin, q20Zorder)
 }

@@ -680,8 +680,91 @@ object SimilarityQueries {
       .orderBy(col("source"))
   }
 
+  // ---- connected-component duplicate clusters: the transitive closure
+  //      of the minhash-LSH candidate graph. Pairwise near-dup drops
+  //      (q18_dedup_resolve's greedy rule) under-collapse chains
+  //      A~B~C where A and C never pair directly; a training-data run
+  //      at 100 TB resolves survivors per CONNECTED COMPONENT, keeping
+  //      one doc per cluster. Spark side: iterative min-label
+  //      propagation over the edge set — labels only decrease, each
+  //      round is one shuffle join + a map-side-combinable min, and
+  //      convergence (sum of labels stable) is a driver-checked
+  //      aggregate, never collected data. Duplicate clusters have tiny
+  //      diameter, so this converges in 2-4 rounds; for long-chain
+  //      graphs the same loop upgrades to alternating large/small-star
+  //      contraction without changing the result. Oracle: DuckDB
+  //      recursive CTE computing min reachable label. ----
+  val q18CcDedup: QueryDef = QueryDef(
+    "q18_cc_dedup",
+    s"""WITH RECURSIVE $withDupesSql,
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM incoming),
+       |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+       |hh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
+       |mh AS (SELECT doc_id,
+       |         min(substr(h, 1, 4) || h) AS h0, min(substr(h, 5, 4) || h) AS h1,
+       |         min(substr(h, 9, 4) || h) AS h2, min(substr(h, 13, 4) || h) AS h3,
+       |         min(substr(h, 17, 4) || h) AS h4, min(substr(h, 21, 4) || h) AS h5,
+       |         min(substr(h, 25, 4) || h) AS h6, min(substr(h, 29, 4) || h) AS h7
+       |       FROM hh GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
+       |    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
+       |    UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
+       |    UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh) u),
+       |e AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |walk(node, lbl) AS (
+       |  SELECT a, a FROM sym
+       |  UNION
+       |  SELECT s.b, w2.lbl FROM walk w2 JOIN sym s ON s.a = w2.node
+       |  WHERE w2.lbl < s.b),
+       |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)
+       |SELECT component, count(*) AS n_members, CAST(sum(node) AS BIGINT) AS id_sum
+       |FROM comp
+       |GROUP BY component
+       |ORDER BY component""".stripMargin) { (spark, dir) =>
+    val edges = bucketPairs(bandBuckets(withDupes(docs(spark, dir))))
+      .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+    val sym = edges
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+      .persist()
+    var cur = sym.select(col("a").as("node"))
+      .distinct()
+      .withColumn("lbl", col("node"))
+      .persist()
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var curSum = labelSum(cur)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = sym.join(cur, sym("a") === cur("node"))
+        .select(sym("b").as("node"), col("lbl"))
+      val next = cur.union(prop)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .persist()
+      val nextSum = labelSum(next)
+      converged = nextSum == curSum
+      cur.unpersist()
+      cur = next
+      curSum = nextSum
+      iter += 1
+    }
+    sym.unpersist()
+    cur.groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
+      .orderBy(col("component"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
-    q18DedupResolve, q18CleanCorpus)
+    q18DedupResolve, q18CleanCorpus, q18CcDedup)
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q18 (part 2): text analysis + multimodal column handling for the
@@ -256,7 +257,138 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // ---- TF-IDF top terms per document (fixed-point idf): term counts
+  //      per probe doc × corpus document frequencies, scored with an
+  //      INTEGER idf (idf_micro = (N·1e6) div df) so the ranking is
+  //      bit-identical on any engine — a float ln() would hash-diverge
+  //      in the last ulp between libm implementations. At scale: tf is
+  //      a map-side-combinable (doc, term) count, df a (term) count off
+  //      the same token pass, and the probe join broadcasts df only for
+  //      the probe docs' vocabulary. ----
+  val q18Tfidf: QueryDef = QueryDef(
+    "q18_tfidf",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+      |df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+      |         tf.tf * ((n.n * 1000000) // df.df) AS score_micro
+      |  FROM tf JOIN df ON tf.w = df.w CROSS JOIN n
+      |  WHERE tf.doc_id % 25 = 0),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                               ORDER BY score_micro DESC, term) AS rnk
+      |  FROM scored)
+      |SELECT doc_id, term, tf, df, score_micro, rnk
+      |FROM ranked WHERE rnk <= 3
+      |ORDER BY doc_id, rnk""".stripMargin) { (spark, dir) =>
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfq = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs(spark, dir).agg(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("term"))
+    tf.where(col("doc_id") % 25 === 0)
+      .join(dfq, Seq("w"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+        expr("tf * ((n * 1000000L) div df)").as("score_micro"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .where(col("rnk") <= 3)
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  // ---- stratified train/val/test split: md5(doc_id) buckets at
+  //      80/10/10 — reproducible on any engine, any partitioning, any
+  //      rerun, and stratification falls out of grouping by (source,
+  //      split). The same two-hex-digit threshold trick as q18_sample
+  //      ('cc' = 204/256 ≈ 80%, 'e6' = 230/256 ≈ 90%). ----
+  val q18Split: QueryDef = QueryDef(
+    "q18_split",
+    """WITH assigned AS (
+      |  SELECT source,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split,
+      |         doc_id,
+      |         len(string_split(text, ' ')) AS n_words
+      |  FROM documents)
+      |SELECT source, split, count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc
+      |FROM assigned
+      |GROUP BY source, split
+      |ORDER BY source, split""".stripMargin) { (spark, dir) =>
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    docs(spark, dir)
+      .select(col("source"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"),
+        col("doc_id"), size(split(col("text"), " ")).as("n_words"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  // ---- train/eval contamination check (decontamination): flag train
+  //      documents sharing any 8-gram with the eval holdout — the
+  //      standard n-gram-overlap decontamination step before a training
+  //      run. 8-grams keep the check selective (only true near-dups
+  //      collide); the join is an equi-join on the shingle hash, so at
+  //      100 TB it shuffles once on md5(8-gram) with the (much smaller)
+  //      eval side's distinct shingles — never a doc×doc comparison. ----
+  val q18Contamination: QueryDef = QueryDef(
+    "q18_contamination",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              md5(ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+      |                  ws[i+6] || ' ' || ws[i+7]) AS g
+      |       FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 3),
+      |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 3),
+      |hits AS (
+      |  SELECT tr.doc_id, tr.source, count(*) AS n_shared
+      |  FROM tr JOIN ev ON tr.g = ev.g
+      |  GROUP BY tr.doc_id, tr.source)
+      |SELECT d.source,
+      |       count(CASE WHEN d.doc_id % 10 <> 3 THEN 1 END) AS n_train,
+      |       count(h.doc_id) AS n_contaminated,
+      |       coalesce(CAST(max(h.n_shared) AS BIGINT), 0) AS max_shared
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      // guard: Spark's sequence(0, n) DESCENDS for n < 0 (DuckDB's range
+      // is empty) — filter sub-8-word docs out before the transform
+      .where(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(ws) - 8),
+          |  i -> md5(CAST(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+          |                               ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS BINARY)))"""
+          .stripMargin)).as("g"))
+      .distinct()
+    val ev = grams.where(col("doc_id") % 10 === 3).select(col("g")).distinct()
+    val hits = grams.where(col("doc_id") % 10 =!= 3)
+      .join(ev, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(hits.select(col("doc_id").as("h_id"), col("n_shared")),
+        col("doc_id") === col("h_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(when(col("doc_id") % 10 =!= 3, 1)).as("n_train"),
+        count(col("h_id")).as("n_contaminated"),
+        coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
-    q18Sample)
+    q18Sample, q18Tfidf, q18Split, q18Contamination)
 }
