@@ -728,15 +728,25 @@ object SimilarityQueries {
        |FROM comp
        |GROUP BY component
        |ORDER BY component""".stripMargin) { (spark, dir) =>
+    // localCheckpoint (eager) after the LSH pipeline and after every
+    // round: an iterative loop's logical plan otherwise doubles per
+    // round (analysis/AQE replanning cost grows even with the data
+    // cached), and the minhash edge build would sit in every
+    // iteration's lineage. Checkpointed blocks are tiny (one row per
+    // candidate edge / node). On a multi-node cluster a long-running
+    // loop would use reliable checkpoint() (localCheckpoint blocks die
+    // with their executor); for this bounded loop the recompute window
+    // is seconds.
     val edges = bucketPairs(bandBuckets(withDupes(docs(spark, dir))))
       .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+      .localCheckpoint()
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+      .localCheckpoint()
     var cur = sym.select(col("a").as("node"))
       .distinct()
       .withColumn("lbl", col("node"))
-      .persist()
+      .localCheckpoint()
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("lbl"))).first()
       if (r.isNullAt(0)) 0L else r.getLong(0)
@@ -749,15 +759,13 @@ object SimilarityQueries {
         .select(sym("b").as("node"), col("lbl"))
       val next = cur.union(prop)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .persist()
+        .localCheckpoint()
       val nextSum = labelSum(next)
       converged = nextSum == curSum
-      cur.unpersist()
       cur = next
       curSum = nextSum
       iter += 1
     }
-    sym.unpersist()
     cur.groupBy(col("lbl").as("component"))
       .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
       .orderBy(col("component"))
