@@ -388,7 +388,128 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // ---- sequence packing (concat-then-chop): the standard pretraining
+  //      step that concatenates a source's documents in a fixed order
+  //      and chops the token stream into fixed-size context windows. A
+  //      doc's chunk is the window holding its FIRST token:
+  //      chunk_id = (cum_tokens_before_doc) div budget — one running
+  //      sum, no sequential fold. The window is one per-source sort; at
+  //      100 TB packing runs per (source, shard) with shard =
+  //      doc_id div K so each window stays bounded while chunk ids
+  //      remain deterministic (packing is order-dependent by design —
+  //      any engine must fix the order to be reproducible). ----
+  val q18Pack: QueryDef = QueryDef(
+    "q18_pack",
+    """WITH t AS (
+      |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_words
+      |  FROM documents),
+      |c AS (
+      |  SELECT source, doc_id, n_words,
+      |         sum(n_words) OVER (PARTITION BY source ORDER BY doc_id
+      |                            ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t)
+      |SELECT source, CAST((cum - n_words) // 512 AS BIGINT) AS chunk_id,
+      |       count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY source, chunk_id
+      |ORDER BY source, chunk_id""".stripMargin) { (spark, dir) =>
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_words"))
+      .withColumn("cum", sum(col("n_words")).over(bySource))
+      .select(col("source"),
+        expr("(cum - n_words) div 512").as("chunk_id"),
+        col("doc_id"), col("n_words"))
+      .groupBy(col("source"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("chunk_id"))
+  }
+
+  // ---- intra-document repetition score: share of the single most
+  //      frequent term (basis points) + distinct-token ratio — the
+  //      cheap repetition/boilerplate quality signal (high top-term
+  //      share = degenerate text). One shingle-free token pass: tf is
+  //      a map-side-combinable (doc, term) count; the per-doc argmax
+  //      is a window over the doc key (high cardinality — no skew),
+  //      tie-broken lexicographically so any engine picks the same
+  //      term. Integer basis points, never a float ratio. ----
+  val q18Repetition: QueryDef = QueryDef(
+    "q18_repetition",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+      |r AS (
+      |  SELECT doc_id, w, c,
+      |         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn,
+      |         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_words,
+      |         count(*) OVER (PARTITION BY doc_id) AS n_distinct
+      |  FROM tf)
+      |SELECT doc_id, n_words, n_distinct, CAST(c AS BIGINT) AS top_tf, w AS top_term,
+      |       CAST((10000 * c) // n_words AS BIGINT) AS rep_bp,
+      |       CAST((10000 * n_distinct) // n_words AS BIGINT) AS distinct_bp
+      |FROM r
+      |WHERE rn = 1 AND doc_id % 10 = 0
+      |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val argmax = byDoc.orderBy(col("c").desc, col("w"))
+    docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(argmax))
+      .withColumn("n_words", sum(col("c")).over(byDoc))
+      .withColumn("n_distinct", count(lit(1)).over(byDoc))
+      .where(col("rn") === 1 && col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        col("c").as("top_tf"), col("w").as("top_term"),
+        expr("(10000 * c) div n_words").as("rep_bp"),
+        expr("(10000 * n_distinct) div n_words").as("distinct_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- language rebalancing: downsample every language to ≈ the
+  //      smallest language's count so the training mix is flat. The
+  //      keep decision is a portable integer hash — hv = (doc_id ·
+  //      2654435761) mod 2^20 (Knuth multiplicative), keep iff
+  //      hv · n_lang < target · 2^20 — so the sample is reproducible
+  //      on any engine, any partitioning, with NO per-language sort or
+  //      window (a rank-based quota would funnel each language through
+  //      one reducer at 100 TB; the hash filter is embarrassingly
+  //      parallel and the per-lang rates ride a broadcast join). ----
+  val q18Rebalance: QueryDef = QueryDef(
+    "q18_rebalance",
+    """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |tgt AS (SELECT min(n) AS target FROM lc),
+      |d AS (
+      |  SELECT lang, doc_id,
+      |         (doc_id * 2654435761) % 1048576 AS hv
+      |  FROM documents)
+      |SELECT d.lang, CAST(lc.n AS BIGINT) AS n_before,
+      |       count(CASE WHEN d.hv * lc.n < tgt.target * 1048576 THEN 1 END) AS n_kept,
+      |       min(CASE WHEN d.hv * lc.n < tgt.target * 1048576 THEN d.doc_id END) AS first_kept
+      |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN tgt
+      |GROUP BY d.lang, lc.n
+      |ORDER BY d.lang""".stripMargin) { (spark, dir) =>
+    val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tgt = lc.agg(min(col("n")).as("target"))
+    val keep = col("hv") * col("n") < col("target") * lit(1048576L)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") * lit(2654435761L) % lit(1048576L)).as("hv"))
+      .join(broadcast(lc), Seq("lang"))
+      .crossJoin(broadcast(tgt))
+      .groupBy(col("lang"), col("n"))
+      .agg(count(when(keep, 1)).as("n_kept"),
+        min(when(keep, col("doc_id"))).as("first_kept"))
+      .select(col("lang"), col("n").as("n_before"), col("n_kept"), col("first_kept"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
-    q18Sample, q18Tfidf, q18Split, q18Contamination)
+    q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
+    q18Rebalance)
 }
