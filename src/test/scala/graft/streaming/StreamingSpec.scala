@@ -227,6 +227,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("DedupStream: incremental first-seen dedup equals the batch exact-dedup keep set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // real corpus in batch 1; batch 2 redelivers it all, shifted-id
+    // style (the q18_dedup_exact withDupes shape), so every batch-2
+    // row must hit existing state and emit nothing
+    val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, t) => DocIn(id, t) }
+    val redelivered = originals.filter(_.docId % 10 == 0)
+      .map(d => DocIn(d.docId + 1000000L, d.text))
+
+    val input = MemoryStream[DocIn]
+    val q = DedupStream.firstSeen(input.toDS())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").option("checkpointLocation", tmp("cp-dedup")).start()
+    input.addData(originals.toIndexedSeq); q.processAllAvailable()
+    val afterBatch1 = spark.table("dedup_stream").count()
+    input.addData(redelivered.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("dedup_stream").as[KeptDoc].collect()
+      .map(k => (k.contentHash, k.docId)).toSet
+    // batch oracle over the SAME delivered union: min doc_id per hash
+    // (batch-1 originals always precede the +1e6 redeliveries, so
+    // first-seen == global min)
+    val batch = (originals ++ redelivered).toSeq.toDS()
+      .groupBy(md5(col("text").cast("binary")).as("contentHash"))
+      .agg(min(col("docId")).as("docId"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+    // batch 2 admitted nothing: every hash was already in state
+    assert(afterBatch1 == streamed.size.toLong)
+  }
+
   test("StreamProcessor requireAll holds gapped streams until the gap fills") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
