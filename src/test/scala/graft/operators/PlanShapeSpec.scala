@@ -67,4 +67,34 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n17 = "Exchange".r.findAllIn(plan("q17_stateful")).size
     assert(n17 <= 2, s"q17_stateful has $n17 exchanges")
   }
+
+  test("q18_rebalance: hash-filter sampling — broadcast rates, no window, no sort-merge") {
+    // the keep decision must stay embarrassingly parallel: per-lang
+    // counts and the global target ride broadcasts; a Window or
+    // SortMergeJoin here means someone reintroduced a per-language
+    // rank (one reducer per language at corpus scale)
+    val p = plan("q18_rebalance")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q18_pack: one running-sum window, one packing exchange") {
+    // concat-then-chop packing is a single per-source cumulative sum;
+    // the window exchange (partition by source) must be the only
+    // pre-aggregation shuffle
+    val p = plan("q18_pack")
+    assert("Window".r.findAllIn(p).size == 1, p.take(2000))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"q18_pack has $n hash exchanges")
+  }
+
+  test("q18_repetition: both per-doc windows share one doc_id exchange") {
+    // argmax row_number and the unordered totals partition on the same
+    // key — a second hashpartitioning(doc_id) means the window specs
+    // diverged
+    val p = plan("q18_repetition")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"q18_repetition has $n hash exchanges: ${p.take(2000)}")
+  }
 }
