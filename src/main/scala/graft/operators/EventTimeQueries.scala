@@ -220,6 +220,61 @@ object EventTimeQueries {
       .orderBy(col("stream_name"))
   }
 
+  // ---- Q22: strictly-ordered conversion funnel (view → click →
+  //      purchase, each stage within 24h of the previous) — the
+  //      behavioral-analytics shape sitting on top of the event-time
+  //      layer. Cascading first-touch: stage k's timestamp is the
+  //      earliest qualifying event after stage k-1, so the funnel is
+  //      K groupBy/join stages ALL keyed on user_id — one hash
+  //      partitioning reused end-to-end, no per-user sort, no
+  //      sequence explode. (A mapGroups fold could do it in one pass
+  //      but would leave whole-stage codegen; K is small and the
+  //      relational form keeps every stage map-side combinable.)
+  //      Timestamps flow as epoch-micros integers throughout. ----
+  val q22Funnel: QueryDef = QueryDef(
+    "q22_funnel",
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      |    AND epoch_us(e.ts) <= v.t_view + 86400000000
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      |    AND epoch_us(e.ts) <= c.t_click + 86400000000
+      |  GROUP BY e.user_id)
+      |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      |       CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+      |         AS converted
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY v.user_id""".stripMargin) { (spark, dir) =>
+    val dayUs = 86400000000L
+    val ev = Envelope.readTable(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+    val v = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
+    val c = ev.where(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .where(col("tus") > col("t_view") && col("tus") <= col("t_view") + dayUs)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_click"))
+    val p = ev.where(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .where(col("tus") > col("t_click") && col("tus") <= col("t_click") + dayUs)
+      .groupBy(col("user_id")).agg(min(col("tus")).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        when(col("t_purchase").isNotNull, 1L).otherwise(0L).as("converted"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q17Stateful)
+    q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q17Stateful,
+    q22Funnel)
 }

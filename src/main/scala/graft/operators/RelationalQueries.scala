@@ -442,8 +442,42 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  // Q15d: unpivot/melt (pivot's inverse) — wide measure columns to
+  // (measure, value) rows. Spark side is a codegen'd stack() generator
+  // (no shuffle: melt is a per-row map); measures flow as integer
+  // cents so the long format hashes identically on any engine. The
+  // oracle is DuckDB's native UNPIVOT.
+  val q15Unpivot: QueryDef = QueryDef(
+    "q15_unpivot",
+    """WITH m AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |         CAST(round(CAST(l_quantity AS DECIMAL(20,4)) * 100, 0) AS BIGINT) AS quantity_c,
+      |         CAST(round(CAST(l_extendedprice AS DECIMAL(20,4)) * 100, 0) AS BIGINT) AS price_c,
+      |         CAST(round(CAST(l_discount AS DECIMAL(20,4)) * 100, 0) AS BIGINT) AS discount_c,
+      |         CAST(round(CAST(l_tax AS DECIMAL(20,4)) * 100, 0) AS BIGINT) AS tax_c
+      |  FROM lineitem WHERE l_orderkey % 500 = 0)
+      |SELECT l_orderkey, l_linenumber, measure, cents
+      |FROM m UNPIVOT (cents FOR measure IN (quantity_c, price_c, discount_c, tax_c))
+      |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin) { (spark, dir) =>
+    // per-value cents go through a DECIMAL(20,4) cast before rounding —
+    // round() on the raw DOUBLE diverges between engines in the last
+    // ulp at .5 cent boundaries (standing decimal-exactness rule)
+    def cents(c: String) = expr(s"CAST(round(CAST($c AS DECIMAL(20,4)) * 100, 0) AS BIGINT)")
+    t(spark, dir, "lineitem")
+      .where(col("l_orderkey") % 500 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        cents("l_quantity").as("quantity_c"), cents("l_extendedprice").as("price_c"),
+        cents("l_discount").as("discount_c"), cents("l_tax").as("tax_c"))
+      .select(col("l_orderkey"), col("l_linenumber"), expr(
+        """stack(4,
+          |  'quantity_c', quantity_c, 'price_c', price_c,
+          |  'discount_c', discount_c, 'tax_c', tax_c) AS (measure, cents)"""
+          .stripMargin))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10WindowRank, q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets,
-    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot)
+    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot)
 }
