@@ -104,6 +104,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("streaming session windows equal the batch q16_session oracle shape") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val streamed = input.toDS()
+      .toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(concat(lit("user-"), col("user_id")).as("stream_name"),
+        session_window(col("ts"), "1 hour"))
+      .agg(min(unix_micros(col("ts"))).as("start_us"), count(lit(1)).as("n"))
+      .select(col("stream_name"), col("start_us"), col("n"))
+    val q = streamed.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-sess")).start()
+    input.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+    // push the watermark far past the data so every session finalizes
+    input.addData((999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 9999L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.operators.EventTimeQueries.q16Session
+      .build(spark, "/root/testdata/sf0.001")
+      .select(col("stream_name"), col("session_start_us"), col("n"))
+      .as[(String, Long, Long)].collect().toSet
+    val stream = spark.table("sess_out").as[(String, Long, Long)].collect().toSet
+      .filterNot(_._1 == "user-9999")
+    assert(stream == batch)
+  }
+
   test("transformWithState engine is span-identical to flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
