@@ -743,9 +743,11 @@ object SimilarityQueries {
     val sym = edges
       .union(edges.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
-    var cur = sym.select(col("a").as("node"))
-      .distinct()
-      .withColumn("lbl", col("node"))
+    // seed with min(node, min neighbor): one map-side-combinable agg
+    // that folds the first propagation round into initialization
+    var cur = sym.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("minb"))
+      .select(col("node"), least(col("node"), col("minb")).as("lbl"))
       .localCheckpoint()
     def labelSum(df: DataFrame): Long = {
       val r = df.agg(sum(col("lbl"))).first()
