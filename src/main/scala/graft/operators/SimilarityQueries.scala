@@ -255,25 +255,33 @@ object SimilarityQueries {
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val sigs = simhashSigs(docs(spark, dir)).select(col("doc_id"), col("sig"))
-    // Candidates via a distributed (block, value) equi-join carrying
-    // both signatures, with the exact bit_count filter applied INSIDE
-    // the join's output before any dedup: simhash blocks are heavily
-    // skewed on real corpora (one dominant pattern here holds 65% of
-    // docs), so pairs must stream through the codegen filter rather
-    // than materialize per-bucket arrays — only the ~|survivors| rows
-    // reach the distinct.
+    // Candidates via a distributed (block-pair, values) equi-join
+    // carrying both signatures, with the exact bit_count filter applied
+    // INSIDE the join's output before any dedup. Blocking is 2-of-4:
+    // split the 32-bit sig into four bytes; ≤2 flips corrupt at most 2
+    // of the 4 blocks, so every qualifying pair agrees on at least one
+    // of the C(4,2)=6 block PAIRS — a 16-bit effective key. Single
+    // wide blocks degenerate on skewed corpora (a dominant 11-bit
+    // pattern makes one bucket quadratic); requiring TWO clean blocks
+    // keeps buckets selective for 6 explode rows per doc instead of 3.
+    // The oracle needs no change: any complete blocking yields the
+    // same final hamming≤2 pair set. Survivors stream through the
+    // codegen filter — only ~|survivors| rows reach the distinct.
+    val pairsIdx = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val combos = pairsIdx.zipWithIndex.map { case ((j1, j2), c) =>
+      struct(lit(c).as("c"),
+        expr(s"shiftright(sig, ${8 * j1}) & 255L").as("v1"),
+        expr(s"shiftright(sig, ${8 * j2}) & 255L").as("v2"))
+    }
     val blocks = sigs
-      .select(col("doc_id"), explode(expr("sequence(0, 2)")).as("j"), col("sig"))
-      .select(col("doc_id"), col("j"),
-        expr("""CASE j WHEN 0 THEN sig & 2047L
-               |       WHEN 1 THEN shiftright(sig, 11) & 2047L
-               |       ELSE shiftright(sig, 22) & 1023L END""".stripMargin).as("blk"),
-        col("sig"))
-    val a = blocks.select(col("j"), col("blk"), col("doc_id").as("doc_a"),
-      col("sig").as("sa"))
-    val b = blocks.select(col("j"), col("blk"), col("doc_id").as("doc_b"),
-      col("sig").as("sb"))
-    a.join(b, Seq("j", "blk"))
+      .select(col("doc_id"), col("sig"), explode(array(combos: _*)).as("k"))
+      .select(col("doc_id"), col("sig"),
+        col("k.c").as("c"), col("k.v1").as("v1"), col("k.v2").as("v2"))
+    val a = blocks.select(col("c"), col("v1"), col("v2"),
+      col("doc_id").as("doc_a"), col("sig").as("sa"))
+    val b = blocks.select(col("c"), col("v1"), col("v2"),
+      col("doc_id").as("doc_b"), col("sig").as("sb"))
+    a.join(b, Seq("c", "v1", "v2"))
       .where(col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb)") <= 2)
       .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
       .distinct()
