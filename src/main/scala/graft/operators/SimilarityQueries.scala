@@ -254,19 +254,26 @@ object SimilarityQueries {
       |JOIN sigs sb ON sb.doc_id = doc_b
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val sigs = simhashSigs(docs(spark, dir)).select(col("doc_id"), col("sig"))
-    // Candidates via a distributed (block-pair, values) equi-join
-    // carrying both signatures, with the exact bit_count filter applied
-    // INSIDE the join's output before any dedup. Blocking is 2-of-4:
-    // split the 32-bit sig into four bytes; ≤2 flips corrupt at most 2
-    // of the 4 blocks, so every qualifying pair agrees on at least one
-    // of the C(4,2)=6 block PAIRS — a 16-bit effective key. Single
-    // wide blocks degenerate on skewed corpora (a dominant 11-bit
-    // pattern makes one bucket quadratic); requiring TWO clean blocks
-    // keeps buckets selective for 6 explode rows per doc instead of 3.
-    // The oracle needs no change: any complete blocking yields the
-    // same final hamming≤2 pair set. Survivors stream through the
-    // codegen filter — only ~|survivors| rows reach the distinct.
+    simhashPairsFromSigs(
+      simhashSigs(docs(spark, dir)).select(col("doc_id"), col("sig")))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** All (doc_a < doc_b) pairs with hamming(sig_a, sig_b) ≤ 2, from a
+    * (doc_id, sig) frame. Candidates via a distributed (block-pair,
+    * values) equi-join carrying both signatures, with the exact
+    * bit_count filter applied INSIDE the join's output before any
+    * dedup. Blocking is 2-of-4: split the 32-bit sig into four bytes;
+    * ≤2 flips corrupt at most 2 of the 4 blocks, so every qualifying
+    * pair agrees on at least one of the C(4,2)=6 block PAIRS — a
+    * 16-bit effective key. Single wide blocks degenerate on skewed
+    * corpora (a dominant 11-bit pattern makes one bucket quadratic);
+    * requiring TWO clean blocks keeps buckets selective for 6 explode
+    * rows per doc instead of 3. Any complete blocking yields the same
+    * final hamming≤2 pair set (completeness is property-tested against
+    * brute force in SimhashBlockingSpec). Survivors stream through the
+    * codegen filter — only ~|survivors| rows reach the distinct. */
+  private[operators] def simhashPairsFromSigs(sigs: DataFrame): DataFrame = {
     val pairsIdx = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
     val combos = pairsIdx.zipWithIndex.map { case ((j1, j2), c) =>
       struct(lit(c).as("c"),
@@ -285,7 +292,6 @@ object SimilarityQueries {
       .where(col("doc_a") < col("doc_b") && expr("bit_count(sa ^ sb)") <= 2)
       .select(col("doc_a"), col("doc_b"), expr("bit_count(sa ^ sb)").as("hamming"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   // ---- n-gram Jaccard on a probe subset (all pairs of doc_id < 30) ----
