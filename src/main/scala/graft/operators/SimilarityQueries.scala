@@ -95,7 +95,7 @@ object SimilarityQueries {
         (1 until 8).map(j =>
           min(concat(substring(col("h"), 4 * j + 1, 4), col("h"))).as(s"h$j")): _*)
 
-  private def bandBuckets(d: DataFrame): DataFrame =
+  private[graft] def bandBuckets(d: DataFrame): DataFrame =
     minhashes(d)
       .select(col("doc_id"), expr(
         """stack(4,

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.SimilarityQueries
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Incremental NEAR-dup filtering for a training-corpus ingestion
+  * stream: each micro-batch's documents are minhash-banded (the same
+  * 8-hash/4-band LSH pipeline as the batch q18 operators) and dropped
+  * if any band bucket collides with the ever-growing persisted bucket
+  * index — the streaming form of minhash-LSH dedup, where the "seen"
+  * side is the whole corpus ingested so far.
+  *
+  * Shape: `foreachBatch` + a parquet-backed bucket index, because the
+  * seen-set must outlive the query (a training corpus is ingested over
+  * weeks by many runs) and the per-batch work is a plain batch join —
+  * bucket-keyed, so at 100 TB it shuffles the (tiny) batch side
+  * against the bucket-partitioned index and never compares documents
+  * pairwise. In-batch ties resolve pessimistically and
+  * deterministically: a doc also drops if any of its buckets holds a
+  * smaller doc_id in the same batch (bucket-min survives; chains that
+  * need transitive resolution are the batch CC operator's job).
+  *
+  * Exactly-once: a marker file per batchId makes redelivered batches
+  * no-ops after restart (the same latest-wins idea as
+  * CheckpointStore); the index and kept appends land before the
+  * marker, so a crash mid-batch redoes the batch idempotently for the
+  * kept set (appends keyed by batch subdir are overwritten, not
+  * doubled). A production deployment would swap the two parquet
+  * appends for one transactional-table commit; the protocol here is
+  * the same one AppendSink uses for idempotent appends.
+  */
+object NearDupStream {
+
+  private def bucketIndex(docs: DataFrame): DataFrame =
+    SimilarityQueries.bandBuckets(docs).select(col("doc_id"), col("band"), col("bucket"))
+
+  private def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      excludeBatchId: Long): DataFrame = {
+    val p = Paths.get(indexDir)
+    val hasBatches = Files.exists(p) && {
+      val s = Files.list(p)
+      try s.anyMatch(f => f.getFileName.toString.startsWith("batch="))
+      finally s.close()
+    }
+    if (hasBatches)
+      // exclude the current batch's partition: a crash between the
+      // index write and the marker must not make the redone batch see
+      // its own half-written buckets as "seen" (partition pruning
+      // drops the directory at scan planning, no data read)
+      spark.read.parquet(indexDir)
+        .where(col("batch") =!= lit(excludeBatchId))
+        .select(col("band"), col("bucket"))
+    else {
+      import spark.implicits._
+      Seq.empty[(Int, String)].toDF("band", "bucket")
+    }
+  }
+
+  /** Process one micro-batch: returns the kept (doc_id, text) frame
+    * and persists kept docs + their buckets. Exposed for direct batch
+    * use and tests; `start` wires it into foreachBatch. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String): Unit = {
+    val spark = batch.sparkSession
+    val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
+    if (Files.exists(marker)) return // redelivered batch: no-op
+    val docs = batch.select(col("doc_id"), col("text"))
+    val bands = bucketIndex(docs).localCheckpoint() // one LSH pass per batch
+    val seen = readIndex(spark, indexDir, batchId)
+    // drop if any bucket is in the corpus index, or holds a smaller
+    // doc_id within this batch (deterministic under any partitioning)
+    val inIndex = bands.join(seen, Seq("band", "bucket"), "left_semi")
+      .select(col("doc_id")).distinct()
+    val batchMin = bands
+      .groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("min_id"))
+    val underMin = bands.join(batchMin, Seq("band", "bucket"))
+      .where(col("doc_id") > col("min_id"))
+      .select(col("doc_id")).distinct()
+    val dropped = inIndex.union(underMin).distinct()
+    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
+    // batch-scoped subdirs make a redone batch overwrite, not double
+    kept.write.mode(SaveMode.Overwrite).parquet(s"$keptDir/batch=$batchId")
+    bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("band"), col("bucket")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
+    Files.createDirectories(marker.getParent)
+    Files.createFile(marker)
+  }
+
+  /** Start the streaming near-dup filter over a (doc_id, text) stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBatch(batch.toDF(), batchId, indexDir, keptDir)
+      }
+      .start()
+}

@@ -295,6 +295,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(afterBatch1 == streamed.size.toLong)
   }
 
+  test("NearDupStream: LSH bucket index drops near-dups across batches, idempotent redo") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("nd-index"); val keptDir = tmp("nd-kept")
+    val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = NearDupStream.start(input.toDS().toDF("doc_id", "text"),
+      tmp("cp-neardup"), indexDir, keptDir)
+    input.addData(originals.toIndexedSeq); q.processAllAvailable()
+    val keptBatch1 = spark.read.parquet(keptDir).count()
+    // batch 2: exact copies under new ids — identical shingles, same
+    // buckets, every doc must collide with the index
+    input.addData(originals.toIndexedSeq.map { case (id, t) => (id + 1000000L, t) })
+    q.processAllAvailable()
+    val keptBatch2 = spark.read.parquet(s"$keptDir/batch=1").count()
+    q.stop()
+    assert(keptBatch1 > 0)
+    assert(keptBatch2 == 0, s"near-dup copies admitted: $keptBatch2")
+
+    // within batch 1, bucket-min survives: every kept doc is the min of
+    // each of its buckets; every dropped doc collided somewhere
+    val kept1 = spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    val bands1 = graft.operators.SimilarityQueries.bandBuckets(
+      originals.toSeq.toDF("doc_id", "text"))
+    val minPerBucket = bands1.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("min_id"))
+    val shouldDrop = bands1.join(minPerBucket, Seq("band", "bucket"))
+      .where(col("doc_id") > col("min_id")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept1 == originals.map(_._1).toSet -- shouldDrop)
+
+    // crash-redo probe: re-running a committed batch is a no-op, and a
+    // batch whose marker is missing redoes idempotently (overwrite)
+    val batch1Df = originals.toSeq.toDF("doc_id", "text")
+    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir) // marker exists
+    assert(spark.read.parquet(s"$keptDir/batch=0").count() == kept1.size.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$indexDir/_batches/batch-0"))
+    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir) // full redo
+    assert(spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet == kept1)
+  }
+
   test("StreamProcessor requireAll holds gapped streams until the gap fills") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
