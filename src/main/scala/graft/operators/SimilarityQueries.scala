@@ -614,8 +614,8 @@ object SimilarityQueries {
   //      hash shuffle on doc identity or bucket, no stage re-reads the
   //      corpus, and the near-dup candidate set comes from band buckets,
   //      never all pairs. ----
-  private val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
-  private def stopList = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
+  private[operators] val stopWords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private[operators] def stopList = stopWords.map(w => s"'$w'").mkString("(", ", ", ")")
 
   val q18CleanCorpus: QueryDef = QueryDef(
     "q18_clean_corpus",

@@ -508,8 +508,99 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- the full pretraining prep pipeline, composed end-to-end:
+  //      quality filter → exact dedup → language rebalance →
+  //      train/val/test split → sequence packing, reporting per
+  //      (split, lang) docs/tokens/chunks. Every stage reuses the
+  //      EXACT deterministic rule of its standalone operator
+  //      (q18_quality / q18_dedup_exact / q18_rebalance / q18_split /
+  //      q18_pack), so the composition is oracle-checkable and — more
+  //      importantly — each stage stays one shuffle: flags are
+  //      per-row, dedup is one md5 window, the rebalance rates ride
+  //      broadcasts, the split is a stateless hash, and packing is
+  //      one (split, lang) running sum. ----
+  val q18PrepPipeline: QueryDef = QueryDef(
+    "q18_prep_pipeline",
+    s"""WITH feat AS (
+       |  SELECT doc_id, lang, text,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         length(text) AS n_chars,
+       |         len(list_filter(string_split(text, ' '),
+       |             w -> w IN ${SimilarityQueries.stopList})) AS n_stop,
+       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, lang, text, n_words FROM feat
+       |  WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |    AND CAST(n_digit AS DOUBLE) / n_chars < 0.3),
+       |e AS (
+       |  SELECT doc_id, lang, n_words FROM (
+       |    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |    FROM q) WHERE keep),
+       |lc AS (SELECT lang, count(*) AS n FROM e GROUP BY lang),
+       |tgt AS (SELECT min(n) AS target FROM lc),
+       |rb AS (
+       |  SELECT e.doc_id, e.lang, e.n_words
+       |  FROM e JOIN lc ON e.lang = lc.lang CROSS JOIN tgt
+       |  WHERE ((e.doc_id * 2654435761) % 1048576) * lc.n < tgt.target * 1048576),
+       |sp AS (
+       |  SELECT *,
+       |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM rb),
+       |pk AS (
+       |  SELECT *,
+       |         CAST((sum(n_words) OVER (PARTITION BY split, lang ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) - n_words) // 512
+       |              AS BIGINT) AS chunk_id
+       |  FROM sp)
+       |SELECT split, lang, count(*) AS n_docs,
+       |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |       count(DISTINCT chunk_id) AS n_chunks
+       |FROM pk
+       |GROUP BY split, lang
+       |ORDER BY split, lang""".stripMargin) { (spark, dir) =>
+    val nStop = expr(
+      s"size(filter(split(text, ' '), w -> w IN ${SimilarityQueries.stopList}))")
+    val feat = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n_words"),
+        length(col("text")).as("n_chars"), nStop.as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+    val q = feat.where(col("n_words") >= 20 &&
+      col("n_stop").cast("double") / col("n_words") >= 0.01 &&
+      col("n_digit").cast("double") / col("n_chars") < 0.3)
+    val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    val e = q
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byHash))
+      .where(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_words"))
+    val lc = e.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tgt = lc.agg(min(col("n")).as("target"))
+    val rb = e
+      .join(broadcast(lc), Seq("lang"))
+      .crossJoin(broadcast(tgt))
+      .where((col("doc_id") * lit(2654435761L) % lit(1048576L)) * col("n") <
+        col("target") * lit(1048576L))
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sp = rb.select(col("doc_id"), col("lang"), col("n_words"),
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+    val bySplitLang = Window.partitionBy(col("split"), col("lang"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sp.withColumn("cum", sum(col("n_words")).over(bySplitLang))
+      .select(col("split"), col("lang"), col("n_words"),
+        expr("(cum - n_words) div 512").as("chunk_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("chunk_id")).as("n_chunks"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
-    q18Rebalance)
+    q18Rebalance, q18PrepPipeline)
 }
