@@ -442,6 +442,38 @@ object RelationalQueries {
       .orderBy(col("bucket"))
   }
 
+  // Q10b: SCD2-style validity intervals — each purchase's value holds
+  // from its own timestamp until the user's next purchase (NULL for
+  // the current record): the lead() idiom every warehouse uses to
+  // snapshot "state as of t". One window keyed on the user — high
+  // cardinality, no skew — with (ts, event_id) ordering so duplicate
+  // timestamps cannot flip interval boundaries between runs. Values
+  // flow as integer cents, timestamps as epoch-micros.
+  val q10Scd2: QueryDef = QueryDef(
+    "q10_scd2",
+    """SELECT user_id, epoch_us(ts) AS valid_from_us,
+      |       lead(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS valid_to_us,
+      |       CAST(round(CAST(value AS DECIMAL(20,4)) * 100, 0) AS BIGINT) AS value_c,
+      |       CASE WHEN lead(ts) OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) IS NULL
+      |            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS is_current
+      |FROM events
+      |WHERE event_type = 'purchase' AND user_id % 10 = 0
+      |ORDER BY user_id, valid_from_us, value_c""".stripMargin) { (spark, dir) =>
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    t(spark, dir, "events")
+      .where(col("event_type") === "purchase" && col("user_id") % 10 === 0)
+      .withColumn("next_ts", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("next_ts")).as("valid_to_us"),
+        expr("CAST(round(CAST(value AS DECIMAL(20,4)) * 100, 0) AS BIGINT)")
+          .as("value_c"),
+        when(col("next_ts").isNull, 1L).otherwise(0L).as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"), col("value_c"))
+  }
+
   // Q15d: unpivot/melt (pivot's inverse) — wide measure columns to
   // (measure, value) rows. Spark side is a codegen'd stack() generator
   // (no shuffle: melt is a per-row map); measures flow as integer
@@ -477,7 +509,7 @@ object RelationalQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q10WindowRank, q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
+    q10WindowRank, q10Scd2, q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets,
     q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot)
 }

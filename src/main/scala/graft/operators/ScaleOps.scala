@@ -202,6 +202,41 @@ object ScaleOps {
       .orderBy(col("zbucket"))
   }
 
+  /** Approximate percentiles with an error-bound oracle (the
+    * q12_approx_distinct pattern): the sketch value itself is
+    * engine-specific, so the oracle pins the EXACT percentiles plus a
+    * literal-true tolerance flag, and the Spark side computes the flag
+    * from its own sketch against its own exact values. At scale the
+    * sketch is the point — approx_percentile is a single-pass
+    * mergeable summary (no full sort), the exact twin is the
+    * verification anchor. */
+  val q20ApproxPercentiles: QueryDef = QueryDef(
+    "q20_approx_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.5) AS p50_qty_exact,
+      |       quantile_cont(l_extendedprice, 0.95) AS p95_price_exact,
+      |       CAST(1 AS BIGINT) AS p50_within_tol,
+      |       CAST(1 AS BIGINT) AS p95_within_tol
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    Envelope.readTable(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty_exact"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95_price_exact"),
+        expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
+      .select(col("l_returnflag"), col("p50_qty_exact"), col("p95_price_exact"),
+        when(abs(col("ap50") - col("p50_qty_exact"))
+          <= greatest(lit(1.0), col("p50_qty_exact") * 0.1), 1L).otherwise(0L)
+          .as("p50_within_tol"),
+        when(abs(col("ap95") - col("p95_price_exact"))
+          <= greatest(lit(1.0), col("p95_price_exact") * 0.1), 1L).otherwise(0L)
+          .as("p95_within_tol"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin, q20Zorder)
+    q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin, q20Zorder,
+    q20ApproxPercentiles)
 }
