@@ -742,49 +742,103 @@ object SimilarityQueries {
        |FROM comp
        |GROUP BY component
        |ORDER BY component""".stripMargin) { (spark, dir) =>
-    // localCheckpoint (eager) after the LSH pipeline and after every
-    // round: an iterative loop's logical plan otherwise doubles per
-    // round (analysis/AQE replanning cost grows even with the data
-    // cached), and the minhash edge build would sit in every
-    // iteration's lineage. Checkpointed blocks are tiny (one row per
-    // candidate edge / node). On a multi-node cluster a long-running
-    // loop would use reliable checkpoint() (localCheckpoint blocks die
-    // with their executor); for this bounded loop the recompute window
-    // is seconds.
     val edges = bucketPairs(bandBuckets(withDupes(docs(spark, dir))))
       .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
-      .localCheckpoint()
-    val sym = edges
-      .union(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
-    // seed with min(node, min neighbor): one map-side-combinable agg
-    // that folds the first propagation round into initialization
-    var cur = sym.groupBy(col("a").as("node"))
-      .agg(min(col("b")).as("minb"))
-      .select(col("node"), least(col("node"), col("minb")).as("lbl"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): Long = {
-      val r = df.agg(sum(col("lbl"))).first()
-      if (r.isNullAt(0)) 0L else r.getLong(0)
+    componentsFromEdges(edges)
+      .orderBy(col("component"))
+  }
+
+  /** Eager localCheckpoint that ALSO resets the statistics estimate:
+    * Spark's checkpoint preserves the origin plan's stats, and a
+    * join's size estimate is the product of its children's — so an
+    * iterative loop's estimate SQUARES every round and by round ~15
+    * Catalyst is multiplying million-digit BigIntegers during
+    * planning (observed as a hard hang in stats estimation).
+    * Rebuilding the frame over the checkpointed RDD gives each
+    * round's leaf the flat default estimate. */
+  private def flatCheckpoint(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** Connected components of an undirected (a, b) edge frame as
+    * (component = min reachable node, n_members, id_sum), via
+    * alternating large-star / small-star contraction (the MapReduce
+    * CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): each round every node connects part of
+    * its neighborhood directly to its neighborhood minimum, which
+    * provably converges in O(log² n) rounds on ANY graph — plain
+    * min-label propagation is O(diameter) and label-shortcut variants
+    * still crawl linearly on id-shuffled chains (measured), which
+    * would silently truncate at a round cap. ConnectedComponentsSpec
+    * pins shuffled 100-chains converging well inside the cap, and
+    * non-convergence throws rather than returning partial components.
+    * Duplicate clusters are near-cliques that settle in 2-3 rounds.
+    * Each round is one groupBy + join on the edge frame (shuffle on
+    * node id), materialized via flatCheckpoint — eager truncation
+    * keeps the per-round plan flat AND the stats estimate constant.
+    * On a multi-node cluster a long-running loop would use reliable
+    * checkpoint() (localCheckpoint blocks die with their executor);
+    * for this bounded loop the recompute window is seconds. */
+  private[operators] def componentsFromEdges(edges: DataFrame): DataFrame = {
+    val sym = flatCheckpoint(
+      edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
+
+    // one star round over canonical (larger → smaller) edges: connect
+    // the chosen half of each node's neighborhood to the neighborhood
+    // min m(u) = least(u, min Γ(u)). Large-star rewires strictly
+    // larger neighbors, small-star the rest — together they contract
+    // every component to a star centered at its minimum.
+    def starRound(e: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val mTab = nbrs.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      val withM = nbrs.join(mTab, Seq("a"))
+      val rewired =
+        if (large) withM.where(col("b") > col("a"))
+          .select(col("b").as("a"), col("m").as("b"))
+        else
+          // small-star also keeps the center–min edge (v ∈ N⁻(u) ∪ {u}
+          // in the paper) — without it a center with only smaller
+          // neighbors would drop out of its own component
+          withM.where(col("b") <= col("a"))
+            .select(col("b").as("a"), col("m").as("b"))
+            .union(mTab.select(col("a"), col("m").as("b")))
+      rewired
+        .where(col("a") =!= col("b"))
+        .distinct()
     }
-    var curSum = labelSum(cur)
+
+    def checksum(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b"))).first()
+      if (r.getLong(0) == 0L) (0L, 0L, 0L)
+      else (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+
+    val maxRounds = 30 // O(log² n): 30 doubles past any realistic graph
+    var cur = sym
+    var curSum = checksum(cur)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
-      val prop = sym.join(cur, sym("a") === cur("node"))
-        .select(sym("b").as("node"), col("lbl"))
-      val next = cur.union(prop)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+    while (!converged && iter < maxRounds) {
+      val next = flatCheckpoint(starRound(starRound(cur, large = true), large = false))
+      val nextSum = checksum(next)
       converged = nextSum == curSum
       cur = next
       curSum = nextSum
       iter += 1
     }
-    cur.groupBy(col("lbl").as("component"))
-      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
-      .orderBy(col("component"))
+    require(converged,
+      s"connected components did not converge in $maxRounds rounds")
+    // converged edge set is a union of stars (v, root): label every
+    // node from the ORIGINAL graph with its root, roots label
+    // themselves
+    val lblMap = cur.groupBy(col("a").as("node")).agg(min(col("b")).as("root"))
+    sym.select(col("a").as("n")).distinct()
+      .join(lblMap, col("n") === col("node"), "left")
+      .select(col("n"), coalesce(col("root"), col("n")).as("lbl"))
+      .groupBy(col("lbl").as("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("n")).as("id_sum"))
   }
 
   val all: Seq[QueryDef] = Seq(
