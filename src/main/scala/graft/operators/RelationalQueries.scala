@@ -508,8 +508,145 @@ object RelationalQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
   }
 
+  // Q10c: distribution analytics — ntile / percent_rank / cume_dist /
+  // first_value / nth_value. percent_rank and cume_dist are exact
+  // rationals of rank counts, so their doubles are bit-identical on
+  // any engine; the value windows carry an explicit ROWS frame because
+  // the engines' default frames differ (RANGE vs ROWS) on ties.
+  // Scale: one shuffle on o_orderpriority; every function evaluates in
+  // a single pass over the sorted partition.
+  val q10Analytics: QueryDef = QueryDef(
+    "q10_analytics",
+    """SELECT o_orderpriority AS prio, o_orderkey,
+      |       ntile(4) OVER w AS quartile,
+      |       percent_rank() OVER w AS pct_rank,
+      |       cume_dist() OVER w AS cdist,
+      |       first_value(o_orderkey) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest,
+      |       nth_value(o_orderkey, 2) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY prio, o_orderkey""".stripMargin) { (spark, dir) =>
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val acc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("o_orderkey")).over(acc).as("cheapest"),
+        nth_value(col("o_orderkey"), 2).over(acc).as("second_cheapest"))
+      .orderBy(col("prio"), col("o_orderkey"))
+  }
+
+  // Q10d: RANGE-frame rolling aggregate — trailing-90-day spend per
+  // customer. The frame orders by unix_micros (a plain BIGINT), so the
+  // identical numeric RANGE bound runs on both engines and the peers
+  // of a tied timestamp land in the same frame by definition. Scale:
+  // one shuffle on o_custkey, then a single sorted pass; the frame sum
+  // is O(1) amortized per row (sliding accumulator), never a per-row
+  // rescan.
+  val q10Rolling: QueryDef = QueryDef(
+    "q10_rolling",
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS ts_us,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER w90 AS DOUBLE)
+      |         AS spend_90d,
+      |       count(*) OVER w90 AS n_90d
+      |FROM orders
+      |WINDOW w90 AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |               RANGE BETWEEN 7776000000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_custkey, ts_us, o_orderkey""".stripMargin) { (spark, dir) =>
+    // parquet timestamps read as NTZ; the session TZ is pinned UTC, so
+    // the LTZ cast is a no-op re-tag and unix_micros matches epoch_us
+    val tsUs = unix_micros(col("o_orderdate").cast("timestamp"))
+    val w90 = Window.partitionBy(col("o_custkey"))
+      .orderBy(tsUs)
+      .rangeBetween(-7776000000000L, 0L)
+    t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        tsUs.as("ts_us"),
+        sum(dec("o_totalprice")).over(w90).cast("double").as("spend_90d"),
+        count(lit(1)).over(w90).as("n_90d"))
+      .orderBy(col("o_custkey"), col("ts_us"), col("o_orderkey"))
+  }
+
+  // Q12f: second-moment statistics (stddev / correlation) with exact
+  // integer sums. Raw float stddev/corr aggregates are
+  // order-dependent (partial aggregation + shuffle order change the
+  // fp rounding), so both engines compute the five power sums in
+  // fixed point (round(x·1e4) → DECIMAL(19,0); products widen to
+  // DECIMAL(38,0), still exact) and only the FINAL closed-form moment
+  // formulas run in double — the same expression tree on identical
+  // inputs, hence bit-equal. Scale: map-side partial sums, one
+  // 3-group shuffle.
+  val q12Stats: QueryDef = QueryDef(
+    "q12_stats",
+    """WITH fx AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_quantity * 10000) AS DECIMAL(19,0)) AS xi,
+      |         CAST(round(l_extendedprice * 10000) AS DECIMAL(19,0)) AS yi
+      |  FROM lineitem),
+      |s AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |         sum(xi) AS sx, sum(xi * xi) AS sxx,
+      |         sum(yi) AS sy, sum(yi * yi) AS syy, sum(xi * yi) AS sxy
+      |  FROM fx GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |       CAST(sx AS DOUBLE) / n / 10000 AS mean_qty,
+      |       sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+      |            / (n - 1)) / 10000 AS stddev_qty,
+      |       (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |                * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |         AS corr_qty_price
+      |FROM s ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    val fx = t(spark, dir, "lineitem").select(col("l_returnflag"),
+      expr("CAST(round(l_quantity * 10000) AS DECIMAL(19,0))").as("xi"),
+      expr("CAST(round(l_extendedprice * 10000) AS DECIMAL(19,0))").as("yi"))
+    fx.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("xi")).as("sx"), sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("yi")).as("sy"), sum(col("yi") * col("yi")).as("syy"),
+        sum(col("xi") * col("yi")).as("sxy"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sx").cast("double") / col("n") / 10000).as("mean_qty"),
+        (sqrt((col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double") / col("n"))
+          / (col("n") - 1)) / 10000).as("stddev_qty"),
+        ((col("n") * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double"))
+          / sqrt((col("n") * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))))
+          .as("corr_qty_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  // Q15e: semi-structured payload access — extract a field from the
+  // JSON props column (the reference's opaque event body, SURVEY
+  // §1.1) and aggregate on it. Spark's get_json_object evaluates
+  // inside codegen per row; no UDF, no full JSON parse. Scale: the
+  // extraction is a map, then one 10-group shuffle.
+  val q15Json: QueryDef = QueryDef(
+    "q15_json",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+      |       count(*) AS n, min(event_id) AS min_id,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+    t(spark, dir, "events")
+      .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+        sum(expr("CAST(value AS DECIMAL(18,4))")).cast("double").as("sum_value"))
+      .orderBy(col("k_mod"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q10WindowRank, q10Scd2, q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
-    q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets,
-    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot)
+    q10WindowRank, q10Analytics, q10Rolling, q10Scd2,
+    q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
+    q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets, q12Stats,
+    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot, q15Json)
 }

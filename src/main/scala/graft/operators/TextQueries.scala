@@ -599,8 +599,95 @@ object TextQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  // ---- corpus-level repeated-passage removal (the CCNet line-dedup
+  //      step): segment every document into 10-word chunks, keep only
+  //      the FIRST occurrence of each distinct chunk corpus-wide
+  //      (first = lowest (doc_id, position)), and report what survives
+  //      per document plus an md5 fingerprint of the re-composed kept
+  //      text. This is how boilerplate (headers, navigation, license
+  //      blocks) is stripped at pretraining scale: dedup the chunk,
+  //      not the document. Scale: the chunk explode is a Generate (no
+  //      shuffle), first-occurrence is ONE shuffle on md5(chunk) —
+  //      partial min per chunk-hash map-side — and the re-compose is
+  //      the groupBy(doc_id) shuffle; nothing holds more than a
+  //      document's chunks in memory. ----
+  val q18LineDedup: QueryDef = QueryDef(
+    "q18_line_dedup",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |ch AS (SELECT doc_id, i AS ci, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
+      |       FROM w, unnest(range(0, (len(ws)+9)//10)) t(i)),
+      |fk AS (SELECT *, (doc_id*100000+ci) = min(doc_id*100000+ci)
+      |                   OVER (PARTITION BY md5(chunk)) AS keep
+      |       FROM ch)
+      |SELECT doc_id, count(*) AS n_chunks,
+      |       count(CASE WHEN keep THEN 1 END) AS n_kept,
+      |       md5(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY ci)) AS kept_md5
+      |FROM fk GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"),
+        expr("posexplode(transform(sequence(0, ((size(ws)+9) div 10) - 1)," +
+          " i -> array_join(slice(ws, i*10+1, 10), ' '))) AS (ci, chunk)"))
+    val byChunk = Window.partitionBy(md5(col("chunk").cast("binary")))
+    val rank = col("doc_id") * 100000L + col("ci")
+    val flagged = chunks.withColumn("keep", rank === min(rank).over(byChunk))
+    flagged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        count(when(col("keep"), 1)).as("n_kept"),
+        // ordered re-compose: collect only kept (ci, chunk) structs —
+        // collect_list drops the nulls of non-kept rows — sort by ci,
+        // join; null (not md5("")) when nothing survived, like the
+        // oracle's NULL-skipping string_agg
+        array_sort(collect_list(when(col("keep"),
+          struct(col("ci"), col("chunk"))))).as("kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        when(col("n_kept") > 0,
+          md5(array_join(expr("transform(kept, x -> x.chunk)"), " ")
+            .cast("binary"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---- temperature-scaled language mixing (α = 0.5): sample each
+  //      language toward a share ∝ n^α instead of the uniform target
+  //      of q18_rebalance — the standard multilingual-pretraining
+  //      rebalance that upweights the tail without flattening the
+  //      head. With α = 1/2 the per-language target is the geometric
+  //      mean √(n_min·n_s), so the keep rule hv < 2^20·√(n_min/n_s)
+  //      squares into PURE INTEGER arithmetic: keep ⟺ hv²·n_s <
+  //      n_min·2^40 — no float anywhere, immune to sqrt rounding on
+  //      any engine. (Past ~10^12 docs per language the product needs
+  //      a DECIMAL widen.) Same shape as q18_rebalance: per-language
+  //      counts broadcast, the scalar min broadcast, the filter
+  //      evaluates per row inside codegen. ----
+  val q18DomainMix: QueryDef = QueryDef(
+    "q18_domain_mix",
+    """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |mn AS (SELECT min(n) AS n_min FROM lc),
+      |d AS (SELECT lang, doc_id, (doc_id * 2654435761) % 1048576 AS hv FROM documents)
+      |SELECT d.lang, CAST(lc.n AS BIGINT) AS n_before,
+      |       count(CASE WHEN d.hv * d.hv * lc.n < mn.n_min * 1099511627776
+      |                  THEN 1 END) AS n_kept,
+      |       min(CASE WHEN d.hv * d.hv * lc.n < mn.n_min * 1099511627776
+      |                THEN d.doc_id END) AS first_kept
+      |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN mn
+      |GROUP BY d.lang, lc.n ORDER BY d.lang""".stripMargin) { (spark, dir) =>
+    val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val mn = lc.agg(min(col("n")).as("n_min"))
+    val keep = col("hv") * col("hv") * col("n") < col("n_min") * lit(1099511627776L)
+    docs(spark, dir)
+      .select(col("lang"), col("doc_id"),
+        (col("doc_id") * lit(2654435761L) % lit(1048576L)).as("hv"))
+      .join(broadcast(lc), Seq("lang"))
+      .crossJoin(broadcast(mn))
+      .groupBy(col("lang"), col("n"))
+      .agg(count(when(keep, 1)).as("n_kept"),
+        min(when(keep, col("doc_id"))).as("first_kept"))
+      .select(col("lang"), col("n").as("n_before"), col("n_kept"), col("first_kept"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
-    q18Rebalance, q18PrepPipeline)
+    q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix)
 }

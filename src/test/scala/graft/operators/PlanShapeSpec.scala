@@ -97,4 +97,39 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n <= 2, s"q18_repetition has $n hash exchanges: ${p.take(2000)}")
   }
+
+  test("q18_domain_mix: hash-filter sampling — broadcast rates, no window") {
+    // same scale contract as q18_rebalance: the α=0.5 keep decision is
+    // a per-row integer test against broadcast counts
+    val p = plan("q18_domain_mix")
+    assert(!p.contains("Window"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("q10_analytics/q10_rolling: all frames ride one partition exchange") {
+    // every analytic function shares PARTITION BY + ORDER BY, so Spark
+    // must evaluate them in one window pass over one hash exchange
+    for (q <- Seq("q10_analytics", "q10_rolling")) {
+      val p = plan(q)
+      val n = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(n == 1, s"$q has $n hash exchanges: ${p.take(2000)}")
+    }
+  }
+
+  test("q12_stats: power sums partial-aggregate map-side, one shuffle") {
+    val p = plan("q12_stats")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n == 1, s"q12_stats has $n hash exchanges: ${p.take(2000)}")
+    assert("HashAggregate".r.findAllIn(p).size == 2, p.take(2000))
+  }
+
+  test("q18_line_dedup: chunk explode is a Generate; two hash shuffles") {
+    // first-occurrence = one shuffle on md5(chunk), re-compose = one
+    // shuffle on doc_id; the explode itself must stay shuffle-free
+    val p = plan("q18_line_dedup")
+    assert(p.contains("Generate"), p.take(2000))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 2, s"q18_line_dedup has $n hash exchanges: ${p.take(2000)}")
+  }
 }
