@@ -686,8 +686,89 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- vocabulary heavy hitters via count-min sketch, anchored to
+  //      exact counts (the q12_approx_distinct pattern: the oracle
+  //      carries the exact answer, the Spark side ALSO runs the
+  //      sketch and proves its estimate lands inside the published
+  //      CMS bound est ∈ [exact, exact + ε·N]). The sketch aggregate
+  //      is map-side-combinable (counter matrices sum), the probe
+  //      runs executor-side against the broadcast sketch — at corpus
+  //      scale this is how you find tokenizer candidates without a
+  //      full vocabulary shuffle: one tiny sketch + a candidate set.
+  //      The exact count here doubles as the verification anchor. ----
+  val q18HeavyHitters: QueryDef = QueryDef(
+    "q18_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS cnt_exact FROM tok GROUP BY w)
+      |SELECT w, cnt_exact, CAST(1 AS BIGINT) AS within_tol
+      |FROM c ORDER BY cnt_exact DESC, w LIMIT 10""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tok = docs(spark, dir).select(explode(split(col("text"), " ")).as("w"))
+    val eps = 0.001
+    val skBytes = tok
+      .agg(expr(s"count_min_sketch(w, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+      .head.getAs[Array[Byte]](0)
+    val nTokens = tok.count()
+    val bc = spark.sparkContext.broadcast(skBytes)
+    val slack = math.ceil(eps * nTokens).toLong
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt_exact"))
+      .orderBy(col("cnt_exact").desc, col("w")).limit(10)
+    top.as[(String, Long)].mapPartitions { it =>
+      val cms = org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(bc.value))
+      it.map { case (w, exact) =>
+        val est = cms.estimateCount(w)
+        (w, exact, if (est >= exact && est <= exact + slack) 1L else 0L)
+      }
+    }.toDF("w", "cnt_exact", "within_tol")
+      .orderBy(col("cnt_exact").desc, col("w"))
+  }
+
+  // ---- unigram-LM quality scoring (the KenLM-style perplexity
+  //      filter reduced to its order-0 core): per-token surprisal
+  //      −ln p(w) under the corpus unigram model, summed per document.
+  //      Float-sum order dependence is eliminated by rounding each
+  //      DISTINCT token's surprisal ONCE to integer micro-nats
+  //      (round(1e6·ln(N/cnt)) — one ln per vocab entry, identical on
+  //      both engines) and keeping every aggregate integer from there
+  //      (tf·sp products widen to DECIMAL before summing). Scale: two
+  //      token passes (vocab counts, per-doc tf) and a vocab join the
+  //      planner broadcasts while the model fits — web-scale vocab
+  //      falls back to a shuffle join on the token, same plan shape.
+  //      ----
+  val q18UnigramLp: QueryDef = QueryDef(
+    "q18_unigram_lp",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |vocab AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vocab),
+      |sur AS (SELECT w, CAST(round(1000000 * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT) AS sp
+      |        FROM vocab CROSS JOIN tot),
+      |dtf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w)
+      |SELECT doc_id, CAST(sum(tf * sp) AS BIGINT) AS surprisal_upm,
+      |       CAST(sum(tf) AS BIGINT) AS n_tok,
+      |       CAST(sum(tf * sp) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_upm
+      |FROM dtf JOIN sur USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      val tok = docs(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = vocab.agg(sum(col("cnt")).cast("long").as("n"))
+      val sur = vocab.crossJoin(broadcast(tot))
+        .select(col("w"),
+          expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT)").as("sp"))
+      val dtf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      dtf.join(broadcast(sur), Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * sp) AS BIGINT)").as("surprisal_upm"),
+          sum(col("tf")).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("surprisal_upm"), col("n_tok"),
+          expr("surprisal_upm div n_tok").as("avg_upm"))
+        .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
-    q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix)
+    q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix, q18HeavyHitters,
+    q18UnigramLp)
 }
