@@ -1,0 +1,71 @@
+package graft
+
+import graft.model.Envelope
+import graft.streaming.{InputEvent, StreamProcessor}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-engine throughput bench (not driver-run; numbers recorded
+  * in BASELINE.md): pushes the events table through the
+  * MemoryStream → StreamProcessor (flatMapGroupsWithState) engine —
+  * the reference's MemoryStoreSource → Scheduler/Dispatcher path — in
+  * fixed-size micro-batches and reports end-to-end events/sec,
+  * including per-stream span coalescing, write-pos dedupe, and handler
+  * dispatch. Throughput scales with stream cardinality (per-stream
+  * serialization is the ordering contract), so the events table's
+  * ~10k users at sf0.1 is the interesting regime.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val batches = args.headOption.map(_.toInt).getOrElse(20)
+    // state-store partition count: fixed at first checkpoint, sized so
+    // per-micro-batch task+commit overhead doesn't swamp small batches
+    val statePartitions = args.lift(1).map(_.toInt).getOrElse(32)
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", statePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // events → InputEvent in stream order (the envelope's per-stream
+    // contiguous index), collected locally: MemoryStream is fed from
+    // the driver by design, like the reference's MemoryStoreSource
+    val evs = Envelope.fromEvents(Envelope.readTable(spark, sfDir, "events"))
+      .select(col("stream_name"), col("idx"), col("event_type"),
+        col("props").as("data"))
+      .as[(String, Long, String, String)]
+      .collect()
+      .map { case (s, i, t, d) => InputEvent(s, i, t, d, d.length.toLong, isUnfold = false) }
+    val n = evs.length
+    val per = math.max(1, n / batches)
+
+    val cp = java.nio.file.Files.createTempDirectory("streambench").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[Long](
+      input.toDS(), (_, events) => events.map(_.size).sum)
+    val q = out.writeStream.format("noop")
+      .outputMode("append").option("checkpointLocation", cp).start()
+
+    val t0 = System.nanoTime()
+    evs.grouped(per).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq)
+      q.processAllAvailable() // one micro-batch per feed, like a tranche page
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    q.stop()
+
+    val eps = n / wallS
+    println(
+      s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec",""" +
+        s""""n_events":$n,"batches":$batches,"state_partitions":$statePartitions,""" +
+        s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
+        s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
