@@ -766,9 +766,69 @@ object TextQueries {
         .orderBy(col("doc_id"))
   }
 
+  // ---- epoch upsampling with repetition factors: when a language
+  //      (or domain) is too small for its target share, REPEAT it —
+  //      rep_s = ceil(n_max/n_s) capped at 4 epochs (past ~4 repeats,
+  //      pretraining returns decay sharply), materialized as (doc,
+  //      copy) pairs by a per-row sequence explode. Pure integer
+  //      arithmetic ((n_max + n - 1) div n); the rep table rides a
+  //      broadcast; the explode multiplies rows map-side with NO
+  //      shuffle — at 100 TB the copies are generated next to the
+  //      consumer, never materialized through an exchange. Probe
+  //      subset keeps the oracle small. ----
+  val q18Upsample: QueryDef = QueryDef(
+    "q18_upsample",
+    """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |mx AS (SELECT max(n) AS n_max FROM lc),
+      |r AS (SELECT lang, n, least(4, (n_max + n - 1) // n) AS rep
+      |      FROM lc CROSS JOIN mx)
+      |SELECT d.doc_id, c.copy, d.lang, r.rep
+      |FROM documents d JOIN r USING (lang), unnest(range(1, rep + 1)) AS c(copy)
+      |WHERE d.doc_id % 50 = 0
+      |ORDER BY d.doc_id, copy""".stripMargin) { (spark, dir) =>
+    val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val rep = lc.crossJoin(broadcast(lc.agg(max(col("n")).as("n_max"))))
+      .select(col("lang"), col("n"),
+        least(lit(4L), (col("n_max") + col("n") - 1) / col("n") cast "long"
+        ).as("rep"))
+    docs(spark, dir)
+      .where(col("doc_id") % 50 === 0)
+      .select(col("doc_id"), col("lang"))
+      .join(broadcast(rep), Seq("lang"))
+      .select(col("doc_id"), explode(sequence(lit(1L), col("rep"))).as("copy"),
+        col("lang"), col("rep"))
+      .orderBy(col("doc_id"), col("copy"))
+  }
+
+  // ---- BPE tokenizer training, step one: adjacent-symbol pair
+  //      frequencies over the corpus (the argmax pair becomes the
+  //      first merge). Two Generates (word explode, char-bigram
+  //      explode) with NO shuffle until the pair count — which is
+  //      map-side partial — then a top-k TakeOrdered. The word-length
+  //      guard matters in Spark: sequence(1, 0) counts DOWN, so
+  //      1-char words must filter out before the bigram transform. ----
+  val q18BpePairs: QueryDef = QueryDef(
+    "q18_bpe_pairs",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair
+      |      FROM w, unnest(range(1, length(word))) t(i)
+      |      WHERE length(word) >= 2)
+      |SELECT pair, count(*) AS n
+      |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 15""".stripMargin) {
+    (spark, dir) =>
+      docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(15)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix, q18HeavyHitters,
-    q18UnigramLp)
+    q18UnigramLp, q18Upsample, q18BpePairs)
 }
