@@ -54,3 +54,64 @@ object DedupStream {
       }
   }
 }
+
+/** A 10-word chunk of one document flowing through the ingestion
+  * stream (position `ci` within `docId`). */
+final case class ChunkIn(docId: Long, ci: Int, chunk: String)
+
+/** A chunk admitted to the corpus: the first occurrence of its
+  * content, at (docId, ci). */
+final case class KeptChunk(chunkHash: String, docId: Long, ci: Int)
+
+/** Incremental CCNet-style line dedup: the streaming form of the batch
+  * q18_line_dedup operator. Chunks stream in, and only the FIRST
+  * occurrence of each distinct chunk corpus-wide survives — repeated
+  * boilerplate arriving weeks later is dropped against the full
+  * history, which lives sharded in the state store keyed by the chunk
+  * digest (RocksDB-backed on a cluster; the only shuffle is the one
+  * exchange on the digest, identical to [[DedupStream]]). Within a
+  * micro-batch the (docId, ci) minimum wins, so admission is
+  * deterministic under any partitioning; when batches arrive in
+  * document order the admitted set is EXACTLY the batch operator's
+  * keep set (ChunkStreamSpec pins this parity plus redelivery
+  * no-ops). Downstream, a consumer re-composes each document from its
+  * kept positions — the same re-compose the batch operator performs.
+  */
+object LineDedupStream {
+
+  private implicit val keptEnc: Encoder[KeptChunk] = Encoders.product[KeptChunk]
+  private implicit val stringEnc: Encoder[String] = Encoders.STRING
+
+  /** Segment whole documents into the stream's chunk rows (the same
+    * 10-word segmentation as the batch operator). */
+  def chunksOf(docs: Dataset[DocIn]): Dataset[ChunkIn] = {
+    implicit val enc: Encoder[ChunkIn] = Encoders.product[ChunkIn]
+    docs.flatMap { d =>
+      d.text.split(" ").grouped(10).zipWithIndex.map { case (ws, i) =>
+        ChunkIn(d.docId, i, ws.mkString(" "))
+      }
+    }
+  }
+
+  def firstSeen(chunks: Dataset[ChunkIn]): Dataset[KeptChunk] = {
+    implicit val stateEnc: Encoder[(Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    chunks
+      .select(md5(col("chunk").cast("binary")).as("chunkHash"),
+        col("docId"), col("ci"))
+      .as[(String, Long, Int)](Encoders.tuple(
+        Encoders.STRING, Encoders.scalaLong, Encoders.scalaInt))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Int), KeptChunk](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (hash: String, rows: Iterator[(String, Long, Int)],
+         state: GroupState[(Long, Int)]) =>
+          if (state.exists) Iterator.empty
+          else {
+            val (docId, ci) = rows.map(r => (r._2, r._3)).min
+            state.update((docId, ci))
+            Iterator.single(KeptChunk(hash, docId, ci))
+          }
+      }
+  }
+}
