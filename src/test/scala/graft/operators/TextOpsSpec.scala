@@ -94,6 +94,43 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("q18_upsample emits exactly ceil(n_max/n)-capped copies per probe doc") {
+    val dir = writeCorpus()
+    // probe filter is doc_id % 50 == 0 — widen the corpus so doc 0
+    // and 50 exist with different languages
+    import spark.implicits._
+    val wide = corpus ++ Seq(
+      (0L, "zero doc words here now", "en", "s0"),
+      (50L, "fifty doc words here now", "fr", "s1"))
+    wide.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q18_upsample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+    val byLang = wide.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val nMax = byLang.values.max
+    def rep(lang: String) = math.min(4L, (nMax + byLang(lang) - 1) / byLang(lang))
+    val expected = wide.filter(_._1 % 50 == 0).sortBy(_._1).flatMap {
+      case (id, _, lang, _) => (1L to rep(lang)).map(c => (id, c, lang, rep(lang)))
+    }
+    assert(got.toSeq == expected)
+  }
+
+  test("q18_bpe_pairs matches direct adjacent-pair counting") {
+    val dir = writeCorpus()
+    val got = SparkEntry.queries("q18_bpe_pairs")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val counts = corpus.flatMap(_._2.split(" "))
+      .filter(_.length >= 2)
+      .flatMap(w => w.sliding(2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+    val expected = counts.sortBy { case (p, n) => (-n, p) }.take(15)
+    assert(got == expected)
+  }
+
   test("q18_unigram_lp matches direct integer micro-nat surprisal sums") {
     val dir = writeCorpus()
     val got = SparkEntry.queries("q18_unigram_lp")(spark, dir)
