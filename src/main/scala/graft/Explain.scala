@@ -15,7 +15,8 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_scan_filter", "q11_join", "q12_agg", "q13_topk",
         "q18_cosine_topk", "q18_minhash_pairs", "q18_dedup_embed",
-        "q16_stream_join", "q20_range_join")
+        "q16_stream_join", "q20_range_join", "q18_line_dedup",
+        "q18_domain_mix", "q18_unigram_lp", "q22_funnel")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")

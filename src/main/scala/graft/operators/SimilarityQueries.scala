@@ -841,8 +841,56 @@ object SimilarityQueries {
       .agg(count(lit(1)).as("n_members"), sum(col("n")).as("id_sum"))
   }
 
+  // ---- label-blocked kNN graph: every vector's top-2 nearest
+  //      neighbors within its block — the primitive under embedding
+  //      clustering, semantic dedup chains, and diversity sampling.
+  //      The block key bounds the pair enumeration exactly like the
+  //      IVF list does (|block|² pairs per block, never corpus²), the
+  //      dot products are the codegen'd integer kernel, and the
+  //      per-vector top-2 is a row_number window on vec_id that rides
+  //      the pair join's own partitioning; cosine ties break on
+  //      neighbor id so the ranking is engine-independent. ----
+  val q18KnnGraph: QueryDef = QueryDef(
+    "q18_knn_graph",
+    s"""WITH $quantSql,
+       |pairs AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |         ${dotQSql("a.q", "b.q")} AS dot_s,
+       |         a.n2 AS n2_a, b.n2 AS n2_b
+       |  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |sc AS (
+       |  SELECT vec_id, nb_id,
+       |         CAST(dot_s AS DOUBLE)
+       |           / (sqrt(CAST(n2_a AS DOUBLE)) * sqrt(CAST(n2_b AS DOUBLE))) AS cosine
+       |  FROM pairs),
+       |rk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cosine DESC, nb_id) AS rnk
+       |  FROM sc)
+       |SELECT vec_id, rnk, nb_id, cosine FROM rk WHERE rnk <= 2
+       |ORDER BY vec_id, rnk""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val a = qn.select(col("label"), col("vec_id"),
+      col("q").as("qa"), col("n2").as("n2_a"))
+    val b = qn.select(col("label"), col("vec_id").as("nb_id"),
+      col("q").as("qb"), col("n2").as("n2_b"))
+    val cosine = col("dot_s").cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("nb_id"))
+    a.join(b, Seq("label"))
+      .where(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"), dotQ("qa", "qb").as("dot_s"),
+        col("n2_a"), col("n2_b"))
+      .select(col("vec_id"), col("nb_id"), cosine.as("cosine"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 2)
+      .select(col("vec_id"), col("rnk"), col("nb_id"), col("cosine"))
+      .orderBy(col("vec_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
-    q18DedupResolve, q18CleanCorpus, q18CcDedup)
+    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph)
 }
