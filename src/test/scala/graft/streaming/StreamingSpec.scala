@@ -137,6 +137,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("streaming sliding windows equal the batch q16_sliding aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val events = Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)].collect()
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, Double)]
+    val streamed = input.toDS()
+      .toDF("event_id", "ts", "user_id", "value")
+      .withWatermark("ts", "1 minute")
+      .groupBy(concat(lit("user-"), col("user_id")).as("stream_name"),
+        window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(value AS DECIMAL(20,4))")).cast("double").as("sum_value"))
+      .select(col("stream_name"), unix_micros(col("window.start")).as("ws"),
+        col("n"), col("sum_value"))
+    val q = streamed.writeStream.format("memory").queryName("slide_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-slide")).start()
+    input.addData(events.toIndexedSeq)
+    q.processAllAvailable()
+    // push the watermark far past the data so every window finalizes
+    input.addData((999999L, java.sql.Timestamp.valueOf("2030-01-01 00:00:00"), 9999L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = graft.operators.EventTimeQueries.q16Sliding
+      .build(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Double)].collect().toSet
+    val stream = spark.table("slide_out").as[(String, Long, Long, Double)]
+      .collect().toSet.filterNot(_._1 == "user-9999")
+    assert(stream == batch)
+  }
+
   test("transformWithState engine is span-identical to flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
