@@ -133,6 +133,32 @@ object ScaleOps {
     salted.join(dimRep, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Bloom-filter pre-join pruning: when a selective dim side would
+    * discard most of a 100 TB fact side AFTER the shuffle, build a
+    * bloom filter over the dim keys once (`df.stat.bloomFilter`, a
+    * distributed aggregate), broadcast the few MB of bits, and drop
+    * non-matching fact rows BEFORE the exchange — the shuffle then
+    * carries only (matches + fpp·misses) rows. The exact join after it
+    * removes the false positives, so the result is row-identical to
+    * the plain join (no false negatives by construction); this is the
+    * manual form of Spark's runtime `bloomFilter` injection
+    * (spark.sql.optimizer.runtime.bloomFilter.enabled, on by default,
+    * which stays inside codegen via BloomFilterMightContain), explicit
+    * for joins you KNOW are selective. The public-API probe here is a
+    * typed Row filter — it deserializes rows, so prefer the automatic
+    * injection when it fires and reserve this helper for sources the
+    * optimizer can't see through (e.g. an RDD-backed scan).
+    * `expectedKeys/fpp` size the filter: 1M keys at 1% ≈ 1.2 MB of
+    * broadcast bits. */
+  def bloomPrune(
+      facts: DataFrame, dim: DataFrame, key: String,
+      expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
+    val bf = dim.stat.bloomFilter(key, expectedKeys, fpp)
+    val bc = facts.sparkSession.sparkContext.broadcast(bf)
+    val pruned = facts.filter(r => bc.value.mightContain(r.getAs[Any](key)))
+    pruned.join(dim, Seq(key))
+  }
+
   /** Salted join, oracle-checked against the plain-join result: events
     * (5 event types = extreme key skew at scale) joined to a per-type
     * dim through 16 salt buckets; counts must prove no row was lost or

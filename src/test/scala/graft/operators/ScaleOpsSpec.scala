@@ -113,4 +113,22 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(second.map(_._3).sorted.toList == second.map(_._3).toList.sorted)
     assert(epoch2.map(_._3).min > first.map(_._3).max)
   }
+
+  test("bloomPrune: result identical to the plain join on a selective dim") {
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_id"), col("user_id"))
+    // selective dim: 1 user in 20
+    val dim = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id")).distinct()
+      .where(col("user_id") % 20 === 0)
+      .withColumn("flag", lit(1L))
+    val pruned = ScaleOps.bloomPrune(events, dim, "user_id", expectedKeys = 1000L)
+      .select(col("user_id"), col("event_id"), col("flag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val plain = events.join(dim, Seq("user_id"))
+      .select(col("user_id"), col("event_id"), col("flag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(pruned.nonEmpty)
+    assert(pruned == plain)
+  }
 }
