@@ -274,7 +274,46 @@ object EventTimeQueries {
       .orderBy(col("user_id"))
   }
 
+  // ---- Q22b: cohort retention — users grouped by first-purchase
+  //      week, activity counted per week offset since that first
+  //      purchase (the classic retention triangle). Week arithmetic
+  //      is pure integer microseconds ((us - epoch) div week_us) so
+  //      both engines bucket identically — calendar week-boundary
+  //      functions differ between engines and never enter the plan.
+  //      Scale: the first-touch aggregate and the cohort join both
+  //      key on user_id (one reused hash partitioning), then a tiny
+  //      (cohort, offset) distinct-count shuffle. ----
+  val q22Retention: QueryDef = QueryDef(
+    "q22_retention",
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |f AS (SELECT user_id, min(us) AS first_us FROM p GROUP BY user_id),
+      |a AS (
+      |  SELECT p.user_id,
+      |         (f.first_us - 1704067200000000) // 604800000000 AS cohort_w,
+      |         (p.us - f.first_us) // 604800000000 AS offset_w
+      |  FROM p JOIN f USING (user_id))
+      |SELECT cohort_w, offset_w, count(DISTINCT user_id) AS n_users
+      |FROM a GROUP BY cohort_w, offset_w
+      |ORDER BY cohort_w, offset_w""".stripMargin) { (spark, dir) =>
+    val weekUs = 604800000000L
+    val epoch0 = 1704067200000000L // 2024-01-01 UTC
+    val p = Envelope.readTable(spark, dir, "events")
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+    val f = p.groupBy(col("user_id")).agg(min(col("us")).as("first_us"))
+    p.join(f, Seq("user_id"))
+      .select(
+        expr(s"(first_us - ${epoch0}L) div ${weekUs}L").as("cohort_w"),
+        expr(s"(us - first_us) div ${weekUs}L").as("offset_w"),
+        col("user_id"))
+      .groupBy(col("cohort_w"), col("offset_w"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_w"), col("offset_w"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q17Stateful,
-    q22Funnel)
+    q22Funnel, q22Retention)
 }

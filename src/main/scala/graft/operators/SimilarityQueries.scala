@@ -889,8 +889,44 @@ object SimilarityQueries {
       .orderBy(col("vec_id"), col("rnk"))
   }
 
+  // ---- per-block centroid computation (the Lloyd/IVF training step
+  //      and the cluster-summarization primitive): element-wise
+  //      integer sums of the quantized vectors per label, probed on
+  //      the first 4 dims for the oracle. The dim explode is a
+  //      Generate; the (label, dim) aggregate is map-side partial —
+  //      all integer, so the mean is engine- and order-independent.
+  //      At 100 TB the full-width variant aggregates the quantized
+  //      array with an element-wise agg (zip_with over a fold), never
+  //      exploding dims through a shuffle; the per-dim form here
+  //      keeps the oracle in plain SQL. ----
+  val q18Centroids: QueryDef = QueryDef(
+    "q18_centroids",
+    s"""WITH quant AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding,
+       |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |u AS (
+       |  SELECT label, i AS dim, q[i] AS qi
+       |  FROM quant, unnest(range(1, len(q) + 1)) t(i)
+       |  WHERE i <= 4)
+       |SELECT label, dim, CAST(sum(qi) AS BIGINT) AS sum_q, count(*) AS n,
+       |       CAST(sum(qi) AS BIGINT) // count(*) AS mean_q
+       |FROM u GROUP BY label, dim ORDER BY label, dim""".stripMargin) {
+    (spark, dir) =>
+      quantized(embs(spark, dir))
+        .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
+        .where(col("dim0") < 4)
+        .select(col("label"), (col("dim0") + 1).cast("long").as("dim"), col("qi"))
+        .groupBy(col("label"), col("dim"))
+        .agg(sum(col("qi")).as("sum_q"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim"), col("sum_q"), col("n"),
+          expr("sum_q div n").as("mean_q"))
+        .orderBy(col("label"), col("dim"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
-    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph)
+    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids)
 }
