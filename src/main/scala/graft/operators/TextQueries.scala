@@ -629,6 +629,9 @@ object TextQueries {
         expr("posexplode(transform(sequence(0, ((size(ws)+9) div 10) - 1)," +
           " i -> array_join(slice(ws, i*10+1, 10), ' '))) AS (ci, chunk)"))
     val byChunk = Window.partitionBy(md5(col("chunk").cast("binary")))
+    // (doc_id, ci) totally ordered as one integer; the 100k factor
+    // bounds documents at 1M words — beyond that, widen the factor (or
+    // switch to a struct min) in BOTH engines
     val rank = col("doc_id") * 100000L + col("ci")
     val flagged = chunks.withColumn("keep", rank === min(rank).over(byChunk))
     flagged.groupBy(col("doc_id"))
