@@ -925,8 +925,56 @@ object SimilarityQueries {
         .orderBy(col("label"), col("dim"))
   }
 
+  // ---- integer PageRank over the near-dup graph (3 unrolled
+  //      iterations, d = 0.85): centrality on the duplicate graph
+  //      ranks the "template" documents whose boilerplate spread the
+  //      widest — complementary to the CC operator (which only labels
+  //      membership). All arithmetic is exact fixed point: rank scaled
+  //      ×1e6, per-edge contribution pr div (100·deg), damping as
+  //      integer 85/100·sum + 150000 — identical truncation on both
+  //      engines, so the oracle hash-matches where float PageRank
+  //      never could. Near-clique components correctly converge to
+  //      uniform rank; irregular ones differentiate. Each iteration is
+  //      one join + one map-side-combinable sum on the edge frame —
+  //      the same shuffle budget as a CC round; a variable-round
+  //      variant would reuse flatCheckpoint, but 3 unrolled rounds
+  //      keep the lineage flat without it. ----
+  val q18Pagerank: QueryDef = QueryDef(
+    "q18_pagerank",
+    s"""WITH $minhashSql,
+       |e AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |deg AS (SELECT a AS node, count(*) AS d FROM sym GROUP BY a),
+       |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr FROM deg),
+       |it1 AS (SELECT s.b AS node, CAST(150000 + 85 * sum(p.pr // (100 * g.d)) AS BIGINT) AS pr
+       |        FROM sym s JOIN pr0 p ON s.a = p.node JOIN deg g ON s.a = g.node GROUP BY s.b),
+       |it2 AS (SELECT s.b AS node, CAST(150000 + 85 * sum(p.pr // (100 * g.d)) AS BIGINT) AS pr
+       |        FROM sym s JOIN it1 p ON s.a = p.node JOIN deg g ON s.a = g.node GROUP BY s.b),
+       |it3 AS (SELECT s.b AS node, CAST(150000 + 85 * sum(p.pr // (100 * g.d)) AS BIGINT) AS pr
+       |        FROM sym s JOIN it2 p ON s.a = p.node JOIN deg g ON s.a = g.node GROUP BY s.b)
+       |SELECT node, pr FROM it3 ORDER BY pr DESC, node LIMIT 20""".stripMargin) {
+    (spark, dir) =>
+      val edges = bucketPairs(bandBuckets(docs(spark, dir)))
+        .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
+      val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      def round(p: DataFrame): DataFrame =
+        sym
+          .join(p.select(col("node").as("src"), col("pr")), col("a") === col("src"))
+          .join(deg.select(col("node").as("srcd"), col("d")), col("a") === col("srcd"))
+          .select(col("b").as("node"), expr("pr div (100 * d)").as("c"))
+          .groupBy(col("node"))
+          .agg((lit(150000L) + lit(85L) * sum(col("c"))).as("pr"))
+      val it3 = round(round(round(deg.select(col("node"), lit(1000000L).as("pr")))))
+      it3.orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
-    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids)
+    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
+    q18Pagerank)
 }

@@ -829,9 +829,44 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair")).limit(15)
   }
 
+  // ---- deterministic weighted sampling: keep each doc with
+  //      probability ∝ its token weight (longer/higher-quality docs
+  //      oversampled), targeting K ≈ 100 expected survivors — the
+  //      quality-weighted subsample step of a data-curation run, as a
+  //      pure-integer Bernoulli rule: keep ⟺ hv·Σw < 2^20·K·w (hv the
+  //      portable doc_id hash). Zero float, zero randomness, stable
+  //      under re-runs and partitioning; the total weight rides a
+  //      broadcast scalar. (Past ~10^13 total tokens the hv·Σw
+  //      product needs a DECIMAL widen.) ----
+  val q18WeightedSample: QueryDef = QueryDef(
+    "q18_weighted_sample",
+    """WITH wts AS (
+      |  SELECT doc_id, lang, len(string_split(text, ' ')) AS w FROM documents),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
+      |d AS (SELECT doc_id, lang, w,
+      |             (doc_id * 2654435761) % 1048576 AS hv FROM wts)
+      |SELECT lang, count(*) AS n,
+      |       count(CASE WHEN hv * tw < 1048576 * 100 * w THEN 1 END) AS n_kept,
+      |       CAST(sum(CASE WHEN hv * tw < 1048576 * 100 * w THEN w END) AS BIGINT)
+      |         AS w_kept
+      |FROM d CROSS JOIN tot
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+    val wts = docs(spark, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("w"))
+    val tot = wts.agg(sum(col("w")).cast("long").as("tw"))
+    val keep = col("hv") * col("tw") < lit(1048576L) * 100L * col("w")
+    wts
+      .withColumn("hv", col("doc_id") * lit(2654435761L) % lit(1048576L))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), count(when(keep, 1)).as("n_kept"),
+        sum(when(keep, col("w"))).cast("long").as("w_kept"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix, q18HeavyHitters,
-    q18UnigramLp, q18Upsample, q18BpePairs)
+    q18UnigramLp, q18Upsample, q18BpePairs, q18WeightedSample)
 }
