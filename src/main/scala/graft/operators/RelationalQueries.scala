@@ -625,6 +625,61 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  // Q14b: snapshot diff / CDC classification — the relational core of
+  // the reference's PeriodicSource re-crawl (SURVEY §2.1): two
+  // point-in-time states of the same keyed store, full-outer joined
+  // and classified added/removed/changed/unchanged. State per key =
+  // latest value by event_id (unique, so arg_max is deterministic);
+  // snapshot bounds are integer epoch-micros. Scale: both snapshot
+  // aggregates and the diff join key on (user_id, event_type) — one
+  // partitioning end-to-end — and the class rollup is a 4-group
+  // aggregate.
+  val q14SnapshotDiff: QueryDef = QueryDef(
+    "q14_snapshot_diff",
+    """WITH old AS (
+      |  SELECT user_id, event_type, arg_max(value, event_id) AS v
+      |  FROM events WHERE epoch_us(ts) < 1704240000000000
+      |  GROUP BY user_id, event_type),
+      |new AS (
+      |  SELECT user_id, event_type, arg_max(value, event_id) AS v
+      |  FROM events WHERE epoch_us(ts) >= 1704240000000000
+      |    AND epoch_us(ts) < 1704412800000000
+      |  GROUP BY user_id, event_type),
+      |j AS (
+      |  SELECT coalesce(old.user_id, new.user_id) AS user_id,
+      |         CASE WHEN old.user_id IS NULL THEN 'added'
+      |              WHEN new.user_id IS NULL THEN 'removed'
+      |              WHEN old.v = new.v THEN 'unchanged'
+      |              ELSE 'changed' END AS class
+      |  FROM old FULL OUTER JOIN new
+      |    ON old.user_id = new.user_id AND old.event_type = new.event_type)
+      |SELECT class, count(*) AS n, min(user_id) AS min_user, max(user_id) AS max_user
+      |FROM j GROUP BY class ORDER BY class""".stripMargin) { (spark, dir) =>
+    val t0 = 1704240000000000L // 2024-01-03 UTC
+    val t1 = 1704412800000000L // 2024-01-05 UTC
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    def snap(lo: Long, hi: Long) = ev
+      .where(col("us") >= lo && col("us") < hi)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max_by(col("value"), col("event_id")).as("v"))
+    val o = snap(Long.MinValue, t0)
+      .select(col("user_id").as("o_uid"), col("event_type").as("o_type"), col("v").as("o_v"))
+    val n = snap(t0, t1)
+      .select(col("user_id").as("n_uid"), col("event_type").as("n_type"), col("v").as("n_v"))
+    o.join(n, col("o_uid") === col("n_uid") && col("o_type") === col("n_type"), "full_outer")
+      .select(coalesce(col("o_uid"), col("n_uid")).as("user_id"),
+        when(col("o_uid").isNull, "added")
+          .when(col("n_uid").isNull, "removed")
+          .when(col("o_v") === col("n_v"), "unchanged")
+          .otherwise("changed").as("class"))
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"), min(col("user_id")).as("min_user"),
+        max(col("user_id")).as("max_user"))
+      .orderBy(col("class"))
+  }
+
   // Q15e: semi-structured payload access — extract a field from the
   // JSON props column (the reference's opaque event body, SURVEY
   // §1.1) and aggregate on it. Spark's get_json_object evaluates
@@ -648,5 +703,6 @@ object RelationalQueries {
     q10WindowRank, q10Analytics, q10Rolling, q10Scd2,
     q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets, q12Stats,
-    q13TopK, q14SetOps, q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot, q15Json)
+    q13TopK, q14SetOps, q14SnapshotDiff,
+    q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot, q15Json)
 }
