@@ -639,11 +639,13 @@ object RelationalQueries {
     """WITH old AS (
       |  SELECT user_id, event_type, arg_max(value, event_id) AS v
       |  FROM events WHERE epoch_us(ts) < 1704240000000000
+      |    AND value IS NOT NULL
       |  GROUP BY user_id, event_type),
       |new AS (
       |  SELECT user_id, event_type, arg_max(value, event_id) AS v
       |  FROM events WHERE epoch_us(ts) >= 1704240000000000
       |    AND epoch_us(ts) < 1704412800000000
+      |    AND value IS NOT NULL
       |  GROUP BY user_id, event_type),
       |j AS (
       |  SELECT coalesce(old.user_id, new.user_id) AS user_id,
@@ -657,7 +659,11 @@ object RelationalQueries {
       |FROM j GROUP BY class ORDER BY class""".stripMargin) { (spark, dir) =>
     val t0 = 1704240000000000L // 2024-01-03 UTC
     val t1 = 1704412800000000L // 2024-01-05 UTC
+    // null-valued rows filter out on BOTH sides: DuckDB's arg_max
+    // skips null arguments while Spark's max_by returns them, so the
+    // explicit filter is what keeps the engines' snapshots identical
     val ev = t(spark, dir, "events")
+      .where(col("value").isNotNull)
       .select(col("user_id"), col("event_type"), col("value"), col("event_id"),
         unix_micros(col("ts").cast("timestamp")).as("us"))
     def snap(lo: Long, hi: Long) = ev

@@ -153,9 +153,14 @@ object ScaleOps {
   def bloomPrune(
       facts: DataFrame, dim: DataFrame, key: String,
       expectedKeys: Long, fpp: Double = 0.01): DataFrame = {
-    val bf = dim.stat.bloomFilter(key, expectedKeys, fpp)
+    // null keys never match an inner join, so drop them on both sides
+    // up front — BloomFilter.put/mightContain throw on null
+    val bf = dim.where(col(key).isNotNull).stat.bloomFilter(key, expectedKeys, fpp)
     val bc = facts.sparkSession.sparkContext.broadcast(bf)
-    val pruned = facts.filter(r => bc.value.mightContain(r.getAs[Any](key)))
+    val pruned = facts.filter { r =>
+      val v = r.getAs[Any](key)
+      v != null && bc.value.mightContain(v)
+    }
     pruned.join(dim, Seq(key))
   }
 

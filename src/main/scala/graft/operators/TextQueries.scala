@@ -658,28 +658,38 @@ object TextQueries {
   //      mean √(n_min·n_s), so the keep rule hv < 2^20·√(n_min/n_s)
   //      squares into PURE INTEGER arithmetic: keep ⟺ hv²·n_s <
   //      n_min·2^40 — no float anywhere, immune to sqrt rounding on
-  //      any engine. (Past ~10^12 docs per language the product needs
-  //      a DECIMAL widen.) Same shape as q18_rebalance: per-language
+  //      any engine. Both the hash and the keep products run in
+  //      DECIMAL(38,0): hv²·n passes int64 at just ~8.4M docs per
+  //      language (2^40·n > 2^63), and doc_id·2654435761 at ~3.5G
+  //      docs — where Spark would wrap while DuckDB errors. The
+  //      decimal form is exact at any corpus size and identical to
+  //      int64 in range. Same shape as q18_rebalance: per-language
   //      counts broadcast, the scalar min broadcast, the filter
   //      evaluates per row inside codegen. ----
   val q18DomainMix: QueryDef = QueryDef(
     "q18_domain_mix",
     """WITH lc AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
       |mn AS (SELECT min(n) AS n_min FROM lc),
-      |d AS (SELECT lang, doc_id, (doc_id * 2654435761) % 1048576 AS hv FROM documents)
+      |d AS (SELECT lang, doc_id,
+      |             (CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576 AS hv
+      |      FROM documents)
       |SELECT d.lang, CAST(lc.n AS BIGINT) AS n_before,
-      |       count(CASE WHEN d.hv * d.hv * lc.n < mn.n_min * 1099511627776
+      |       count(CASE WHEN d.hv * d.hv * lc.n
+      |                       < CAST(mn.n_min AS DECIMAL(38,0)) * 1099511627776
       |                  THEN 1 END) AS n_kept,
-      |       min(CASE WHEN d.hv * d.hv * lc.n < mn.n_min * 1099511627776
+      |       min(CASE WHEN d.hv * d.hv * lc.n
+      |                     < CAST(mn.n_min AS DECIMAL(38,0)) * 1099511627776
       |                THEN d.doc_id END) AS first_kept
       |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN mn
       |GROUP BY d.lang, lc.n ORDER BY d.lang""".stripMargin) { (spark, dir) =>
     val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val mn = lc.agg(min(col("n")).as("n_min"))
-    val keep = col("hv") * col("hv") * col("n") < col("n_min") * lit(1099511627776L)
+    val keep = col("hv") * col("hv") * col("n") <
+      col("n_min").cast("decimal(38,0)") * lit(1099511627776L)
     docs(spark, dir)
       .select(col("lang"), col("doc_id"),
-        (col("doc_id") * lit(2654435761L) % lit(1048576L)).as("hv"))
+        (col("doc_id").cast("decimal(38,0)") * lit(2654435761L) % lit(1048576L))
+          .as("hv"))
       .join(broadcast(lc), Seq("lang"))
       .crossJoin(broadcast(mn))
       .groupBy(col("lang"), col("n"))
@@ -711,8 +721,10 @@ object TextQueries {
     val skBytes = tok
       .agg(expr(s"count_min_sketch(w, CAST($eps AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
       .head.getAs[Array[Byte]](0)
-    val nTokens = tok.count()
     val bc = spark.sparkContext.broadcast(skBytes)
+    // total token count read off the sketch itself — no extra corpus pass
+    val nTokens = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes)).totalCount()
     val slack = math.ceil(eps * nTokens).toLong
     val top = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt_exact"))
       .orderBy(col("cnt_exact").desc, col("w")).limit(10)
@@ -792,8 +804,7 @@ object TextQueries {
     val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val rep = lc.crossJoin(broadcast(lc.agg(max(col("n")).as("n_max"))))
       .select(col("lang"), col("n"),
-        least(lit(4L), (col("n_max") + col("n") - 1) / col("n") cast "long"
-        ).as("rep"))
+        least(lit(4L), expr("(n_max + n - 1) div n")).as("rep"))
     docs(spark, dir)
       .where(col("doc_id") % 50 === 0)
       .select(col("doc_id"), col("lang"))

@@ -87,7 +87,11 @@ object LineDedupStream {
   def chunksOf(docs: Dataset[DocIn]): Dataset[ChunkIn] = {
     implicit val enc: Encoder[ChunkIn] = Encoders.product[ChunkIn]
     docs.flatMap { d =>
-      d.text.split(" ").grouped(10).zipWithIndex.map { case (ws, i) =>
+      // split with limit -1: keep trailing empty tokens, exactly like
+      // the batch operator's Spark SQL split — Scala's 1-arg split
+      // drops them, which would silently break streaming/batch parity
+      // on trailing-delimiter text
+      d.text.split(" ", -1).grouped(10).zipWithIndex.map { case (ws, i) =>
         ChunkIn(d.docId, i, ws.mkString(" "))
       }
     }
