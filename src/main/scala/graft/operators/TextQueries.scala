@@ -474,7 +474,10 @@ object TextQueries {
   //      smallest language's count so the training mix is flat. The
   //      keep decision is a portable integer hash — hv = (doc_id ·
   //      2654435761) mod 2^20 (Knuth multiplicative), keep iff
-  //      hv · n_lang < target · 2^20 — so the sample is reproducible
+  //      hv · n_lang < target · 2^20 (all in DECIMAL(38,0): the raw
+  //      int64 products wrap at ~3.5G docs / ~8.8T docs-per-language,
+  //      where Spark and DuckDB diverge) — so the sample is
+  //      reproducible
   //      on any engine, any partitioning, with NO per-language sort or
   //      window (a rank-based quota would funnel each language through
   //      one reducer at 100 TB; the hash filter is embarrassingly
@@ -485,20 +488,24 @@ object TextQueries {
       |tgt AS (SELECT min(n) AS target FROM lc),
       |d AS (
       |  SELECT lang, doc_id,
-      |         (doc_id * 2654435761) % 1048576 AS hv
+      |         (CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576 AS hv
       |  FROM documents)
       |SELECT d.lang, CAST(lc.n AS BIGINT) AS n_before,
-      |       count(CASE WHEN d.hv * lc.n < tgt.target * 1048576 THEN 1 END) AS n_kept,
-      |       min(CASE WHEN d.hv * lc.n < tgt.target * 1048576 THEN d.doc_id END) AS first_kept
+      |       count(CASE WHEN d.hv * lc.n < CAST(tgt.target AS DECIMAL(38,0)) * 1048576
+      |             THEN 1 END) AS n_kept,
+      |       min(CASE WHEN d.hv * lc.n < CAST(tgt.target AS DECIMAL(38,0)) * 1048576
+      |           THEN d.doc_id END) AS first_kept
       |FROM d JOIN lc ON d.lang = lc.lang CROSS JOIN tgt
       |GROUP BY d.lang, lc.n
       |ORDER BY d.lang""".stripMargin) { (spark, dir) =>
     val lc = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val tgt = lc.agg(min(col("n")).as("target"))
-    val keep = col("hv") * col("n") < col("target") * lit(1048576L)
+    val keep = col("hv") * col("n") <
+      col("target").cast("decimal(38,0)") * lit(1048576L)
     docs(spark, dir)
       .select(col("lang"), col("doc_id"),
-        (col("doc_id") * lit(2654435761L) % lit(1048576L)).as("hv"))
+        (col("doc_id").cast("decimal(38,0)") * lit(2654435761L) % lit(1048576L))
+          .as("hv"))
       .join(broadcast(lc), Seq("lang"))
       .crossJoin(broadcast(tgt))
       .groupBy(col("lang"), col("n"))
@@ -542,7 +549,8 @@ object TextQueries {
        |rb AS (
        |  SELECT e.doc_id, e.lang, e.n_words
        |  FROM e JOIN lc ON e.lang = lc.lang CROSS JOIN tgt
-       |  WHERE ((e.doc_id * 2654435761) % 1048576) * lc.n < tgt.target * 1048576),
+       |  WHERE ((CAST(e.doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576) * lc.n
+       |        < CAST(tgt.target AS DECIMAL(38,0)) * 1048576),
        |sp AS (
        |  SELECT *,
        |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
@@ -582,7 +590,8 @@ object TextQueries {
     val rb = e
       .join(broadcast(lc), Seq("lang"))
       .crossJoin(broadcast(tgt))
-      .where((col("doc_id") * lit(2654435761L) % lit(1048576L)) * col("n") <
+      .where((col("doc_id").cast("decimal(38,0)") * lit(2654435761L)
+        % lit(1048576L)) * col("n") <
         col("target") * lit(1048576L))
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val sp = rb.select(col("doc_id"), col("lang"), col("n_words"),
@@ -847,27 +856,32 @@ object TextQueries {
   //      pure-integer Bernoulli rule: keep ⟺ hv·Σw < 2^20·K·w (hv the
   //      portable doc_id hash). Zero float, zero randomness, stable
   //      under re-runs and partitioning; the total weight rides a
-  //      broadcast scalar. (Past ~10^13 total tokens the hv·Σw
-  //      product needs a DECIMAL widen.) ----
+  //      broadcast scalar, and the products run in DECIMAL(38,0) so
+  //      no corpus size can wrap them. ----
   val q18WeightedSample: QueryDef = QueryDef(
     "q18_weighted_sample",
     """WITH wts AS (
       |  SELECT doc_id, lang, len(string_split(text, ' ')) AS w FROM documents),
       |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw FROM wts),
       |d AS (SELECT doc_id, lang, w,
-      |             (doc_id * 2654435761) % 1048576 AS hv FROM wts)
+      |             (CAST(doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576 AS hv
+      |      FROM wts)
       |SELECT lang, count(*) AS n,
-      |       count(CASE WHEN hv * tw < 1048576 * 100 * w THEN 1 END) AS n_kept,
-      |       CAST(sum(CASE WHEN hv * tw < 1048576 * 100 * w THEN w END) AS BIGINT)
+      |       count(CASE WHEN hv * tw < CAST(1048576 AS DECIMAL(38,0)) * 100 * w
+      |             THEN 1 END) AS n_kept,
+      |       CAST(sum(CASE WHEN hv * tw < CAST(1048576 AS DECIMAL(38,0)) * 100 * w
+      |                THEN w END) AS BIGINT)
       |         AS w_kept
       |FROM d CROSS JOIN tot
       |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
     val wts = docs(spark, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("long").as("w"))
     val tot = wts.agg(sum(col("w")).cast("long").as("tw"))
-    val keep = col("hv") * col("tw") < lit(1048576L) * 100L * col("w")
+    val keep = col("hv") * col("tw") <
+      lit(1048576L).cast("decimal(38,0)") * 100L * col("w")
     wts
-      .withColumn("hv", col("doc_id") * lit(2654435761L) % lit(1048576L))
+      .withColumn("hv",
+        col("doc_id").cast("decimal(38,0)") * lit(2654435761L) % lit(1048576L))
       .crossJoin(broadcast(tot))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), count(when(keep, 1)).as("n_kept"),
