@@ -592,7 +592,7 @@ object TextQueries {
       .crossJoin(broadcast(tgt))
       .where((col("doc_id").cast("decimal(38,0)") * lit(2654435761L)
         % lit(1048576L)) * col("n") <
-        col("target") * lit(1048576L))
+        col("target").cast("decimal(38,0)") * lit(1048576L))
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val sp = rb.select(col("doc_id"), col("lang"), col("n_words"),
       when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
@@ -625,7 +625,7 @@ object TextQueries {
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |ch AS (SELECT doc_id, i AS ci, array_to_string(ws[(i*10+1):(i*10+10)], ' ') AS chunk
       |       FROM w, unnest(range(0, (len(ws)+9)//10)) t(i)),
-      |fk AS (SELECT *, (doc_id*100000+ci) = min(doc_id*100000+ci)
+      |fk AS (SELECT *, (doc_id, ci) = min((doc_id, ci))
       |                   OVER (PARTITION BY md5(chunk)) AS keep
       |       FROM ch)
       |SELECT doc_id, count(*) AS n_chunks,
@@ -638,10 +638,9 @@ object TextQueries {
         expr("posexplode(transform(sequence(0, ((size(ws)+9) div 10) - 1)," +
           " i -> array_join(slice(ws, i*10+1, 10), ' '))) AS (ci, chunk)"))
     val byChunk = Window.partitionBy(md5(col("chunk").cast("binary")))
-    // (doc_id, ci) totally ordered as one integer; the 100k factor
-    // bounds documents at 1M words — beyond that, widen the factor (or
-    // switch to a struct min) in BOTH engines
-    val rank = col("doc_id") * 100000L + col("ci")
+    // first occurrence = lexicographic min over (doc_id, ci) — struct
+    // ordering in both engines, no scale factor to overflow
+    val rank = struct(col("doc_id"), col("ci"))
     val flagged = chunks.withColumn("keep", rank === min(rank).over(byChunk))
     flagged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_chunks"),
