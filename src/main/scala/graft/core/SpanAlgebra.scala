@@ -107,21 +107,72 @@ object SpanAlgebra {
   def queuedIsAtWritePos(spans: Vector[Span], writePos: Long): Boolean =
     spans.headOption.exists(s => spanIndex(s) <= writePos)
 
+  /** Revision counter start value (Streams.fs:155-158: Revision.initial
+    * = -1, incremented on every queue unfold-set change). */
+  val RevisionInitial: Long = -1L
+
+  /** The unfold suffix of the canonical queue's tail span. */
+  def tailUnfolds(queue: Vector[Span]): Vector[Ev] =
+    queue.lastOption.map(_.filter(_.isUnfold)).getOrElse(Vector.empty)
+
+  /** Drop every unfold from the queue (StreamSpan.stripUnfolds). */
+  def stripUnfolds(queue: Vector[Span]): Vector[Span] =
+    queue.map(_.filterNot(_.isUnfold)).filter(_.nonEmpty)
+
+  /** Did an ingest/combine change the queue's unfold set? Mirrors the
+    * reference's physical-equality test (Streams.fs:219-226): the set
+    * appearing or vanishing is a change, and a delivery that WINS the
+    * tail slot is a change even when its payload is value-identical —
+    * the reference compares object identity, where a redelivered
+    * snapshot is always a fresh object. */
+  private[core] def unfoldsChanged(
+      oldTail: Vector[Ev], newTail: Vector[Ev], incoming: Seq[Ev]): Boolean =
+    (oldTail.isEmpty, newTail.isEmpty) match {
+      case (true, true) => false
+      case (true, false) | (false, true) => true
+      case (false, false) =>
+        oldTail != newTail ||
+          incoming.exists(e => e.isUnfold && e.index == newTail.head.index)
+    }
+
   /** Per-stream buffer state (Streams.fs:165-228 condensed): write
-    * position + canonical span queue + malformed flag. */
+    * position + canonical span queue + malformed flag + unfold revision
+    * (Streams.fs:183: count of queue unfold-set changes, so a snapshot
+    * refresh at an unchanged write position is detectable). */
   final case class StreamState(
       writePos: Long = 0L,
       queue: Vector[Span] = Vector.empty,
-      malformed: Boolean = false) {
+      malformed: Boolean = false,
+      revision: Long = RevisionInitial) {
 
-    def ingest(span: Span): StreamState =
-      copy(queue = dropBefore(writePos)(queue :+ span))
+    def ingest(span: Span): StreamState = {
+      val next = dropBefore(writePos)(queue :+ span)
+      val rev =
+        if (unfoldsChanged(tailUnfolds(queue), tailUnfolds(next), span)) revision + 1
+        else revision
+      copy(queue = next, revision = rev)
+    }
 
     /** Handler progressed to `pos`: advance + trim. */
     def recordProgress(pos: Long): StreamState = {
       val wp = math.max(writePos, pos)
       copy(writePos = wp, queue = dropBefore(wp)(queue))
     }
+
+    /** Does the queue tail carry an unfold set at `index`? The signal
+      * that a checkpoint at `index` must also require the current
+      * revision (Streams.fs:184-187). */
+    def tailHasUnfoldAt(index: Long): Boolean =
+      tailUnfolds(queue).lastOption.exists(_.index == index)
+
+    /** Handler completed at (pos, revision): strip the handled unfolds
+      * and bump the revision — but only if BOTH still match, i.e. no
+      * fresher events or snapshot landed while the handler ran
+      * (StreamState.tryTrimUnfoldsIffPosAndRevisionStill,
+      * Streams.fs:229-231). */
+    def tryTrimUnfolds(pos: Long, rev: Long): Option[StreamState] =
+      if (writePos != pos || revision != rev) None
+      else Some(copy(queue = stripUnfolds(queue), revision = revision + 1))
 
     /** The next dispatchable span, honoring requireAll gap-guarding. */
     def tryDispatch(requireAll: Boolean): Option[Span] =
@@ -132,9 +183,15 @@ object SpanAlgebra {
   }
 
   /** Merge two buffer states (StreamState.combine, Streams.fs:208-228):
-    * max write pos, queue union re-merged, malformed is sticky. */
+    * max write pos, queue union re-merged, malformed is sticky, and the
+    * revision derives from `a`'s (the resident state), incremented when
+    * the merged queue's unfold set differs from `a`'s. */
   def combine(a: StreamState, b: StreamState): StreamState = {
     val wp = math.max(a.writePos, b.writePos)
-    StreamState(wp, dropBefore(wp)(a.queue ++ b.queue), a.malformed || b.malformed)
+    val q = dropBefore(wp)(a.queue ++ b.queue)
+    val rev =
+      if (unfoldsChanged(tailUnfolds(a.queue), tailUnfolds(q), b.queue.flatten)) a.revision + 1
+      else a.revision
+    StreamState(wp, q, a.malformed || b.malformed, rev)
   }
 }
