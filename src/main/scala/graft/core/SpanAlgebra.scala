@@ -161,9 +161,14 @@ object SpanAlgebra {
 
     /** Does the queue tail carry an unfold set at `index`? The signal
       * that a checkpoint at `index` must also require the current
-      * revision (Streams.fs:184-187). */
+      * revision. Mirrors the reference exactly (Streams.fs:184-187
+      * `TailHasUnfoldAtIndex`): test the last ELEMENT of the tail span —
+      * equivalent to testing the last unfold only because merge
+      * guarantees unfolds are a strict suffix of the tail span, an
+      * invariant SpanAlgebraSpec pins. */
     def tailHasUnfoldAt(index: Long): Boolean =
-      tailUnfolds(queue).lastOption.exists(_.index == index)
+      queue.lastOption.flatMap(_.lastOption)
+        .exists(e => e.isUnfold && e.index == index)
 
     /** Handler completed at (pos, revision): strip the handled unfolds
       * and bump the revision — but only if BOTH still match, i.e. no

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.SpanAlgebra
+import graft.core.{HandlerProgress, SpanAlgebra}
 import graft.core.SpanAlgebra.{Ev, Span}
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -27,13 +27,19 @@ final case class ProcessedSpan[A](
     nEvents: Int,
     result: A,
     failed: Boolean = false,
-    error: String = "")
+    error: String = "",
+    handledUnfolds: Int = 0,
+    revision: Long = SpanAlgebra.RevisionInitial)
 
-/** Persisted per-stream buffer between micro-batches. */
+/** Persisted per-stream buffer between micro-batches. `revision` counts
+  * queue unfold-set changes (Streams.fs:183), surviving the state-store
+  * round-trip so a snapshot refresh in a later micro-batch is
+  * detectable at an unchanged write position. */
 final case class BufferState(
     writePos: Long,
     queue: Seq[Seq[InputEvent]],
-    malformed: Boolean)
+    malformed: Boolean,
+    revision: Long = SpanAlgebra.RevisionInitial)
 
 /** The per-stream handler engine: the Spark-native form of the
   * reference's Scheduler/Dispatcher/Sink pipeline (SURVEY §2.3–2.5).
@@ -111,6 +117,14 @@ object StreamProcessor {
     * state is marked malformed, and nothing further dispatches (the
     * write position does NOT advance past the failure, so a redeploy
     * with a fixed handler resumes exactly there).
+    *
+    * Unfold flow (reference Streams.fs:342-346): a successful dispatch
+    * yields HandlerProgress (pos, revision-if-unfolds-handled); progress
+    * is recorded, then [[SpanAlgebra.StreamState.tryTrimUnfolds]] strips
+    * the handled unfold set — but only if neither the position nor the
+    * revision moved meanwhile. A snapshot redelivered in a later batch
+    * at the same write position bumps the revision on ingest and is
+    * re-dispatched.
     */
   def step[A](
       stream: String,
@@ -125,8 +139,12 @@ object StreamProcessor {
       def key(e: InputEvent) = (e.index, e.eventType, e.isUnfold)
       val byKey = incoming.map(e => key(e) -> e).toMap
       val prevEvs: Vector[Span] = prev.queue.toVector.map(_.toVector.map(toEv))
-      val merged = SpanAlgebra.dropBefore(prev.writePos)(
-        SpanAlgebra.merge(prevEvs :+ incoming.sortBy(_.index).map(toEv)))
+      // seed from the persisted state, then ingest this batch's span:
+      // write-pos dedupe + canonical merge + revision bump when the
+      // queue's tail unfold set changes (Streams.fs:183)
+      var st = SpanAlgebra.StreamState(
+        prev.writePos, SpanAlgebra.merge(prevEvs), malformed = false, prev.revision)
+        .ingest(incoming.sortBy(_.index).map(toEv))
       // keep full payloads alongside the algebra's canonical shape
       val prevByKey = prev.queue.flatten.map(e => key(e) -> e).toMap
       def payload(ev: Ev): InputEvent = {
@@ -136,33 +154,38 @@ object StreamProcessor {
             InputEvent(stream, ev.index, ev.eventType, "", ev.size, ev.isUnfold)))
       }
 
-      var writePos = prev.writePos
-      var queue = merged
       var malformed = false
       val emitted = Vector.newBuilder[ProcessedSpan[A]]
       var continue = true
-      while (continue && queue.nonEmpty) {
-        val head = queue.head
-        val dispatchable =
-          !requireAll || SpanAlgebra.queuedIsAtWritePos(queue, writePos)
-        if (!dispatchable) continue = false
-        else {
-          val evs = head.map(payload)
-          scala.util.Try(handle(stream, evs)) match {
-            case scala.util.Success(res) =>
-              emitted += ProcessedSpan(stream, head.head.index, head.last.index, evs.size, res)
-              writePos = math.max(writePos, SpanAlgebra.nextIndex(head))
-              queue = SpanAlgebra.dropBefore(writePos)(queue.tail)
-            case scala.util.Failure(e) =>
-              emitted += ProcessedSpan(stream, head.head.index, head.last.index,
-                evs.size, null.asInstanceOf[A], failed = true,
-                error = String.valueOf(e.getMessage))
-              malformed = true
-              continue = false
-          }
+      while (continue && st.queue.nonEmpty) {
+        st.tryDispatch(requireAll) match {
+          case None => continue = false
+          case Some(head) =>
+            val evs = head.map(payload)
+            scala.util.Try(handle(stream, evs)) match {
+              case scala.util.Success(res) =>
+                val hp = HandlerProgress.ofUnfoldsAndPos(
+                  st.revision, head.count(_.isUnfold), SpanAlgebra.nextIndex(head))
+                emitted += ProcessedSpan(stream, head.head.index, head.last.index,
+                  evs.size, res,
+                  handledUnfolds = head.count(_.isUnfold), revision = hp.revision)
+                st = st.recordProgress(hp.pos)
+                // handled unfolds linger at the write position until
+                // trimmed (their index IS the write position); the trim
+                // bumps the revision so stale HandlerProgress can't
+                // satisfy a later requirement
+                st.tryTrimUnfolds(hp.pos, hp.revision).foreach(t => st = t)
+              case scala.util.Failure(e) =>
+                emitted += ProcessedSpan(stream, head.head.index, head.last.index,
+                  evs.size, null.asInstanceOf[A], failed = true,
+                  error = String.valueOf(e.getMessage))
+                malformed = true
+                continue = false
+            }
         }
       }
-      (BufferState(writePos, queue.map(_.map(payload)), malformed), emitted.result())
+      (BufferState(st.writePos, st.queue.map(_.map(payload)), malformed, st.revision),
+        emitted.result())
     }
   }
 }

@@ -162,4 +162,106 @@ class SpanAlgebraSpec extends AnyFunSuite {
     assert(StreamState(writePos = 3, queue = gapped).tryDispatch(requireAll = false).nonEmpty)
     assert(StreamState(writePos = 5, queue = gapped).tryDispatch(requireAll = true).nonEmpty)
   }
+
+  // --- Unfold-revision invariants (reference Streams.fs:155-231,
+  //     tests/Propulsion.Tests/StreamStateTests.fs — re-stated) ---
+
+  test("merge: unfolds are a strict suffix of every span they appear in") {
+    // the invariant tailHasUnfoldAt's last-element test silently
+    // depends on (Streams.fs:184-187 checks the tail EVENT)
+    check(Prop.forAll(genSpans) { spans =>
+      merge(spans).forall(s => s.dropWhile(!_.isUnfold).forall(_.isUnfold))
+    })
+  }
+
+  test("tailHasUnfoldAt: last-element test agrees with last-unfold test on canonical queues") {
+    check(Prop.forAll(genSpans, Gen.chooseNum(0L, 60L)) { (spans, idx) =>
+      val st = spans.foldLeft(StreamState())(_ ingest _)
+      val byLastUnfold = tailUnfolds(st.queue).lastOption.exists(_.index == idx)
+      st.tailHasUnfoldAt(idx) == byLastUnfold
+    })
+  }
+
+  test("revision: pure-event ingest never bumps") {
+    check(Prop.forAll(genSpans) { spans =>
+      val eventsOnly = spans.map(_.filterNot(_.isUnfold)).filter(_.nonEmpty)
+      val st = eventsOnly.foldLeft(StreamState())(_ ingest _)
+      st.revision == RevisionInitial
+    })
+  }
+
+  test("revision: bumps when the tail unfold set appears, vanishes, is replaced, or is redelivered") {
+    // appear: empty tail -> unfolds
+    val st0 = StreamState().ingest(Vector(Ev.e(0), Ev.e(1), Ev.u(2)))
+    assert(st0.revision == RevisionInitial + 1)
+    // redeliver: value-identical snapshot wins the tail slot (the
+    // reference compares object identity, so a redelivery is always a
+    // change; we bump conservatively on value-identical redelivery too)
+    val st1 = st0.ingest(Vector(Ev.u(2)))
+    assert(st1.revision == st0.revision + 1)
+    // replace: fresher events + fresher unfold set
+    val st2 = st1.ingest(Vector(Ev.e(2), Ev.e(3), Ev.u(4, "ub")))
+    assert(st2.revision == st1.revision + 1)
+    // vanish: events advancing past the unfold index drop the stale set
+    val st3 = st2.ingest(Vector(Ev.e(4), Ev.e(5)))
+    assert(tailUnfolds(st3.queue).isEmpty)
+    assert(st3.revision == st2.revision + 1)
+    // pure-event ingest that doesn't disturb the (absent) tail set: no bump
+    val st4 = st3.ingest(Vector(Ev.e(6)))
+    assert(st4.revision == st3.revision)
+  }
+
+  test("revision: over-bump never under-bumps vs the reference's physical-equality rule") {
+    // any case where the reference would increment (tail unfold set
+    // appearing/vanishing, or a different last-unfold value) must also
+    // increment here; we may additionally bump on value-identical
+    // redelivery (safe: delays checkpoints, never loses one)
+    check(Prop.forAll(genSpans) { spans =>
+      var st = StreamState()
+      spans.forall { span =>
+        val before = tailUnfolds(st.queue).lastOption
+        val next = st.ingest(span)
+        val after = tailUnfolds(next.queue).lastOption
+        val refWouldBump = (before, after) match {
+          case (None, None) => false
+          case (None, Some(_)) | (Some(_), None) => true
+          case (Some(a), Some(b)) => a != b
+        }
+        val bumped = next.revision == st.revision + 1
+        st = next
+        !refWouldBump || bumped
+      }
+    })
+  }
+
+  test("tryTrimUnfolds: strips and bumps only when pos AND revision still match") {
+    // handled unfolds linger at the write position (their index IS the
+    // next write position, reference parser: unfolds bear Index = n)
+    val st = StreamState().ingest(Vector(Ev.e(0), Ev.e(1), Ev.e(2), Ev.u(3)))
+      .recordProgress(3)
+    assert(st.writePos == 3 && st.queue.flatten == Vector(Ev.u(3)))
+    // matching (pos, revision): unfolds stripped, revision bumped
+    val trimmed = st.tryTrimUnfolds(3, st.revision)
+    assert(trimmed.exists(t => t.queue.isEmpty && t.revision == st.revision + 1))
+    // stale position: no-op
+    assert(st.tryTrimUnfolds(2, st.revision).isEmpty)
+    // stale revision (a fresh snapshot landed while the handler ran): no-op
+    val refreshed = st.ingest(Vector(Ev.u(3, "ub")))
+    assert(refreshed.revision == st.revision + 1)
+    assert(refreshed.tryTrimUnfolds(3, st.revision).isEmpty)
+    assert(refreshed.tryTrimUnfolds(3, refreshed.revision).nonEmpty)
+  }
+
+  test("combine: revision derives from the resident state, bumping when the merged tail set differs") {
+    val a = StreamState().ingest(Vector(Ev.e(0), Ev.e(1)))
+    assert(a.revision == RevisionInitial)
+    // b contributes an unfold set: combine must bump a's revision
+    val b = StreamState().ingest(Vector(Ev.e(2), Ev.u(3)))
+    val c = combine(a, b)
+    assert(c.revision == a.revision + 1)
+    assert(c.tailHasUnfoldAt(3))
+    // combining with a pure-event state leaves the revision alone
+    val d = combine(a, StreamState().ingest(Vector(Ev.e(2), Ev.e(3))))
+    assert(d.revision == a.revision)
+  }
 }

@@ -19,8 +19,8 @@ object SpanDrive {
       " relaxed: " + st.tryDispatch(requireAll = false).map(_.map(_.index)))
     println("slice(2,100) of head: " + slice(2, 100)(m.head).map(_.index))
     val p = new ProgressState[String]
-    p.appendBatch(Map("s-1" -> 5L), () => println("batch1 checkpoint fired"))
-    p.appendBatch(Map("s-1" -> 9L), () => println("batch2 checkpoint fired"))
+    p.appendBatchPos(Map("s-1" -> 5L), () => println("batch1 checkpoint fired"))
+    p.appendBatchPos(Map("s-1" -> 9L), () => println("batch2 checkpoint fired"))
     p.markAttained("s-1", 9L)
   }
 }

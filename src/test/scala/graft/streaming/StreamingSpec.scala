@@ -69,6 +69,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows("b").map(r => (r.fromIndex, r.toIndex)) == List((0L, 1L), (3L, 3L)))
   }
 
+  test("StreamProcessor: snapshot refresh at an unchanged write position re-dispatches with a bumped revision") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[InputEvent]
+    val out = StreamProcessor.process[String](
+      input.toDS(),
+      (_, evs) => evs.map(e => s"${e.index}${if (e.isUnfold) "u" else ""}:${e.data}").mkString("|"))
+    val q = out.writeStream.format("memory").queryName("rev_out")
+      .outputMode("append").option("checkpointLocation", tmp("cp-rev")).start()
+
+    // batch 1: events 0-2 plus the accompanying snapshot; unfolds bear
+    // Index = next write position (reference parser convention:
+    // EquinoxSystemTextJsonParser.fs:51-52 `gen true batch.n`)
+    input.addData(
+      InputEvent("a", 0, "t", "e0", 1, isUnfold = false),
+      InputEvent("a", 1, "t", "e1", 1, isUnfold = false),
+      InputEvent("a", 2, "t", "e2", 1, isUnfold = false),
+      InputEvent("a", 3, "snap", "v1", 1, isUnfold = true))
+    q.processAllAvailable()
+    // batch 2: a FRESH snapshot at the SAME position (the ChangeFeed
+    // redelivering an updated tip without new events) — must be
+    // re-dispatched, not swallowed by write-position dedupe
+    input.addData(InputEvent("a", 3, "snap", "v2", 1, isUnfold = true))
+    q.processAllAvailable()
+    // batch 3: redelivery of already-handled EVENTS only: swallowed
+    input.addData(
+      InputEvent("a", 1, "t", "e1", 1, isUnfold = false),
+      InputEvent("a", 2, "t", "e2", 1, isUnfold = false))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("rev_out").as[ProcessedSpan[String]].collect()
+      .sortBy(_.revision).toList
+    assert(rows.map(r => (r.fromIndex, r.toIndex, r.handledUnfolds, r.result)) == List(
+      (0L, 3L, 1, "0:e0|1:e1|2:e2|3u:v1"),
+      (3L, 3L, 1, "3u:v2")))
+    // the refresh dispatched against a strictly later queue revision, so
+    // the first handling's HandlerProgress cannot satisfy a requirement
+    // computed from the refreshed state
+    val List(first, second) = rows
+    assert(second.revision > first.revision)
+    val stale = graft.core.HandlerProgress(3, first.revision)
+    val fresh = graft.core.HandlerProgress(3, second.revision)
+    val req = graft.core.ProgressRequirement.ofPosUnfoldRevision(3, second.revision)
+    assert(!graft.core.ProgressRequirement.isSatisfiedBy(stale)(req))
+    assert(graft.core.ProgressRequirement.isSatisfiedBy(fresh)(req))
+  }
+
   test("streaming tumbling window equals the batch q16 oracle shape") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
