@@ -1,10 +1,29 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.SparkSession
 
 /** Per-round benchmark: runs every registered query on
   * SPARK_GRAFT_SF_DIR, prints ONE JSON line
   * {"metric":...,"value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Measurement hygiene (round-4 finding: per-query numbers were
+  * order-contaminated — whichever queries ran LAST absorbed 2-5×
+  * phantom regressions from accumulated JVM/GC state):
+  *  - every query runs REPS times (default 3), each rep over the whole
+  *    suite in a different deterministically-shuffled order, and the
+  *    reported per-query time is the MEDIAN across reps — a slow outlier
+  *    from suite position affects one rep, not the median;
+  *  - the printed JSON rounds to milliseconds so the line stays within
+  *    the driver's tail-capture window (the round-3/4 "parsed: null"
+  *    was the full-precision line outgrowing it); the full-precision
+  *    result is also written to BENCH_LAST.json;
+  *  - a regression guard compares each median against the recorded best
+  *    for the same SF in bench_best.json (2× threshold, matching the
+  *    driver's gate); violations are reported in a "guard" map and the
+  *    best file is refreshed with new minima afterwards.
   *
   * A short untimed warmup absorbs JVM/codegen startup so the per-query
   * numbers measure the plans, not JIT. AQE is on (as it would be on a
@@ -12,8 +31,13 @@ import org.apache.spark.sql.SparkSession
   * engine's scale story.
   */
 object Bench {
+
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
@@ -31,23 +55,88 @@ object Bench {
     SparkEntry.queries.get("q06_stream_hwm").foreach(f => f(spark, sfDir).count())
     SparkEntry.queries.get("q12_agg").foreach(f => f(spark, sfDir).count())
 
-    // A failing query must not masquerade as a fast run: its time is
-    // reported as -1 and the error surfaces in an `errors` map.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).count(); None } catch {
-        case e: Throwable => Some(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val times = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val errors = collection.mutable.LinkedHashMap.empty[String, String]
+    val wall0 = System.nanoTime()
+    for (rep <- 0 until reps) {
+      // deterministic per-rep shuffle: suite position rotates across
+      // reps, so position-dependent slowdowns can't follow one query
+      val order = new scala.util.Random(rep * 7919 + 17).shuffle(names)
+      for (name <- order if !errors.contains(name)) {
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).count()
+          times(name) = times(name) :+ (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: Throwable =>
+            errors(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (err.isEmpty) sec else -1.0, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200) + "\""
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v, None) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val wall = (System.nanoTime() - wall0) / 1e9
+
+    def median(xs: Vector[Double]): Double = {
+      val s = xs.sorted
+      s((s.size - 1) / 2)
+    }
+    // A failing query must not masquerade as a fast run: reported as -1
+    // with the error in the `errors` map.
+    val medians: Vector[(String, Double)] =
+      names.map(n => n -> (if (errors.contains(n) || times(n).isEmpty) -1.0 else median(times(n))))
+
+    // Regression guard vs the recorded per-SF best (2× = driver's gate).
+    val sfKey = Paths.get(sfDir).getFileName.toString
+    val bestPath = Paths.get("bench_best.json")
+    val recorded: Map[String, Double] =
+      if (!Files.exists(bestPath)) Map.empty
+      else {
+        val txt = new String(Files.readAllBytes(bestPath), StandardCharsets.UTF_8)
+        val sec = s""""$sfKey"\\s*:\\s*\\{([^}]*)\\}""".r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)"\s*:\s*([-0-9.eE]+)""".r.findAllMatchIn(sec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    val guardFails = medians.collect {
+      case (n, v) if v > 0 && recorded.get(n).exists(b => b > 0 && v > 2 * b) =>
+        n -> (v / recorded(n))
+    }
+    // refresh the best file with new minima (guard judges BEFORE refresh)
+    val newBest = medians.collect { case (n, v) if v > 0 =>
+      n -> math.min(v, recorded.getOrElse(n, Double.MaxValue))
+    }.toMap
+    if (newBest.nonEmpty) {
+      val others =
+        if (!Files.exists(bestPath)) Vector.empty
+        else {
+          val txt = new String(Files.readAllBytes(bestPath), StandardCharsets.UTF_8)
+          """"(sf[^"]*)"\s*:\s*\{([^}]*)\}""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2)).filterNot(_._1 == sfKey).toVector
+        }
+      val mine = newBest.toVector.sortBy(_._1)
+        .map { case (n, v) => s""""$n":${jnum(v)}""" }.mkString(",")
+      val all = (others.map { case (k, body) => s""""$k":{$body}""" } :+ s""""$sfKey":{$mine}""")
+        .mkString("{", ",", "}")
+      Files.write(bestPath, all.getBytes(StandardCharsets.UTF_8))
+    }
+
+    def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\""
+    def qmap(render: Double => String) = medians
+      .map { case (k, v) => s""""$k":${render(v)}""" }.mkString("{", ",", "}")
+    val errs = errors.map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
+    val guard = guardFails.map { case (k, r) => s""""$k":${jnum(r)}""" }.mkString("{", ",", "}")
+    val total = medians.collect { case (_, v) if v > 0 => v }.sum
+    def line(render: Double => String) =
+      s"""{"metric":"total","value":${render(total)},"unit":"sec","reps":$reps,"wall":${render(wall)},""" +
+        s""""queries":${qmap(render)},"errors":$errs,"guard":$guard,"sf":"$sfDir"}"""
+    // full precision to a file (survives any stdout truncation)...
+    Files.write(Paths.get("BENCH_LAST.json"), line(_.toString).getBytes(StandardCharsets.UTF_8))
+    // ...and a millisecond-rounded line to stdout, sized to fit the
+    // driver's tail-capture window
+    println(line(jnum))
     spark.stop()
+    if (guardFails.nonEmpty)
+      System.err.println(s"[bench] guard: ${guardFails.size} queries exceed 2x recorded best " +
+        s"(see guard map); best refreshed afterwards")
   }
 }

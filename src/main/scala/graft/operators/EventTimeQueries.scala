@@ -121,14 +121,29 @@ object EventTimeQueries {
       |FROM arr
       |GROUP BY stream_name
       |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    // Global arrival-order window: a narrow 2-column global sort, only
-    // acceptable because it models the inherently sequential watermark
-    // clock; the streaming twin tracks this in the engine, not a sort.
-    val arrival = Window.orderBy(col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    env(spark, dir)
+    // Two-pass prefix-max: the watermark clock is inherently a global
+    // prefix over arrival order, but it does NOT need a global sort.
+    // Bucket by event_id div K: the running max is intra-bucket (each
+    // window task holds <= K rows), and the contribution of earlier
+    // buckets is the broadcast prefix-max over per-bucket maxima — a
+    // summary table K× smaller than the data (re-shardable recursively
+    // if even that outgrows one task). greatest() keeps the null
+    // semantics of the global form: the first event overall has no
+    // predecessor, so max_seen_us stays null.
+    val bucketK = 8192
+    val e = env(spark, dir)
       .select(col("stream_name"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
-      .withColumn("max_seen_us", max(col("ts_us")).over(arrival))
+      .withColumn("_b", expr(s"event_id div $bucketK"))
+    val intra = Window.partitionBy(col("_b")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prevBuckets = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = e.groupBy(col("_b")).agg(max(col("ts_us")).as("_bmax"))
+      .withColumn("_off", max(col("_bmax")).over(prevBuckets))
+      .select(col("_b"), col("_off"))
+    e.withColumn("_max_in", max(col("ts_us")).over(intra))
+      .join(broadcast(offsets), Seq("_b"))
+      .withColumn("max_seen_us", greatest(col("_max_in"), col("_off")))
       .groupBy(col("stream_name"))
       .agg(count(lit(1)).as("n_total"),
         count(when(col("max_seen_us") - col("ts_us") > 600000000L, 1)).as("n_late"))

@@ -388,16 +388,49 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Sharded running token sum for concat-then-chop packing: the
+    * cumulative sum over `ORDER BY doc_id` within each `partCols`
+    * group, computed WITHOUT an unbounded per-group window. Rows are
+    * bucketed by `shard = doc_id div docsPerShard`; the running sum is
+    * intra-shard (each window task materializes at most docsPerShard
+    * rows), and the missing prefix is the broadcast per-shard word
+    * totals prefix-summed per group — the shard-summary table is
+    * |groups|·|shards| rows, orders of magnitude below the data. The
+    * result column `cum` is bit-identical to the global-window
+    * formulation (the oracle SQL keeps that formulation; the
+    * CORRECTNESS gate proves the equivalence). */
+  private def shardedCum(partCols: Seq[String], docsPerShard: Int = 1000)(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = partCols.map(col)
+    val t = df.withColumn("_shard", expr(s"doc_id div $docsPerShard"))
+    val byShard = Window.partitionBy(p :+ col("_shard"): _*).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // shard totals reuse the (partCols, _shard) partitioning of the
+    // intra-shard window; the prefix-of-previous-shards sum runs over
+    // shard SUMMARIES (tiny), not data rows
+    val prevShards = Window.partitionBy(p: _*).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(p :+ col("_shard"): _*)
+      .agg(sum(col("n_words")).as("_shard_words"))
+      .withColumn("_off", coalesce(sum(col("_shard_words")).over(prevShards), lit(0L)))
+      .select((partCols :+ "_shard").map(col) :+ col("_off"): _*)
+    t.withColumn("_cum_in", sum(col("n_words")).over(byShard))
+      .join(broadcast(offsets), (partCols :+ "_shard").toSeq)
+      .withColumn("cum", col("_cum_in") + col("_off"))
+      .drop("_shard", "_cum_in", "_off")
+  }
+
   // ---- sequence packing (concat-then-chop): the standard pretraining
   //      step that concatenates a source's documents in a fixed order
   //      and chops the token stream into fixed-size context windows. A
   //      doc's chunk is the window holding its FIRST token:
   //      chunk_id = (cum_tokens_before_doc) div budget — one running
-  //      sum, no sequential fold. The window is one per-source sort; at
-  //      100 TB packing runs per (source, shard) with shard =
-  //      doc_id div K so each window stays bounded while chunk ids
-  //      remain deterministic (packing is order-dependent by design —
-  //      any engine must fix the order to be reproducible). ----
+  //      sum, no sequential fold. The running sum is SHARDED
+  //      (shardedCum: per (source, doc_id div K) windows + broadcast
+  //      prefix offsets) so no task ever sorts a whole source; chunk
+  //      ids remain deterministic and identical to the global-window
+  //      oracle (packing is order-dependent by design — any engine
+  //      must fix the order to be reproducible). ----
   val q18Pack: QueryDef = QueryDef(
     "q18_pack",
     """WITH t AS (
@@ -414,12 +447,10 @@ object TextQueries {
       |FROM c
       |GROUP BY source, chunk_id
       |ORDER BY source, chunk_id""".stripMargin) { (spark, dir) =>
-    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs(spark, dir)
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).as("n_words"))
-      .withColumn("cum", sum(col("n_words")).over(bySource))
+      .transform(shardedCum(Seq("source")))
       .select(col("source"),
         expr("(cum - n_words) div 512").as("chunk_id"),
         col("doc_id"), col("n_words"))
@@ -525,7 +556,8 @@ object TextQueries {
   //      importantly — each stage stays one shuffle: flags are
   //      per-row, dedup is one md5 window, the rebalance rates ride
   //      broadcasts, the split is a stateless hash, and packing is
-  //      one (split, lang) running sum. ----
+  //      the sharded (split, lang, doc_id div K) running sum
+  //      (shardedCum — no whole-partition window task). ----
   val q18PrepPipeline: QueryDef = QueryDef(
     "q18_prep_pipeline",
     s"""WITH feat AS (
@@ -596,10 +628,7 @@ object TextQueries {
     val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
     val sp = rb.select(col("doc_id"), col("lang"), col("n_words"),
       when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
-    val bySplitLang = Window.partitionBy(col("split"), col("lang"))
-      .orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    sp.withColumn("cum", sum(col("n_words")).over(bySplitLang))
+    sp.transform(shardedCum(Seq("split", "lang")))
       .select(col("split"), col("lang"), col("n_words"),
         expr("(cum - n_words) div 512").as("chunk_id"))
       .groupBy(col("split"), col("lang"))

@@ -79,14 +79,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, p.take(2000))
   }
 
-  test("q18_pack: one running-sum window, one packing exchange") {
-    // concat-then-chop packing is a single per-source cumulative sum;
-    // the window exchange (partition by source) must be the only
-    // pre-aggregation shuffle
+  test("q18_pack: sharded running sum — data window keys on (source, shard), offsets broadcast") {
+    // concat-then-chop packing must NOT sort a whole source in one
+    // task: the data-side cumulative sum partitions on
+    // (source, _shard = doc_id div K); only the tiny shard-summary
+    // prefix window partitions on source alone, and the offsets reach
+    // the data through a broadcast join
     val p = plan("q18_pack")
-    assert("Window".r.findAllIn(p).size == 1, p.take(2000))
+    assert("windowspecdefinition\\(source#\\d+, _shard#\\d+L?, doc_id".r
+      .findAllIn(p).nonEmpty, p.take(3000))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin"))
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(n <= 2, s"q18_pack has $n hash exchanges")
+    assert(n <= 4, s"q18_pack has $n hash exchanges")
+  }
+
+  test("q16_late_drop: watermark prefix-max is bucketed, no full-data global sort") {
+    // the data-side running max partitions on _b (event_id div K); only
+    // the per-bucket maxima (K× smaller) pass through the unpartitioned
+    // prefix window, and they reach the data via broadcast
+    val p = plan("q16_late_drop")
+    assert("windowspecdefinition\\(_b#\\d+L?, event_id".r.findAllIn(p).nonEmpty,
+      p.take(3000))
+    assert("BroadcastExchange".r.findAllIn(p).size >= 1, p.take(3000))
+    assert(!p.contains("SortMergeJoin"))
   }
 
   test("q18_repetition: both per-doc windows share one doc_id exchange") {
