@@ -73,4 +73,55 @@ object SpanCodec {
       .select(col("stream_name"), (col("i") + col("pos")).as("idx"),
         col("ev.c").as("event_type"), col("ev.d").as("data"),
         to_timestamp(col("ev.t"), isoMicros).as("ts"), col("ev.m").as("meta"))
+
+  /** RenderedSummary wire shape (`{s, i, u:[{c,t,d,m}]}`,
+    * src/Propulsion.Kafka/Codec.fs:78-112): the aggregated state of a
+    * stream at version `i` — `i` is the index of the last event the
+    * summary reflects, and every `u` entry is a summary (unfold) event
+    * AT that version, unlike a span's `e` where events occupy
+    * consecutive indexes from `i`. */
+  val summarySchema: StructType = StructType(Seq(
+    StructField("s", StringType),
+    StructField("i", LongType),
+    StructField("u", ArrayType(StructType(Seq(
+      StructField("c", StringType),
+      StructField("t", StringType),
+      StructField("d", StringType),
+      StructField("m", StringType)))))))
+
+  /** Render one RenderedSummary per stream from summary-event rows
+    * (stream_name, idx, event_type, data[, ts, meta]): version
+    * `i = max(idx)` (RenderedSummary.ofStreamEvents takes the version
+    * of the state the events were produced from), `u` sorted by event
+    * type — the summary set is one-per-type, so type order is the
+    * deterministic rendering. `coKeys` as in [[renderSpans]]. */
+  def renderSummaries(summaries: DataFrame, coKeys: Seq[Column] = Nil): DataFrame = {
+    val tCol: Column =
+      if (summaries.columns.contains("ts")) date_format(col("ts"), isoMicros)
+      else lit(null).cast(StringType)
+    val mCol: Column =
+      if (summaries.columns.contains("meta")) col("meta") else lit(null).cast(StringType)
+    summaries
+      .groupBy((coKeys :+ col("stream_name")): _*)
+      .agg(max(col("idx")).as("i"),
+        array_sort(collect_list(struct(col("event_type").as("c"),
+          tCol.as("t"), col("data").as("d"), mCol.as("m")))).as("us"))
+      .select(col("stream_name"),
+        to_json(struct(col("stream_name").as("s"), col("i"), col("us").as("u")))
+          .as("value"))
+  }
+
+  /** Parse RenderedSummary JSON back to unfold rows: every summary
+    * event bears the summary's version as its index and is an unfold
+    * (Codec.fs:106-109 `RenderedSummary.enum`: `TimelineEvent.Create(
+    * span.i, ..., isUnfold = true)`). */
+  def parseSummaries(rendered: DataFrame, valueCol: String = "value"): DataFrame =
+    rendered
+      .select(from_json(col(valueCol), summarySchema).as("sm"))
+      .select(col("sm.s").as("stream_name"), col("sm.i").as("i"),
+        explode(col("sm.u")).as("ev"))
+      .select(col("stream_name"), col("i").as("idx"),
+        col("ev.c").as("event_type"), col("ev.d").as("data"),
+        to_timestamp(col("ev.t"), isoMicros).as("ts"), col("ev.m").as("meta"),
+        lit(true).as("is_unfold"))
 }

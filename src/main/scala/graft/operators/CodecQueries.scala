@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.SpanCodec
 import graft.model.Envelope
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Q19: wire-codec and remaining aggregation shapes.
@@ -35,6 +36,42 @@ object CodecQueries {
       .orderBy(col("stream_name"), col("idx"))
   }
 
+  // RenderedSummary round-trip (Codec.fs:78-112): the freshest event
+  // per (stream, type) — the q05 unfold-retention set — rendered as the
+  // stream's summary at version i = stream max(idx), parsed back as
+  // unfolds all bearing that version. The oracle computes the same set
+  // relationally, so any render/parse asymmetry (type ordering, version
+  // arithmetic, escaping) breaks the hash match.
+  val q19SummaryRoundtrip: QueryDef = QueryDef(
+    "q19_summary_roundtrip",
+    """WITH env AS (
+      |  SELECT concat('user-', user_id) AS stream_name, user_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS idx,
+      |         event_type, props
+      |  FROM events)
+      |SELECT stream_name, ver, event_type, props AS data
+      |FROM (SELECT stream_name, event_type, props,
+      |             row_number() OVER (PARTITION BY stream_name, event_type
+      |                                ORDER BY idx DESC) AS rn,
+      |             max(idx) OVER (PARTITION BY stream_name) AS ver
+      |      FROM env) t
+      |WHERE rn = 1
+      |ORDER BY stream_name, event_type""".stripMargin) { (spark, dir) =>
+    // freshest-per-type runs on the envelope's hash(user_id) exchange
+    // (subset rule), the summary render groups on the same key
+    val byType = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("idx").desc)
+    val latest = env(spark, dir)
+      .withColumn("rn", row_number().over(byType))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("stream_name"), col("idx"), col("event_type"),
+        col("props").as("data"))
+    SpanCodec.parseSummaries(
+      SpanCodec.renderSummaries(latest, coKeys = Seq(col("user_id"))))
+      .select(col("stream_name"), col("idx").as("ver"), col("event_type"), col("data"))
+      .orderBy(col("stream_name"), col("event_type"))
+  }
+
   // grouping-sets coverage beyond rollup: full cube over flag/status
   val q19Cube: QueryDef = QueryDef(
     "q19_cube",
@@ -55,5 +92,5 @@ object CodecQueries {
       .orderBy(col("flag"), col("status"))
   }
 
-  val all: Seq[QueryDef] = Seq(q19CodecRoundtrip, q19Cube)
+  val all: Seq[QueryDef] = Seq(q19CodecRoundtrip, q19SummaryRoundtrip, q19Cube)
 }
