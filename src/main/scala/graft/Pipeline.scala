@@ -43,6 +43,14 @@ object Pipeline {
       graft.model.Envelope.readTable(spark, sfDir, "events"))
       .select(col("stream_name"), col("idx"), col("event_type"),
         col("props").as("data"), col("size").cast("long").as("size"))
+    // driver-side staging is demo-CLI-only: gate it so a big SF can't
+    // silently OOM the driver — past the cap, stage with a distributed
+    // writer (df.write.json) and a file feed per tranche instead
+    val stageCap = sys.env.getOrElse("SPARK_GRAFT_STAGE_CAP", "2000000").toLong
+    val nEvents = env.count()
+    require(nEvents <= stageCap,
+      s"refusing to stage $nEvents rows through the driver (cap $stageCap); " +
+        "use a distributed writer for this scale")
     val lines = env.orderBy(col("idx"), col("stream_name")) // interleave streams
       .select(to_json(struct(col("*"))).as("j")).as[String].collect()
     Files.writeString(Paths.get(feedFile), lines.mkString("\n") + "\n")
@@ -90,6 +98,7 @@ object Pipeline {
           .select(col("streamName").as("stream_name"),
             explode(expr("sequence(fromIndex, toIndex)")).as("idx"), col("result"))
         val outcomes = AppendSink.appendIdempotent(spark, target, events)
+        // bounded collect: one row per outcome kind (4-element lattice)
         val counts = outcomes.groupBy(col("outcome")).count()
           .as[(String, Long)].collect().toMap
         CheckpointStore.commit(spark, cpTable, "jsonlines", "all", "pipeline", batchId)

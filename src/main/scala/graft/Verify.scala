@@ -19,6 +19,13 @@ object Verify {
     // the driver never sets it, so its runs always cover everything
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(',').map(_.trim).toSet)
+    // a misspelled filter must not masquerade as a clean empty run
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(s"[verify] SPARK_GRAFT_ONLY names not in " +
+          s"SparkEntry.queries (will run nothing for them): ${unknown.toSeq.sorted.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

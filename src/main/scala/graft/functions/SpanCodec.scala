@@ -74,6 +74,25 @@ object SpanCodec {
         col("ev.c").as("event_type"), col("ev.d").as("data"),
         to_timestamp(col("ev.t"), isoMicros).as("ts"), col("ev.m").as("meta"))
 
+  /** Adapt rendered spans/summaries to the Kafka producer wire frame
+    * (key BINARY, value BINARY, topic STRING) — exactly the columns
+    * `df.write.format("kafka")` / `writeStream.format("kafka")`
+    * consume. The message key is the STREAM NAME: Kafka's keyed
+    * partitioner then guarantees all of a stream's spans land on one
+    * partition in append order, which is the total per-stream ordering
+    * the reference's ParallelProducerSink relies on
+    * (src/Propulsion.Kafka/ProducerSinks.fs:12-30 — key/value render).
+    * The broker jar isn't on this container's classpath, so the
+    * transport contract (same key → same partition, per-partition
+    * append order survives) is pinned by KafkaTransportSpec against a
+    * partition-faithful in-memory topic instead of a live broker. */
+  def toKafkaFrame(rendered: DataFrame, topic: String,
+      keyCol: String = "stream_name", valueCol: String = "value"): DataFrame =
+    rendered.select(
+      col(keyCol).cast(BinaryType).as("key"),
+      col(valueCol).cast(BinaryType).as("value"),
+      lit(topic).as("topic"))
+
   /** RenderedSummary wire shape (`{s, i, u:[{c,t,d,m}]}`,
     * src/Propulsion.Kafka/Codec.fs:78-112): the aggregated state of a
     * stream at version `i` — `i` is the index of the last event the

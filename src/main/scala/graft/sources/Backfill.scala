@@ -23,7 +23,15 @@ import scala.util.{Failure, Success}
   */
 object Backfill {
 
-  /** @param chunkOf   chunk index expression (e.g. `col("idx") div 1000`)
+  /** Ordered driver-side delivery is the POINT of this operator (the
+    * sink callback observes chunks strictly in order), which also makes
+    * it a control path, not a data path: every chunk is collect()ed to
+    * the driver, so size chunks to what one driver heap comfortably
+    * holds (and keep bulk movement in distributed writes). At scale the
+    * pattern is stripes of bounded chunks, not one stripe over the
+    * whole table.
+    *
+    * @param chunkOf   chunk index expression (e.g. `col("idx") div 1000`)
     * @param numChunks total chunks covering the range
     * @param deliver   called once per chunk, in ascending chunk order
     * @param maxDop    concurrent chunk reads (read-ahead bound)
