@@ -12,7 +12,8 @@ object SparkEntry {
 
   def registry: Seq[QueryDef] =
     StreamQueries.all ++ RelationalQueries.all ++ EventTimeQueries.all ++
-      SimilarityQueries.all ++ TextQueries.all ++ CodecQueries.all ++ ScaleOps.all
+      SimilarityQueries.all ++ TextQueries.all ++ CurationQueries.all ++
+      CodecQueries.all ++ ScaleOps.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,420 @@
+package graft.operators
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Q18 (part 3): data-curation operators for the training-data
+  * pipeline — distribution-matched selection (DSIR), higher-order LM
+  * quality scoring, rule-based (Gopher-style) filtering, the k-means
+  * training step behind semantic dedup / IVF, and bloom-gated
+  * decontamination.
+  *
+  * Same house rules as TextQueries: everything codegen'd
+  * `functions._`/expr, no UDFs; every float that feeds an aggregate is
+  * rounded ONCE per distinct model entry to integer micro-nats so
+  * sums are order-independent under any partitioning; small model
+  * tables (bucket deltas, centroids, rates) ride broadcasts.
+  */
+object CurationQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Envelope.readTable(spark, dir, "documents")
+
+  private def embs(spark: SparkSession, dir: String): DataFrame =
+    Envelope.readTable(spark, dir, "embeddings")
+
+  // ---- DSIR (Data Selection via Importance Resampling, Xie et al.
+  //      2023): score raw docs by how much they look like a small
+  //      target distribution under a hashed-unigram bag-of-words
+  //      model, then keep the top-K. Feature = md5-bucket of the word
+  //      (B=256, first two hex digits — portable across engines);
+  //      per-bucket log-likelihood delta is computed ONCE per bucket
+  //      (≤B rows, add-1 smoothed, rounded to integer micro-nats) and
+  //      broadcast; a doc's importance weight is the integer
+  //      tf-weighted sum. At 100 TB: two token passes (bucket counts,
+  //      per-doc tf), a ≤256-row broadcast join, and a TakeOrdered
+  //      top-K — no global window, no float accumulation. Target here
+  //      = the 'de' slice (a stand-in for any curated seed corpus);
+  //      raw = the whole pool. ----
+  val q18Dsir: QueryDef = QueryDef(
+    "q18_dsir",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         16 * (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+      |           + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |raw_b AS (SELECT b, count(*) AS cr FROM tok GROUP BY b),
+      |tgt_b AS (SELECT b, count(*) AS ct FROM tok WHERE lang = 'de' GROUP BY b),
+      |tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw_b) AS nr,
+      |               (SELECT CAST(coalesce(sum(ct), 0) AS BIGINT) FROM tgt_b) AS nt),
+      |delta AS (
+      |  SELECT r.b,
+      |         CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (r.cr + 1))) AS BIGINT)
+      |         - CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE)
+      |                                   / (coalesce(t.ct, 0) + 1))) AS BIGINT) AS d
+      |  FROM raw_b r LEFT JOIN tgt_b t ON r.b = t.b CROSS JOIN tot),
+      |dtf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY doc_id, b),
+      |scored AS (
+      |  SELECT doc_id, CAST(sum(tf * d) AS BIGINT) AS weight_unm,
+      |         CAST(sum(tf) AS BIGINT) AS n_tok
+      |  FROM dtf JOIN delta USING (b) GROUP BY doc_id)
+      |SELECT s.doc_id, d.lang, s.n_tok, s.weight_unm
+      |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+      |ORDER BY s.weight_unm DESC, s.doc_id LIMIT 50""".stripMargin) { (spark, dir) =>
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
+        .cast("long"))
+      .drop("w")
+    val rawB = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tgtB = tok.where(col("lang") === "de").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
+      .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
+    val delta = rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -
+          expr("CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE) / (coalesce(ct, 0) + 1))) AS BIGINT)"))
+          .as("d"))
+    val dtf = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    dtf.join(broadcast(delta), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * d) AS BIGINT)").as("weight_unm"),
+        sum(col("tf")).cast("long").as("n_tok"))
+      .join(docs(spark, dir).select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("weight_unm"))
+      .orderBy(col("weight_unm").desc, col("doc_id")).limit(50)
+  }
+
+  // ---- bigram-LM surprisal (the order-1 step up from
+  //      q18_unigram_lp, toward the CCNet/KenLM perplexity filter):
+  //      p(w2|w1) = cnt(w1 w2) / cnt(w1 ·) over the corpus, each
+  //      DISTINCT bigram's −ln p rounded once to integer micro-nats,
+  //      then summed per document through the tf join. Bigrams are
+  //      built by an in-array transform (no positional self-join);
+  //      the model join shuffles on the bigram string — at web scale
+  //      the same plan shape with the model bucketed. ----
+  val q18BigramLp: QueryDef = QueryDef(
+    "q18_bigram_lp",
+    """WITH bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |       unnest(range(1, len(ws))) t(i)
+      |  WHERE len(ws) >= 2),
+      |vocab AS (SELECT b, min(w1) AS w1, count(*) AS cnt FROM bg GROUP BY b),
+      |pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cnt1 FROM vocab GROUP BY w1),
+      |sur AS (SELECT b, CAST(round(1000000 * ln(CAST(cnt1 AS DOUBLE) / cnt)) AS BIGINT) AS sp
+      |        FROM vocab JOIN pre USING (w1)),
+      |dtf AS (SELECT doc_id, b, count(*) AS tf FROM bg GROUP BY doc_id, b)
+      |SELECT doc_id, CAST(sum(tf * sp) AS BIGINT) AS surprisal_upm,
+      |       CAST(sum(tf) AS BIGINT) AS n_bigram,
+      |       CAST(sum(tf * sp) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_upm
+      |FROM dtf JOIN sur USING (b) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
+    (spark, dir) =>
+      val bg = docs(spark, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        // Spark's sequence(0, n) DESCENDS for n < 0 — guard 1-word docs
+        .where(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, concat_ws(' ', ws[i], ws[i+1]) AS b))"))
+          .as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.b").as("b"))
+      val vocab = bg.groupBy(col("b")).agg(min(col("w1")).as("w1"), count(lit(1)).as("cnt"))
+      val pre = vocab.groupBy(col("w1")).agg(sum(col("cnt")).cast("long").as("cnt1"))
+      val sur = vocab.join(pre, Seq("w1"))
+        .select(col("b"),
+          expr("CAST(round(1000000 * ln(CAST(cnt1 AS DOUBLE) / cnt)) AS BIGINT)").as("sp"))
+      val dtf = bg.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+      dtf.join(broadcast(sur), Seq("b"))
+        .groupBy(col("doc_id"))
+        .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * sp) AS BIGINT)").as("surprisal_upm"),
+          sum(col("tf")).cast("long").as("n_bigram"))
+        .select(col("doc_id"), col("surprisal_upm"), col("n_bigram"),
+          expr("surprisal_upm div n_bigram").as("avg_upm"))
+        .orderBy(col("doc_id"))
+  }
+
+  // ---- Gopher-style rule filter (Rae et al. 2021 §A1.1, reduced to
+  //      the rules computable over this corpus): word-count bounds,
+  //      mean-word-length band, minimum stopword evidence, alphabetic
+  //      word fraction. Every rule is an INTEGER comparison (the mean
+  //      and the fraction are cross-multiplied, never divided) so the
+  //      keep decision is exact and partition-independent; one
+  //      projection pass, no shuffle before the per-source rollup. ----
+  val q18GopherQuality: QueryDef = QueryDef(
+    "q18_gopher_quality",
+    """WITH feat AS (
+      |  SELECT doc_id, source,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_wl,
+      |         len(list_filter(string_split(text, ' '),
+      |                         w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+      |           AS n_stop,
+      |         len(list_filter(string_split(text, ' '),
+      |                         w -> regexp_matches(w, '^[a-z]+$'))) AS n_alpha
+      |  FROM documents),
+      |flags AS (
+      |  SELECT doc_id, source, n_words, sum_wl, n_stop, n_alpha,
+      |         n_words BETWEEN 40 AND 100000 AS words_ok,
+      |         sum_wl BETWEEN 3 * n_words AND 10 * n_words AS mwl_ok,
+      |         n_stop >= 2 AS stop_ok,
+      |         5 * n_alpha >= 4 * n_words AS alpha_ok
+      |  FROM feat)
+      |SELECT source, count(*) AS n_docs,
+      |       count(CASE WHEN words_ok AND mwl_ok AND stop_ok AND alpha_ok THEN 1 END)
+      |         AS n_keep,
+      |       count(CASE WHEN NOT words_ok THEN 1 END) AS fail_words,
+      |       count(CASE WHEN NOT mwl_ok THEN 1 END) AS fail_mwl,
+      |       count(CASE WHEN NOT stop_ok THEN 1 END) AS fail_stop,
+      |       count(CASE WHEN NOT alpha_ok THEN 1 END) AS fail_alpha
+      |FROM flags GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val feat = docs(spark, dir).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).as("n_words"),
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("sum_wl"),
+      expr(s"size(filter(split(text, ' '), w -> w IN $stop))").as("n_stop"),
+      expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))").as("n_alpha"))
+    val flags = feat
+      .withColumn("words_ok", col("n_words").between(40, 100000))
+      .withColumn("mwl_ok",
+        col("sum_wl").between(lit(3) * col("n_words"), lit(10) * col("n_words")))
+      .withColumn("stop_ok", col("n_stop") >= 2)
+      .withColumn("alpha_ok", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+    flags.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("words_ok") && col("mwl_ok") && col("stop_ok") && col("alpha_ok"), 1))
+          .as("n_keep"),
+        count(when(!col("words_ok"), 1)).as("fail_words"),
+        count(when(!col("mwl_ok"), 1)).as("fail_mwl"),
+        count(when(!col("stop_ok"), 1)).as("fail_stop"),
+        count(when(!col("alpha_ok"), 1)).as("fail_alpha"))
+      .orderBy(col("source"))
+  }
+
+  // ---- k-means Lloyd step (the training loop behind IVF lists and
+  //      SemDeDup clusters): seed centroids = per-label integer means
+  //      of the quantized vectors, then re-assign every vector to its
+  //      nearest centroid by exact integer distance
+  //      d² = |v|² − 2·v·c + |c|². The K centroid arrays ride ONE
+  //      broadcast; each (vector, centroid) pair is a single codegen'd
+  //      DotLongArrays call; the argmin is a size-K in-partition
+  //      window, so the whole step is one scan + one broadcast join —
+  //      no n·d·k shuffle. Everything stays BIGINT (1e6-quantized
+  //      components, 64 dims ⇒ |dot| ≤ 6.4e13), so the assignment is
+  //      bit-stable under any partitioning or AQE re-plan. ----
+  val q18Kmeans: QueryDef = QueryDef(
+    "q18_kmeans",
+    """WITH quant AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, label, i AS dim, q[i] AS qi
+      |      FROM quant, unnest(range(1, len(q) + 1)) t(i)),
+      |c AS (SELECT label AS clabel, dim, CAST(sum(qi) AS BIGINT) // count(*) AS mq
+      |      FROM u GROUP BY label, dim),
+      |cn AS (SELECT clabel, CAST(sum(mq * mq) AS BIGINT) AS cn2 FROM c GROUP BY clabel),
+      |vn AS (SELECT vec_id, CAST(sum(qi * qi) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      |dots AS (SELECT u.vec_id, c.clabel, CAST(sum(u.qi * c.mq) AS BIGINT) AS dot
+      |         FROM u JOIN c ON u.dim = c.dim GROUP BY u.vec_id, c.clabel),
+      |scored AS (
+      |  SELECT d.vec_id, d.clabel, vn.n2 - 2 * d.dot + cn.cn2 AS dist2
+      |  FROM dots d JOIN vn ON d.vec_id = vn.vec_id JOIN cn ON d.clabel = cn.clabel),
+      |ranked AS (
+      |  SELECT vec_id, clabel, dist2,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY dist2, clabel) AS rnk
+      |  FROM scored)
+      |SELECT q.vec_id, q.label AS old_label, r.clabel AS new_label, r.dist2,
+      |       CAST(CASE WHEN q.label <> r.clabel THEN 1 ELSE 0 END AS BIGINT) AS moved
+      |FROM ranked r JOIN quant q ON r.vec_id = q.vec_id
+      |WHERE r.rnk = 1
+      |ORDER BY q.vec_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorMath
+    val qn = embs(spark, dir)
+      .select(col("vec_id"), col("label"), VectorMath.quantize(col("embedding")).as("q"))
+    val cent = qn
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qi")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("dim"), expr("s div n").as("mq"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
+      .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
+    qn.withColumn("n2", VectorMath.dotLong(col("q"), col("q")))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("clabel"),
+        (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
+          .as("dist2"))
+      .withColumn("rnk", row_number().over(byVec))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("label").as("old_label"), col("clabel").as("new_label"),
+        col("dist2"),
+        when(col("label") =!= col("clabel"), 1L).otherwise(0L).as("moved"))
+      .orderBy(col("vec_id"))
+  }
+
+  // ---- bloom-gated decontamination: the q18_contamination check with
+  //      a broadcast bloom filter over the eval side's 8-gram digests
+  //      dropping non-colliding train grams BEFORE the shuffle — at
+  //      100 TB the gram join's shuffle volume falls to the (tiny)
+  //      collision set while the exact equi-join after the filter
+  //      removes the false positives, so the result is byte-identical
+  //      to the exact query (same oracle). ----
+  val q18DecontamBloom: QueryDef = QueryDef(
+    "q18_decontam_bloom",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |              md5(ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+      |                  ws[i+6] || ' ' || ws[i+7]) AS g
+      |       FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 3),
+      |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 3),
+      |hits AS (
+      |  SELECT tr.doc_id, tr.source, count(*) AS n_shared
+      |  FROM tr JOIN ev ON tr.g = ev.g
+      |  GROUP BY tr.doc_id, tr.source)
+      |SELECT d.source,
+      |       count(CASE WHEN d.doc_id % 10 <> 3 THEN 1 END) AS n_train,
+      |       count(h.doc_id) AS n_contaminated,
+      |       coalesce(CAST(max(h.n_shared) AS BIGINT), 0) AS max_shared
+      |FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 8)
+      .select(col("doc_id"), col("source"), explode(expr(
+        """transform(sequence(0, size(ws) - 8),
+          |  i -> md5(CAST(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+          |                               ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS BINARY)))"""
+          .stripMargin)).as("g"))
+      .distinct()
+    val ev = grams.where(col("doc_id") % 10 === 3).select(col("g")).distinct()
+    val train = grams.where(col("doc_id") % 10 =!= 3)
+    // bloom sized to the eval gram cardinality: distinct 8-grams are
+    // bounded by total eval tokens, which the doc row count bounds well
+    // enough here (the filter stays correct at any fpp — only the
+    // pre-shuffle reduction factor varies)
+    val hits = ScaleOps.bloomPrune(train, ev, "g", expectedKeys = 1000000L, fpp = 0.01)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    docs(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(hits.select(col("doc_id").as("h_id"), col("n_shared")),
+        col("doc_id") === col("h_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(when(col("doc_id") % 10 =!= 3, 1)).as("n_train"),
+        count(col("h_id")).as("n_contaminated"),
+        coalesce(max(col("n_shared")), lit(0L)).as("max_shared"))
+      .orderBy(col("source"))
+  }
+
+  // ---- SemDeDup (Abbas et al. 2023): semantic dedup inside LEARNED
+  //      clusters — re-assign every vector to its nearest k-means
+  //      centroid (the q18_kmeans step), then inside each cluster drop
+  //      any vector that has a lower-id neighbour with cosine above
+  //      threshold. The threshold test is exact integer cross-
+  //      multiplication (400·dot² > 49·|a|²·|b|² ⟺ cos > 0.35, plus
+  //      dot > 0), so the keep/drop decision never touches a float.
+  //      Scale: pair enumeration is cluster-blocked (|pairs| bounded by
+  //      the cluster size a production run controls via K), centroids
+  //      ride one broadcast, every pair is a single codegen'd dot. ----
+  val q18Semdedup: QueryDef = QueryDef(
+    "q18_semdedup",
+    """WITH quant AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, i AS dim, q[i] AS qi
+      |      FROM quant, unnest(range(1, len(q) + 1)) t(i)),
+      |c AS (SELECT label AS clabel, dim, CAST(sum(qi) AS BIGINT) // count(*) AS mq
+      |      FROM (SELECT q2.label, t.i AS dim, q2.q[t.i] AS qi
+      |            FROM quant q2, unnest(range(1, len(q2.q) + 1)) t(i)) z
+      |      GROUP BY label, dim),
+      |cn AS (SELECT clabel, CAST(sum(mq * mq) AS BIGINT) AS cn2 FROM c GROUP BY clabel),
+      |vn AS (SELECT vec_id, CAST(sum(qi * qi) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+      |dots AS (SELECT u.vec_id, c.clabel, CAST(sum(u.qi * c.mq) AS BIGINT) AS dot
+      |         FROM u JOIN c ON u.dim = c.dim GROUP BY u.vec_id, c.clabel),
+      |assign AS (
+      |  SELECT vec_id, clabel AS cluster
+      |  FROM (SELECT d.vec_id, d.clabel,
+      |               row_number() OVER (PARTITION BY d.vec_id
+      |                                  ORDER BY vn.n2 - 2 * d.dot + cn.cn2, d.clabel) AS rnk
+      |        FROM dots d JOIN vn ON d.vec_id = vn.vec_id
+      |                    JOIN cn ON d.clabel = cn.clabel)
+      |  WHERE rnk = 1),
+      |qa AS (SELECT a.vec_id, a.q, vn.n2, s.cluster
+      |       FROM quant a JOIN vn ON a.vec_id = vn.vec_id
+      |                    JOIN assign s ON a.vec_id = s.vec_id),
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM qa a JOIN qa b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      |  WHERE CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |                                     i -> a.q[i] * b.q[i])) AS HUGEINT) > 0
+      |    AND 400 * CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |                                           i -> a.q[i] * b.q[i])) AS HUGEINT)
+      |            * CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |                                           i -> a.q[i] * b.q[i])) AS HUGEINT)
+      |        > 49 * CAST(a.n2 AS HUGEINT) * CAST(b.n2 AS HUGEINT))
+      |SELECT qa.cluster, count(*) AS n_vecs,
+      |       count(d.vec_id) AS n_dropped,
+      |       CAST(coalesce(min(CASE WHEN d.vec_id IS NULL THEN qa.vec_id END), -1)
+      |            AS BIGINT) AS first_kept
+      |FROM qa LEFT JOIN dropped d ON qa.vec_id = d.vec_id
+      |GROUP BY qa.cluster
+      |ORDER BY qa.cluster""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorMath
+    val qn = embs(spark, dir)
+      .select(col("vec_id"), col("label"), VectorMath.quantize(col("embedding")).as("q"))
+      .withColumn("n2", VectorMath.dotLong(col("q"), col("q")))
+    val cent = qn
+      .select(col("label"), posexplode(col("q")).as(Seq("dim", "qi")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("qi")).as("s"), count(lit(1)).as("n"))
+      .select(col("label").as("clabel"), col("dim"), expr("s div n").as("mq"))
+      .groupBy(col("clabel"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
+      .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
+    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
+    val assign = qn
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
+          .as("dist2"), col("clabel"))
+      .withColumn("rnk", row_number().over(byVec))
+      .where(col("rnk") === 1)
+      .select(col("vec_id"), col("clabel").as("cluster"))
+    val qa = qn.join(assign, Seq("vec_id"))
+      .select(col("vec_id"), col("q"), col("n2"), col("cluster"))
+    val a = qa.select(col("cluster"), col("vec_id").as("a_id"),
+      col("q").as("qa"), col("n2").as("n2_a"))
+    val b = qa.select(col("cluster"), col("vec_id").as("b_id"),
+      col("q").as("qb"), col("n2").as("n2_b"))
+    val dotDec = VectorMath.dotLong(col("qa"), col("qb")).cast("decimal(19,0)")
+    val dropped = a.join(b, Seq("cluster"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("dot_s", dotDec)
+      .where(col("dot_s") > 0 &&
+        lit(400).cast("decimal(3,0)") * col("dot_s") * col("dot_s") >
+          lit(49).cast("decimal(2,0)") * col("n2_a").cast("decimal(19,0)") *
+            col("n2_b").cast("decimal(19,0)"))
+      .select(col("b_id").as("vec_id")).distinct()
+    qa.join(dropped.withColumn("is_dropped", lit(1)), Seq("vec_id"), "left")
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(col("is_dropped")).as("n_dropped"),
+        coalesce(min(when(col("is_dropped").isNull, col("vec_id"))), lit(-1L))
+          .cast("long").as("first_kept"))
+      .orderBy(col("cluster"))
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup)
+}

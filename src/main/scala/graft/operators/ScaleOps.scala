@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.model.Envelope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Scale-path operators: the techniques that keep the engine's plans
@@ -267,7 +268,64 @@ object ScaleOps {
       .orderBy(col("l_returnflag"))
   }
 
+  // ---- dynamic partition pruning: the 100 TB fact table is laid out
+  //      partitioned on the join key; a runtime-filtered dim join then
+  //      scans ONLY the fact partitions whose keys survive the dim
+  //      filter (Catalyst injects a dynamicpruning subquery into the
+  //      fact scan's PartitionFilters — asserted by PlanShapeSpec).
+  //      The partitioned copy is materialized once per (session,
+  //      testdata dir) the way a production table would be written
+  //      once by its ingest job. ----
+
+  private val dppDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Path of an events copy written `partitionBy(event_type)`; built on
+    * first use per (session, dir). */
+  private def dppEvents(spark: SparkSession, dir: String): String =
+    dppDirs.computeIfAbsent((spark, dir), { _ =>
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp$safe"
+      if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        Envelope.readTable(spark, dir, "events")
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      }
+      out
+    })
+
+  /** DPP probe, oracle-checked: join the event_type-partitioned fact
+    * copy to the top-2-by-volume types (a filter only knowable at
+    * runtime) — only those two partitions are scanned. The measure is
+    * micro-quantized before summing so the result is order-exact. */
+  val q20Dpp: QueryDef = QueryDef(
+    "q20_dpp",
+    """WITH dim AS (
+      |  SELECT event_type
+      |  FROM (SELECT event_type,
+      |               row_number() OVER (ORDER BY count(*) DESC, event_type) AS rk
+      |        FROM events GROUP BY event_type)
+      |  WHERE rk <= 2)
+      |SELECT e.event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(round(e.value * 1e6) AS BIGINT)) AS BIGINT) AS value_um
+      |FROM events e JOIN dim USING (event_type)
+      |GROUP BY e.event_type
+      |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
+    val fact = spark.read.parquet(dppEvents(spark, dir))
+    val byVolume = Window.orderBy(col("n").desc, col("event_type"))
+    // the rank window runs over ≤|distinct types| rows — trivially small
+    val dim = Envelope.readTable(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(byVolume))
+      .where(col("rk") <= 2)
+      .select(col("event_type"))
+    fact.join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 1e6) AS BIGINT)")).cast("long").as("value_um"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin, q20Zorder,
-    q20ApproxPercentiles)
+    q20ApproxPercentiles, q20Dpp)
 }

@@ -148,4 +148,29 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     val n = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(n <= 2, s"q18_line_dedup has $n hash exchanges: ${p.take(2000)}")
   }
+
+  test("q20_dpp: fact scan carries a dynamicpruning partition filter") {
+    // the dim filter is only knowable at runtime, so partition pruning
+    // on the fact side MUST come from a DPP subquery, not a static
+    // predicate — its absence means the join re-scans every partition
+    val p = plan("q20_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
+  }
+
+  test("q18_dsir: bucket-delta model rides a broadcast; top-k short-circuits") {
+    // the ≤256-row delta table must broadcast into the tf join and the
+    // final selection must be TakeOrdered (no global sort of the pool)
+    val p = plan("q18_dsir")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("q18_kmeans: K centroid arrays broadcast once; dot kernel codegen'd") {
+    // assignment is scan × broadcast(centroids) — a shuffle here would
+    // mean the n·d·k cross product went through an exchange
+    val p = plan("q18_kmeans")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(p.contains("dot_long"), p.take(2000))
+  }
 }
