@@ -277,13 +277,12 @@ object ScaleOps {
   //      testdata dir) the way a production table would be written
   //      once by its ingest job. ----
 
-  private val dppDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private val dppDirs = new SessionCache[String, String]()
 
   /** Path of an events copy written `partitionBy(event_type)`; built on
     * first use per (session, dir). */
   private def dppEvents(spark: SparkSession, dir: String): String =
-    dppDirs.computeIfAbsent((spark, dir), { _ =>
+    dppDirs.getOrElseUpdate(spark, dir) {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp$safe"
       if (!new java.io.File(s"$out/_SUCCESS").exists()) {
@@ -291,7 +290,7 @@ object ScaleOps {
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
       }
       out
-    })
+    }
 
   /** DPP probe, oracle-checked: join the event_type-partitioned fact
     * copy to the top-2-by-volume types (a filter only knowable at

@@ -113,21 +113,13 @@ object SimilarityQueries {
     * localCheckpoint (immutable inputs, so no invalidation); on a
     * cluster this is the persisted bucket-index table NearDupStream
     * already maintains incrementally. */
-  private val bandIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Boolean), DataFrame]()
+  private val bandIndexCache = new SessionCache[(String, Boolean), DataFrame]()
 
-  private def bandIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame = {
-    // keyed by the session REFERENCE (SparkSession doesn't override equals,
-    // so no identity-hash collision can alias two sessions), and entries of
-    // stopped contexts are evicted on every access — they pin localCheckpoint
-    // blocks and would hand out plans bound to a dead context
-    bandIndexCache.entrySet.removeIf(e => e.getKey._1.sparkContext.isStopped)
-    bandIndexCache.computeIfAbsent(
-      (spark, dir, dupes), { _ =>
-        val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
-        bandBuckets(corpus).localCheckpoint()
-      })
-  }
+  private def bandIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
+    bandIndexCache.getOrElseUpdate(spark, (dir, dupes)) {
+      val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
+      bandBuckets(corpus).localCheckpoint()
+    }
 
   private val minhashSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
