@@ -415,6 +415,65 @@ object CurationQueries {
       .orderBy(col("cluster"))
   }
 
+  // ---- BM25 retrieval scoring (Robertson/Okapi, k1=1.2 b=0.75): the
+  //      ranking function behind corpus search / retrieval-based data
+  //      reranking, over a fixed query-term set. Per (term, doc) the
+  //      float score is rounded ONCE to integer micro-units (the same
+  //      expression text runs on both engines, so the rounding is
+  //      reproducible); per-doc totals are then integer sums —
+  //      order-independent under any partitioning. The term stats
+  //      (df, idf) and the corpus length stats are tiny broadcasts;
+  //      the tf pass is one token-explode + groupBy; the final top-20
+  //      is a TakeOrdered, no global sort. ----
+  val q18Bm25: QueryDef = QueryDef(
+    "q18_bm25",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+      |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+      |qt AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok
+      |       WHERE w IN ('table', 'stream', 'query') GROUP BY w),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('table', 'stream', 'query') GROUP BY doc_id, w),
+      |contrib AS (
+      |  SELECT tf.doc_id, tf.w,
+      |         CAST(round(1000000
+      |           * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+      |           * (tf * 2.2)
+      |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs
+      |                                 / CAST(tot_dl AS DOUBLE)))) AS BIGINT) AS s_um
+      |  FROM tf JOIN qt ON tf.w = qt.w
+      |          JOIN dl ON tf.doc_id = dl.doc_id
+      |          CROSS JOIN corp)
+      |SELECT doc_id, CAST(sum(s_um) AS BIGINT) AS bm25_um,
+      |       count(*) AS n_terms_hit
+      |FROM contrib GROUP BY doc_id
+      |ORDER BY bm25_um DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+    val terms = Seq("table", "stream", "query").map(w => s"'$w'").mkString("(", ", ", ")")
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val corp = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("tot_dl"))
+    val qtok = tok.where(expr(s"w IN $terms"))
+    val qt = qtok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    val tf = qtok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    tf.join(broadcast(qt), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corp))
+      .select(col("doc_id"), expr(
+        """CAST(round(1000000
+          |  * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+          |  * (tf * 2.2)
+          |  / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs
+          |                        / CAST(tot_dl AS DOUBLE)))) AS BIGINT)""".stripMargin)
+        .as("s_um"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_um")).cast("long").as("bm25_um"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25_um").desc, col("doc_id")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup)
+    q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
+    q18Bm25)
 }
