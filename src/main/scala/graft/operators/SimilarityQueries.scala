@@ -210,6 +210,18 @@ object SimilarityQueries {
       .select(col("doc_id"), expr(sigExpr).as("sig"), expr(bitsExpr).as("simhash"))
   }
 
+  /** Session-scoped signature table per corpus (the bandIndex
+    * rationale): the word-explode + 32-wide-sum pipeline is the shared
+    * prefix of q18_simhash and BOTH sides of q18_simhash_pairs'
+    * pigeonhole self-join — a production near-dup run materializes the
+    * signature table once and every consumer reads it. */
+  private val simhashSigCache = new SessionCache[String, DataFrame]()
+
+  private def simhashSigsCached(spark: SparkSession, dir: String): DataFrame =
+    simhashSigCache.getOrElseUpdate(spark, dir) {
+      simhashSigs(docs(spark, dir)).localCheckpoint()
+    }
+
   val q18Simhash: QueryDef = QueryDef(
     "q18_simhash",
     """WITH wrd AS (
@@ -226,7 +238,7 @@ object SimilarityQueries {
       |FROM votes
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    simhashSigs(docs(spark, dir))
+    simhashSigsCached(spark, dir)
       .select(col("doc_id"), col("simhash"))
       .orderBy(col("doc_id"))
   }
@@ -272,7 +284,7 @@ object SimilarityQueries {
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     simhashPairsFromSigs(
-      simhashSigs(docs(spark, dir)).select(col("doc_id"), col("sig")))
+      simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
