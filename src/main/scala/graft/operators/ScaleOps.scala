@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.model.Envelope
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -324,7 +324,65 @@ object ScaleOps {
       .orderBy(col("event_type"))
   }
 
+  // ---- bucketed co-located join: both join sides are laid out
+  //      bucketBy(8, key) + sortBy(key), so the 100 TB fact join runs
+  //      with ZERO shuffle — each task reads matching bucket files
+  //      from both tables (PlanShapeSpec pins a single hash exchange,
+  //      the post-join aggregation's). Tables are written once per
+  //      (session, testdata dir) like a production ingest job would;
+  //      external paths keep the catalog write out of the repo dir. ----
+
+  private val bucketTables = new SessionCache[String, (String, String)]()
+
+  /** (ordersTable, lineitemTable) bucketed by the join key, written on
+    * first use per (session, dir). */
+  private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
+    bucketTables.getOrElseUpdate(spark, dir) {
+      val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket$safe"
+      val oTbl = s"graft_bucket_orders$safe"
+      val lTbl = s"graft_bucket_lineitem$safe"
+      Envelope.readTable(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
+      Envelope.readTable(spark, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$base/lineitem").format("parquet").saveAsTable(lTbl)
+      (oTbl, lTbl)
+    }
+
+  /** Shuffle-free fact join over the bucketed layout, oracle-checked
+    * against the plain join: revenue per order priority. Exact cents
+    * via the decimal chain (q13 rule). */
+  val q20BucketJoin: QueryDef = QueryDef(
+    "q20_bucket_join",
+    """SELECT o.o_orderpriority, count(*) AS n_items,
+      |       CAST(round(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(20,4))
+      |                           * (1 - CAST(l.l_discount AS DECIMAL(20,4))))
+      |                       AS DECIMAL(38,4)), 2) * 100 AS BIGINT) AS revenue_cents
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (spark, dir) =>
+    val (oTbl, lTbl) = bucketedTables(spark, dir)
+    // merge hint: the POINT is the co-located sort-merge join (a
+    // broadcast would ignore the bucket layout the query demonstrates)
+    spark.table(oTbl).hint("merge").join(spark.table(lTbl), Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(expr("CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(20,4)))"))
+          .as("rev_dec"))
+      .select(col("o_orderpriority"), col("n_items"),
+        expr("CAST(round(CAST(rev_dec AS DECIMAL(38,4)), 2) * 100 AS BIGINT)")
+          .as("revenue_cents"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q20SaltedSkewAgg, q20Percentiles, q20RangeJoin, q20SaltedJoin, q20Zorder,
-    q20ApproxPercentiles, q20Dpp)
+    q20ApproxPercentiles, q20Dpp, q20BucketJoin)
 }

@@ -157,6 +157,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.toLowerCase.contains("dynamicpruning"), p.take(3000))
   }
 
+  test("q20_bucket_join: co-located SMJ — the only hash exchange is the agg's") {
+    // both sides are bucketed on the join key, so the join itself must
+    // read matching bucket files with NO exchange; one shuffle remains
+    // for the per-priority aggregation
+    val p = plan("q20_bucket_join")
+    assert(p.contains("SortMergeJoin"), p.take(2000))
+    val n = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(n <= 1, s"q20_bucket_join has $n hash exchanges: ${p.take(3000)}")
+  }
+
   test("q18_dsir: bucket-delta model rides a broadcast; top-k short-circuits") {
     // the ≤256-row delta table must broadcast into the tf join and the
     // final selection must be TakeOrdered (no global sort of the pool)
