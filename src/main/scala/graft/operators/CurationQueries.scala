@@ -473,7 +473,106 @@ object CurationQueries {
       .orderBy(col("bm25_um").desc, col("doc_id")).limit(20)
   }
 
+  // ---- Naive Bayes language classifier, trained AND applied as one
+  //      query (the statistical upgrade of q18_lang_id's stopword
+  //      voting; the fasttext-style linear-classifier shape every
+  //      curation stack runs for language/quality routing): hashed
+  //      unigram features (the DSIR buckets), per-(lang, bucket) add-1
+  //      log-likelihoods and per-lang log-priors rounded ONCE to
+  //      integer micro-nats, per-doc scores = prior + Σ tf·logp as
+  //      exact integer sums, argmax by (score, lang) — then the
+  //      labeled-vs-predicted confusion matrix. Scale: the model is
+  //      |langs|·B rows riding one broadcast; scoring is the tf pass
+  //      crossed with |langs| rows, map-side combinable; the argmax is
+  //      a |langs|-row in-partition window per doc.
+  //
+  //      Honesty note on the fixture: the synthetic corpus draws the
+  //      SAME vocabulary for every language label, so the features
+  //      carry no label signal and the learned classifier correctly
+  //      collapses to the majority prior (the confusion matrix shows
+  //      every doc predicted 'en'). The oracle still pins the full
+  //      train + smoothed-inference + argmax machinery bit-for-bit;
+  //      on a real corpus the identical query learns real
+  //      distinctions. ----
+  val q18NbLangid: QueryDef = QueryDef(
+    "q18_nb_langid",
+    """WITH tok AS (
+      |  SELECT doc_id, lang,
+      |         16 * (strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1)
+      |           + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |        FROM documents)),
+      |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY lang),
+      |prior AS (
+      |  SELECT lang,
+      |         CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / tot)) AS BIGINT) AS pr
+      |  FROM (SELECT lang, count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY lang)
+      |       CROSS JOIN (SELECT count(DISTINCT doc_id) AS tot FROM tok)),
+      |model AS (
+      |  SELECT t.lang, t.b,
+      |         CAST(round(1000000 * ln(CAST(count(*) + 1 AS DOUBLE) / (max(nl.n_tok) + 256)))
+      |              AS BIGINT) AS lp
+      |  FROM tok t JOIN nl ON t.lang = nl.lang GROUP BY t.lang, t.b),
+      |dtf AS (SELECT doc_id, b, count(*) AS tf FROM tok GROUP BY doc_id, b),
+      |scored AS (
+      |  SELECT d.doc_id, l.lang,
+      |         CAST(sum(d.tf * coalesce(m.lp,
+      |                CAST(round(1000000 * ln(1.0 / (l.n_tok + 256))) AS BIGINT)))
+      |              AS BIGINT) AS ll
+      |  FROM dtf d CROSS JOIN nl l
+      |       LEFT JOIN model m ON m.lang = l.lang AND m.b = d.b
+      |  GROUP BY d.doc_id, l.lang),
+      |pred AS (
+      |  SELECT doc_id, lang AS pred_lang
+      |  FROM (SELECT s.doc_id, s.lang, s.ll + p.pr AS score,
+      |               row_number() OVER (PARTITION BY s.doc_id
+      |                                  ORDER BY s.ll + p.pr DESC, s.lang) AS rnk
+      |        FROM scored s JOIN prior p ON s.lang = p.lang)
+      |  WHERE rnk = 1)
+      |SELECT d.lang AS labeled_lang, pred.pred_lang, count(*) AS n
+      |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
+      |GROUP BY d.lang, pred.pred_lang
+      |ORDER BY labeled_lang, pred_lang""".stripMargin) { (spark, dir) =>
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
+        .cast("long"))
+      .drop("w")
+    val nl = tok.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_tok"))
+    val prior = tok.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
+      .crossJoin(broadcast(tok.agg(countDistinct(col("doc_id")).as("tot"))))
+      .select(col("lang"),
+        expr("CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / tot)) AS BIGINT)").as("pr"))
+    val model = tok.join(broadcast(nl), Seq("lang"))
+      .groupBy(col("lang"), col("b"))
+      .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("n_tok"))
+      .select(col("lang"), col("b"),
+        expr("CAST(round(1000000 * ln(CAST(cnt + 1 AS DOUBLE) / (n_tok + 256))) AS BIGINT)")
+          .as("lp"))
+    val dtf = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val scored = dtf
+      .crossJoin(broadcast(nl))
+      .join(broadcast(model), Seq("lang", "b"), "left")
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(expr(
+        """CAST(sum(CAST(tf AS DECIMAL(19,0)) * coalesce(lp,
+          |  CAST(round(1000000 * ln(1.0 / (n_tok + 256))) AS BIGINT))) AS BIGINT)"""
+          .stripMargin).as("ll"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang"))
+    val pred = scored.join(broadcast(prior), Seq("lang"))
+      .select(col("doc_id"), col("lang"), (col("ll") + col("pr")).as("score"))
+      .withColumn("rnk", row_number().over(byDoc))
+      .where(col("rnk") === 1)
+      .select(col("doc_id"), col("lang").as("pred_lang"))
+    docs(spark, dir).select(col("doc_id"), col("lang").as("labeled_lang"))
+      .join(pred, Seq("doc_id"))
+      .groupBy(col("labeled_lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("labeled_lang"), col("pred_lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
-    q18Bm25)
+    q18Bm25, q18NbLangid)
 }
