@@ -1001,9 +1001,48 @@ object SimilarityQueries {
       it3.orderBy(col("pr").desc, col("node")).limit(20)
   }
 
+  // ---- edit-distance verification of LSH candidates (the exact
+  //      confirm stage of a fuzzy-dedup pipeline — OCR noise, small
+  //      edits): minhash band buckets nominate candidate pairs, then
+  //      each pair gets ONE codegen'd levenshtein over the two texts and
+  //      an integer normalized distance (permille of the longer text).
+  //      Scale: the O(L²) DP runs only on the LSH-bounded pair set
+  //      (735 pairs at sf0.1, never doc×doc); the text lookup is two
+  //      equi-joins on doc_id. ----
+  val q18EditDedup: QueryDef = QueryDef(
+    "q18_edit_dedup",
+    s"""WITH $minhashSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT c.doc_a, c.doc_b,
+       |       CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |       CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000
+       |         // greatest(length(da.text), length(db.text)) AS nd_permille
+       |FROM cand c
+       |JOIN documents da ON da.doc_id = c.doc_a
+       |JOIN documents db ON db.doc_id = c.doc_b
+       |WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000
+       |        // greatest(length(da.text), length(db.text)) <= 400
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    val lev = levenshtein(col("ta"), col("tb")).cast("long")
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lev.as("lev"),
+        expr("(CAST(levenshtein(ta, tb) AS BIGINT) * 1000) div greatest(length(ta), length(tb))")
+          .as("nd_permille"))
+      .where(col("nd_permille") <= 400)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
-    q18Pagerank)
+    q18Pagerank, q18EditDedup)
 }
