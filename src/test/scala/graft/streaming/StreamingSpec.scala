@@ -691,4 +691,29 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     mon.recordSuccess("a-bad"); mon.recordSuccess("a-stuck")
     mon.healthCheck(1000L) // no throw
   }
+
+  test("dropDuplicatesWithinWatermark: event-id dedup under in-window redelivery") {
+    // the event-time twin of write-position dedupe: each event_id is
+    // admitted once while its state lives inside the watermark, so a
+    // full redelivery batch must add nothing
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    def ev(id: Long) = (id, new java.sql.Timestamp(base.getTime + id * 1000L))
+    val batch1 = (1L to 100L).map(ev) ++ (1L to 100L by 3).map(ev) // in-batch dups
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = input.toDS().toDF("event_id", "ts")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.format("memory").queryName("ddww")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("cp-ddww")).start()
+    input.addData(batch1); q.processAllAvailable()
+    val after1 = spark.table("ddww").select("event_id").as[Long].collect().sorted
+    input.addData(batch1); q.processAllAvailable() // full redelivery
+    q.stop()
+    val after2 = spark.table("ddww").select("event_id").as[Long].collect().sorted
+    assert(after1.toSeq == (1L to 100L))
+    assert(after2.toSeq == after1.toSeq, "redelivered ids must not re-admit")
+  }
 }
