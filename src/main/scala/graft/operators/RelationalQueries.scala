@@ -705,10 +705,55 @@ object RelationalQueries {
       .orderBy(col("k_mod"))
   }
 
+  // ---- 3-sigma outlier detection with an EXACT integer decision (the
+  //      q12_stats power-sum discipline): per group, a value is an
+  //      outlier iff (x−μ)² > 9σ², cross-multiplied so no division or
+  //      sqrt ever runs — (n·x − S)² > 9·n·(n·S2 − S²) over
+  //      micro-quantized DECIMAL sums. Two passes (sums, then flag),
+  //      the 5-row stats table broadcast into the second. Bounds: all
+  //      products stay < 1e32 at these SFs; at 1e10-row groups the
+  //      cross-multiplied form wraps 38 digits, so a cluster run
+  //      broadcasts per-group (μ, σ) doubles instead — same plan
+  //      shape, approximate boundary. ----
+  val q12Outliers: QueryDef = QueryDef(
+    "q12_outliers",
+    """WITH fx AS (
+      |  SELECT event_type, CAST(round(value * 1000000) AS HUGEINT) AS xi FROM events),
+      |s AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(xi) AS HUGEINT) AS sx, CAST(sum(xi * xi) AS HUGEINT) AS sxx
+      |  FROM fx GROUP BY event_type)
+      |SELECT f.event_type, CAST(s.n AS BIGINT) AS n,
+      |       count(CASE WHEN (s.n * f.xi - s.sx) * (s.n * f.xi - s.sx)
+      |                       > 9 * s.n * (s.n * s.sxx - s.sx * s.sx) THEN 1 END)
+      |         AS n_outliers,
+      |       CAST(max(abs(s.n * f.xi - s.sx)) AS BIGINT) // CAST(s.n AS BIGINT)
+      |         AS max_absdev_um
+      |FROM fx f JOIN s ON f.event_type = s.event_type
+      |GROUP BY f.event_type, s.n
+      |ORDER BY f.event_type""".stripMargin) { (spark, dir) =>
+    val fx = t(spark, dir, "events").select(col("event_type"),
+      expr("CAST(round(value * 1000000) AS DECIMAL(19,0))").as("xi"))
+    val s = fx.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(19,0)").as("n"),
+        sum(col("xi")).as("sx"), sum(col("xi") * col("xi")).as("sxx"))
+    val dev = col("n") * col("xi") - col("sx")
+    fx.join(broadcast(s), Seq("event_type"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(
+        count(when(dev * dev > lit(9) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")), 1))
+          .as("n_outliers"),
+        max(abs(dev)).as("maxdev"))
+      .select(col("event_type"), col("n").cast("long").as("n"), col("n_outliers"),
+        expr("CAST(maxdev AS BIGINT) div CAST(n AS BIGINT)").as("max_absdev_um"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q10WindowRank, q10Analytics, q10Rolling, q10Scd2,
     q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets, q12Stats,
+    q12Outliers,
     q13TopK, q14SetOps, q14SnapshotDiff,
     q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot, q15Json)
 }
