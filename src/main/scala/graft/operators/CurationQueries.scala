@@ -25,6 +25,24 @@ object CurationQueries {
   private def embs(spark: SparkSession, dir: String): DataFrame =
     Envelope.readTable(spark, dir, "embeddings")
 
+  /** Session-scoped hashed doc-term matrix per corpus (the bandIndex
+    * discipline): (doc_id, lang, bucket, tf) with bucket =
+    * md5-hash(word) % 256 — the ONE token pass every bag-of-words
+    * curation model (DSIR deltas, Naive Bayes likelihoods, priors)
+    * derives from. A production stack materializes this feature table
+    * once; so does the library. */
+  private val dtfCache = new SessionCache[String, DataFrame]()
+
+  private def docTermBuckets(spark: SparkSession, dir: String): DataFrame =
+    dtfCache.getOrElseUpdate(spark, dir) {
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
+          .cast("long"))
+        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+    }
+
   // ---- DSIR (Data Selection via Importance Resampling, Xie et al.
   //      2023): score raw docs by how much they look like a small
   //      target distribution under a hashed-unigram bag-of-words
@@ -64,13 +82,13 @@ object CurationQueries {
       |SELECT s.doc_id, d.lang, s.n_tok, s.weight_unm
       |FROM scored s JOIN documents d ON s.doc_id = d.doc_id
       |ORDER BY s.weight_unm DESC, s.doc_id LIMIT 50""".stripMargin) { (spark, dir) =>
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
-        .cast("long"))
-      .drop("w")
-    val rawB = tok.groupBy(col("b")).agg(count(lit(1)).as("cr"))
-    val tgtB = tok.where(col("lang") === "de").groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    // everything (bucket counts raw and target, totals, per-doc tf)
+    // derives from the materialized doc-term matrix — the corpus is
+    // token-exploded ONCE per session, not once per model statistic
+    val dtfLang = docTermBuckets(spark, dir)
+    val rawB = dtfLang.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
+    val tgtB = dtfLang.where(col("lang") === "de")
+      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
     val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
       .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
     val delta = rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
@@ -78,7 +96,7 @@ object CurationQueries {
         (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -
           expr("CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE) / (coalesce(ct, 0) + 1))) AS BIGINT)"))
           .as("d"))
-    val dtf = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val dtf = dtfLang.select(col("doc_id"), col("b"), col("tf"))
     dtf.join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * d) AS BIGINT)").as("weight_unm"),
@@ -533,23 +551,23 @@ object CurationQueries {
       |FROM documents d JOIN pred ON d.doc_id = pred.doc_id
       |GROUP BY d.lang, pred.pred_lang
       |ORDER BY labeled_lang, pred_lang""".stripMargin) { (spark, dir) =>
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
-        .cast("long"))
-      .drop("w")
-    val nl = tok.groupBy(col("lang")).agg(count(lit(1)).cast("long").as("n_tok"))
-    val prior = tok.groupBy(col("lang")).agg(countDistinct(col("doc_id")).as("n_docs"))
-      .crossJoin(broadcast(tok.agg(countDistinct(col("doc_id")).as("tot"))))
+    // all four statistics (per-lang token totals, priors, the
+    // (lang, bucket) model, per-doc tf) derive from the materialized
+    // doc-term matrix — one token pass per session; priors come from
+    // the docs table directly (no explode needed for a row count)
+    val dtfLang = docTermBuckets(spark, dir)
+    val nl = dtfLang.groupBy(col("lang")).agg(sum(col("tf")).cast("long").as("n_tok"))
+    val prior = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(docs(spark, dir).agg(count(lit(1)).as("tot"))))
       .select(col("lang"),
         expr("CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / tot)) AS BIGINT)").as("pr"))
-    val model = tok.join(broadcast(nl), Seq("lang"))
-      .groupBy(col("lang"), col("b"))
-      .agg(count(lit(1)).as("cnt"), max(col("n_tok")).as("n_tok"))
+    val model = dtfLang.groupBy(col("lang"), col("b"))
+      .agg(sum(col("tf")).as("cnt"))
+      .join(broadcast(nl), Seq("lang"))
       .select(col("lang"), col("b"),
         expr("CAST(round(1000000 * ln(CAST(cnt + 1 AS DOUBLE) / (n_tok + 256))) AS BIGINT)")
           .as("lp"))
-    val dtf = tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("tf"))
+    val dtf = dtfLang.groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
     val scored = dtf
       .crossJoin(broadcast(nl))
       .join(broadcast(model), Seq("lang", "b"), "left")
