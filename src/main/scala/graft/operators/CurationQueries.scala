@@ -590,7 +590,55 @@ object CurationQueries {
       .orderBy(col("labeled_lang"), col("pred_lang"))
   }
 
+  // ---- corpus report card: the one-query summary artifact a curation
+  //      run publishes after every pipeline stage — docs / tokens /
+  //      mean length / quality-pass rate at every (source, lang)
+  //      grain plus per-source and grand-total ROLLUP rows, all from
+  //      ONE scan (the rollup re-aggregates map-side partials, no
+  //      second pass). Integer permille for the pass rate (the
+  //      quality rule is q18_quality's), integer div for mean length
+  //      — nothing here can drift under partitioning. ----
+  val q18CorpusReport: QueryDef = QueryDef(
+    "q18_corpus_report",
+    """WITH feat AS (
+      |  SELECT source, lang,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         CASE WHEN len(string_split(text, ' ')) >= 20
+      |                   AND len(list_filter(string_split(text, ' '),
+      |                         w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+      |                       * 100 >= len(string_split(text, ' '))
+      |              THEN 1 ELSE 0 END AS q_pass
+      |  FROM documents)
+      |SELECT coalesce(source, 'ALL') AS source, coalesce(lang, 'ALL') AS lang,
+      |       count(*) AS n_docs,
+      |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_words) AS BIGINT) // count(*) AS mean_words,
+      |       CAST(sum(q_pass) AS BIGINT) * 1000 // count(*) AS pass_permille
+      |FROM feat
+      |GROUP BY ROLLUP (source, lang)
+      |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val feat = docs(spark, dir).select(
+      col("source"), col("lang"),
+      size(split(col("text"), " ")).as("n_words"),
+      when(size(split(col("text"), " ")) >= 20 &&
+        expr(s"size(filter(split(text, ' '), w -> w IN $stop))") * 100
+          >= size(split(col("text"), " ")), 1).otherwise(0).as("q_pass"))
+    feat.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("n_tokens"),
+        sum(col("q_pass")).cast("long").as("sq"))
+      .select(
+        coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("n_docs"), col("n_tokens"),
+        expr("n_tokens div n_docs").as("mean_words"),
+        expr("(sq * 1000) div n_docs").as("pass_permille"))
+      .orderBy(col("source"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
-    q18Bm25, q18NbLangid)
+    q18Bm25, q18NbLangid, q18CorpusReport)
 }
