@@ -749,8 +749,68 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---- calendar densification + LOCF gap-fill (the time-series
+  //      resample every metrics pipeline runs): per user, a daily grid
+  //      over the corpus date span, each day carrying that day's
+  //      closing value or the last observation carried forward. Days
+  //      are INTEGER offsets from the corpus start (no date-dialect
+  //      drift); the day-close pick is tiebroken to the last
+  //      (ts, event_id); the fill is `last(v, ignoreNulls)` over the
+  //      per-user ordered window — partitioned by user_id, so at
+  //      100 TB every series fills inside its own partition, no global
+  //      anything. Values micro-quantized so the per-user series sum
+  //      is an exact BIGINT. ----
+  val q10Gapfill: QueryDef = QueryDef(
+    "q10_gapfill",
+    """WITH bounds AS (
+      |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1 FROM events),
+      |dc AS (
+      |  SELECT user_id, di, v_um FROM (
+      |    SELECT user_id, date_diff('day', d0, CAST(ts AS DATE)) AS di,
+      |           CAST(round(value * 1000000) AS BIGINT) AS v_um,
+      |           row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                              ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events CROSS JOIN bounds)
+      |  WHERE rn = 1),
+      |grid AS (
+      |  SELECT u.user_id, CAST(t.i AS BIGINT) AS di
+      |  FROM (SELECT DISTINCT user_id FROM events) u
+      |       CROSS JOIN bounds, unnest(range(0, date_diff('day', d0, d1) + 1)) t(i)),
+      |filled AS (
+      |  SELECT g.user_id, g.di, dc.v_um,
+      |         last_value(dc.v_um IGNORE NULLS)
+      |           OVER (PARTITION BY g.user_id ORDER BY g.di) AS f_um
+      |  FROM grid g LEFT JOIN dc ON g.user_id = dc.user_id AND g.di = dc.di)
+      |SELECT user_id, count(*) AS n_days, count(v_um) AS n_present,
+      |       count(CASE WHEN v_um IS NULL AND f_um IS NOT NULL THEN 1 END) AS n_filled,
+      |       CAST(sum(f_um) AS BIGINT) AS sum_filled_um
+      |FROM filled GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+    val events = t(spark, dir, "events")
+    val bounds = events.agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+    val byDay = Window.partitionBy(col("user_id"), to_date(col("ts")))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val dc = events.crossJoin(broadcast(bounds))
+      .withColumn("di", datediff(to_date(col("ts")), col("d0")).cast("long"))
+      .withColumn("v_um", expr("CAST(round(value * 1000000) AS BIGINT)"))
+      .withColumn("rn", row_number().over(byDay))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("di"), col("v_um"))
+    val grid = events.select(col("user_id")).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("user_id"),
+        explode(expr("sequence(0L, CAST(datediff(d1, d0) AS BIGINT))")).as("di"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("di"))
+    grid.join(dc, Seq("user_id", "di"), "left")
+      .withColumn("f_um", last(col("v_um"), ignoreNulls = true).over(fillW))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"), count(col("v_um")).as("n_present"),
+        count(when(col("v_um").isNull && col("f_um").isNotNull, 1)).as("n_filled"),
+        sum(col("f_um")).cast("long").as("sum_filled_um"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q10WindowRank, q10Analytics, q10Rolling, q10Scd2,
+    q10WindowRank, q10Analytics, q10Rolling, q10Scd2, q10Gapfill,
     q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets, q12Stats,
     q12Outliers,
