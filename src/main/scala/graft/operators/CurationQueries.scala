@@ -51,8 +51,8 @@ object CurationQueries {
   //      per-bucket log-likelihood delta is computed ONCE per bucket
   //      (≤B rows, add-1 smoothed, rounded to integer micro-nats) and
   //      broadcast; a doc's importance weight is the integer
-  //      tf-weighted sum. At 100 TB: two token passes (bucket counts,
-  //      per-doc tf), a ≤256-row broadcast join, and a TakeOrdered
+  //      tf-weighted sum. At 100 TB: one token pass (the shared
+  //      doc-term matrix), a ≤256-row broadcast join, and a TakeOrdered
   //      top-K — no global window, no float accumulation. Target here
   //      = the 'de' slice (a stand-in for any curated seed corpus);
   //      raw = the whole pool. ----
