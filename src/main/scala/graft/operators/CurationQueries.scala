@@ -638,7 +638,61 @@ object CurationQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  // ---- cross-source overlap matrix (the corpus-level contamination
+  //      audit: "how much of source A is also in source B"): distinct
+  //      (source, 8-gram digest) pairs, gram-keyed self-join into
+  //      ordered source pairs, shared-gram counts and integer Jaccard
+  //      permille. Scale: the join key is the gram digest and each
+  //      gram contributes at most |sources|² pairs (a small constant),
+  //      so the pair volume is linear in distinct grams no matter the
+  //      corpus size; the matrix itself is |sources|² rows. ----
+  val q18SourceOverlap: QueryDef = QueryDef(
+    "q18_source_overlap",
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT source,
+      |              md5(ws[i]   || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                  ws[i+3] || ' ' || ws[i+4] || ' ' || ws[i+5] || ' ' ||
+      |                  ws[i+6] || ' ' || ws[i+7]) AS g
+      |       FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+      |tot AS (SELECT source, count(*) AS n_grams FROM sh GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+      |  GROUP BY a.source, b.source)
+      |SELECT s.source_a, s.source_b, s.n_shared,
+      |       ta.n_grams AS n_a, tb.n_grams AS n_b,
+      |       s.n_shared * 1000 // (ta.n_grams + tb.n_grams - s.n_shared)
+      |         AS jaccard_permille
+      |FROM shared s
+      |JOIN tot ta ON s.source_a = ta.source
+      |JOIN tot tb ON s.source_b = tb.source
+      |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 8)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(ws) - 8),
+          |  i -> md5(CAST(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+          |                               ws[i+4], ws[i+5], ws[i+6], ws[i+7]) AS BINARY)))"""
+          .stripMargin)).as("g"))
+      .distinct()
+    val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = sh.select(col("source").as("source_a"), col("g"))
+      .join(sh.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(tot.select(col("source").as("source_a"), col("n_grams").as("n_a"))),
+        Seq("source_a"))
+      .join(broadcast(tot.select(col("source").as("source_b"), col("n_grams").as("n_b"))),
+        Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"), col("n_a"), col("n_b"),
+        expr("(n_shared * 1000) div (n_a + n_b - n_shared)").as("jaccard_permille"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
-    q18Bm25, q18NbLangid, q18CorpusReport)
+    q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap)
 }
