@@ -16,7 +16,9 @@ object Explain {
       else Seq("q01_scan_filter", "q11_join", "q12_agg", "q13_topk",
         "q18_cosine_topk", "q18_minhash_pairs", "q18_dedup_embed",
         "q16_stream_join", "q20_range_join", "q18_line_dedup",
-        "q18_domain_mix", "q18_unigram_lp", "q22_funnel")
+        "q18_domain_mix", "q18_unigram_lp", "q22_funnel",
+        "q20_dpp", "q20_bucket_join", "q18_dsir", "q18_kmeans",
+        "q18_source_overlap", "q10_gapfill")
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-explain")
