@@ -328,7 +328,46 @@ object EventTimeQueries {
       .orderBy(col("cohort_w"), col("offset_w"))
   }
 
+  // ---- per-bucket trending top-k ("what's hot each day"): counts per
+  //      (day, event_type), then a rank window PARTITIONED BY the day
+  //      bucket — every bucket ranks inside its own partition, so the
+  //      top-k never needs a global sort no matter how many days or
+  //      types the corpus spans. Integer day offsets and micro-sums
+  //      keep the output exact. ----
+  val q16Trending: QueryDef = QueryDef(
+    "q16_trending",
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+      |daily AS (
+      |  SELECT date_diff('day', d0, CAST(ts AS DATE)) AS day_idx, event_type,
+      |         count(*) AS n,
+      |         CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_um
+      |  FROM events CROSS JOIN b
+      |  GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT day_idx, event_type, n, value_um,
+      |         row_number() OVER (PARTITION BY day_idx
+      |                            ORDER BY n DESC, event_type) AS rk
+      |  FROM daily)
+      |SELECT CAST(day_idx AS BIGINT) AS day_idx, event_type, n, value_um,
+      |       CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 2
+      |ORDER BY day_idx, rk""".stripMargin) { (spark, dir) =>
+    val events = Envelope.readTable(spark, dir, "events")
+    val b = events.agg(min(to_date(col("ts"))).as("d0"))
+    val byDay = Window.partitionBy(col("day_idx"))
+      .orderBy(col("n").desc, col("event_type"))
+    events.crossJoin(broadcast(b))
+      .groupBy(datediff(to_date(col("ts")), col("d0")).cast("long").as("day_idx"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(round(value * 1000000) AS BIGINT)")).cast("long").as("value_um"))
+      .withColumn("rk", row_number().over(byDay).cast("long"))
+      .where(col("rk") <= 2)
+      .select(col("day_idx"), col("event_type"), col("n"), col("value_um"), col("rk"))
+      .orderBy(col("day_idx"), col("rk"))
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q17Stateful,
-    q22Funnel, q22Retention)
+    q16Tumbling, q16Sliding, q16Session, q16LateDrop, q16StreamJoin, q16Trending,
+    q17Stateful, q22Funnel, q22Retention)
 }
