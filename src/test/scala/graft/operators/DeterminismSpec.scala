@@ -49,4 +49,19 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(narrow.nonEmpty, s"$name returned no rows")
     }
   }
+
+  test("AQE on/off never changes results (re-plan-proof aggregates)") {
+    // AQE coalesces partitions and may swap join strategies at runtime;
+    // integer/decimal accumulation must make that invisible
+    Seq("q18_unigram_lp", "q12_outliers", "q18_dsir", "q18_kmeans",
+      "q20_salted_skew_agg").foreach { name =>
+      val fn = SparkEntry.queries(name)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val withAqe = fn(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val without = fn(spark, sfDir).collect().toSeq
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      assert(withAqe == without, s"$name differs under AQE toggle")
+    }
+  }
 }
