@@ -677,9 +677,19 @@ object CurationQueries {
           .stripMargin)).as("g"))
       .distinct()
     val tot = sh.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
-    val shared = sh.select(col("source").as("source_a"), col("g"))
-      .join(sh.select(col("source").as("source_b"), col("g")), Seq("g"))
-      .where(col("source_a") < col("source_b"))
+    // pair enumeration WITHOUT a gram self-join (the bucketPairs
+    // shape): one shuffle on the digest, each gram's ≤|sources| names
+    // expand to ordered pairs locally — the gram pipeline runs once,
+    // not once per join side
+    val shared = sh
+      .groupBy(col("g"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ss,
+          |  (a, i) -> transform(slice(ss, i + 2, size(ss)),
+          |            b -> struct(a AS source_a, b AS source_b))))""".stripMargin)).as("p"))
+      .select(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
     shared
