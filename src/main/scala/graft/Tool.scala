@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
   *   checkpoint-show <cpDir>
   *   checkpoint-override <cpDir> <source> <tranche> <group> <pos>
   *   stats <storeDir>          # per-stream store summary (q06 shape)
+  *   corpus-report <sfDir>     # curation report card (q18_corpus_report)
   *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
   */
 object Tool {
@@ -39,6 +40,9 @@ object Tool {
           .agg((max(col("idx")) + 1).as("write_pos"), count(lit(1)).as("n_events"))
           .orderBy(col("stream_name"))
           .show(100, truncate = false)
+      case ("corpus-report", sfDir :: Nil) =>
+        operators.CurationQueries.q18CorpusReport.build(spark, sfDir)
+          .show(200, truncate = false)
       case _ =>
         System.err.println(s"bad arguments for $cmd")
         sys.exit(2)
