@@ -1040,9 +1040,79 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- sparse TF-IDF cosine over LSH candidates (the sparse-vector
+  //      twin of q18_dedup_embed's dense kernel): per (doc, word) a
+  //      tf·idf weight rounded ONCE to integer micro-units, then each
+  //      candidate pair's dot and norms are exact integer sums — the
+  //      double division happens only at the very end, on identical
+  //      integers in both engines. Work ∝ |candidate pairs| × doc
+  //      length (the LSH bound), never corpus². ----
+  val q18TfidfSim: QueryDef = QueryDef(
+    "q18_tfidf_sim",
+    s"""WITH $minhashSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd FROM documents),
+       |tf AS (SELECT doc_id, wd, count(*) AS tf FROM tok GROUP BY doc_id, wd),
+       |df AS (SELECT wd, count(*) AS df FROM tf GROUP BY wd),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |wt AS (
+       |  SELECT tf.doc_id, tf.wd,
+       |         CAST(round(1000000 * tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df))
+       |              AS BIGINT) AS w_um
+       |  FROM tf JOIN df ON tf.wd = df.wd CROSS JOIN nd),
+       |nrm AS (SELECT doc_id, CAST(sum(w_um * w_um) AS HUGEINT) AS n2
+       |        FROM wt GROUP BY doc_id),
+       |dots AS (
+       |  SELECT c.doc_a, c.doc_b, CAST(sum(wa.w_um * wb.w_um) AS HUGEINT) AS dot
+       |  FROM cand c
+       |  JOIN wt wa ON wa.doc_id = c.doc_a
+       |  JOIN wt wb ON wb.doc_id = c.doc_b AND wb.wd = wa.wd
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT d.doc_a, d.doc_b,
+       |       CAST(d.dot AS DOUBLE)
+       |         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+       |FROM dots d
+       |JOIN nrm na ON d.doc_a = na.doc_id
+       |JOIN nrm nb ON d.doc_b = nb.doc_id
+       |WHERE CAST(d.dot AS DOUBLE)
+       |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) > 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
+    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+      .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("wd")).agg(count(lit(1)).as("df"))
+    val nd = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val wt = tf.join(broadcast(df), Seq("wd")).crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("wd"),
+        expr("CAST(round(1000000 * tf * ln(CAST(n_docs AS DOUBLE) / df)) AS BIGINT)")
+          .as("w_um"))
+    val nrm = wt.groupBy(col("doc_id"))
+      .agg(sum(expr("CAST(w_um AS DECIMAL(19,0)) * w_um")).as("n2"))
+    val dots = cand
+      .join(wt.select(col("doc_id").as("doc_a"), col("wd"), col("w_um").as("wa")),
+        Seq("doc_a"))
+      .join(wt.select(col("doc_id").as("doc_b"), col("wd"), col("w_um").as("wb")),
+        Seq("doc_b", "wd"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(expr("CAST(wa AS DECIMAL(19,0)) * wb")).as("dot"))
+    val cosine = col("dot").cast("double") /
+      (sqrt(col("n2_a").cast("double")) * sqrt(col("n2_b").cast("double")))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("n2_a")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("n2_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cosine.as("cosine"))
+      .where(col("cosine") > 0.5)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
-    q18Pagerank, q18EditDedup)
+    q18Pagerank, q18EditDedup, q18TfidfSim)
 }
