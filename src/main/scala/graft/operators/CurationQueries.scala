@@ -702,7 +702,87 @@ object CurationQueries {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  // ---- product quantization encode (the PQ half of IVF-PQ, the
+  //      standard ANN compression): the 64-dim quantized vector splits
+  //      into 8 subvectors of 8 dims; each subvector is encoded as the
+  //      id of its nearest per-label sub-centroid (codebook = the
+  //      k-means centroids restricted to the subspace). Per vector:
+  //      8 codes + the exact integer reconstruction error
+  //      Σ_s min_ℓ |q_s − c_{ℓ,s}|². Scale: the 8×K codebook rides the
+  //      ONE centroid broadcast; per (vector, label) row a codegen'd
+  //      dot per subvector; the argmin windows key on vec_id — one
+  //      shuffle total, no n·d·k exchange. ----
+  val q18PqEncode: QueryDef = QueryDef(
+    "q18_pq_encode",
+    """WITH quant AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, i AS dim, q[i] AS qi
+      |      FROM quant, unnest(range(1, len(q) + 1)) t(i)),
+      |c AS (SELECT label AS cl, dim, CAST(sum(qi) AS BIGINT) // count(*) AS mq
+      |      FROM (SELECT q2.label, t.i AS dim, q2.q[t.i] AS qi
+      |            FROM quant q2, unnest(range(1, len(q2.q) + 1)) t(i)) z
+      |      GROUP BY label, dim),
+      |sd AS (
+      |  SELECT u.vec_id, c.cl, (u.dim - 1) // 8 AS s,
+      |         CAST(sum((u.qi - c.mq) * (u.qi - c.mq)) AS HUGEINT) AS dist
+      |  FROM u JOIN c ON u.dim = c.dim
+      |  GROUP BY u.vec_id, c.cl, (u.dim - 1) // 8),
+      |best AS (
+      |  SELECT vec_id, s, cl, dist,
+      |         row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rnk
+      |  FROM sd)
+      |SELECT vec_id,
+      |       CAST(max(CASE WHEN s = 0 THEN cl END) AS BIGINT) AS c0,
+      |       CAST(max(CASE WHEN s = 1 THEN cl END) AS BIGINT) AS c1,
+      |       CAST(max(CASE WHEN s = 2 THEN cl END) AS BIGINT) AS c2,
+      |       CAST(max(CASE WHEN s = 3 THEN cl END) AS BIGINT) AS c3,
+      |       CAST(max(CASE WHEN s = 4 THEN cl END) AS BIGINT) AS c4,
+      |       CAST(max(CASE WHEN s = 5 THEN cl END) AS BIGINT) AS c5,
+      |       CAST(max(CASE WHEN s = 6 THEN cl END) AS BIGINT) AS c6,
+      |       CAST(max(CASE WHEN s = 7 THEN cl END) AS BIGINT) AS c7,
+      |       CAST(sum(dist) AS BIGINT) AS recon_err
+      |FROM best WHERE rnk = 1
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorMath
+    val qn = embs(spark, dir)
+      .select(col("vec_id"), VectorMath.quantize(col("embedding")).as("q"))
+    val cent = qn.join(embs(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+      .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
+      .groupBy(col("label"), col("dim0"))
+      .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
+      .groupBy(col("cl"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
+    // per (vector, codeword) row: 8 subvector distances via sliced
+    // codegen dots (|a−b|² = a·a − 2·a·b + b·b), then stacked to
+    // (s, dist) and argmin'd per (vec, s)
+    def dist(s: Int) = {
+      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
+      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
+      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
+        VectorMath.dotLong(cs, cs)).as(s"d$s")
+    }
+    val byVecSub = Window.partitionBy(col("vec_id"), col("s"))
+      .orderBy(col("dist"), col("cl"))
+    val stacked = qn.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id"), col("cl")) ++ (0 until 8).map(dist): _*)
+      .select(col("vec_id"), col("cl"), expr(
+        "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (s, dist)"))
+    val aggs = (0 until 8).map(s =>
+      max(when(col("s") === s, col("cl"))).cast("long").as(s"c$s")) :+
+      sum(col("dist")).cast("long").as("recon_err")
+    stacked
+      .withColumn("rnk", row_number().over(byVecSub))
+      .where(col("rnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
-    q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap)
+    q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode)
 }
