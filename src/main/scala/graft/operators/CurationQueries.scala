@@ -553,12 +553,16 @@ object CurationQueries {
       |ORDER BY labeled_lang, pred_lang""".stripMargin) { (spark, dir) =>
     // all four statistics (per-lang token totals, priors, the
     // (lang, bucket) model, per-doc tf) derive from the materialized
-    // doc-term matrix — one token pass per session; priors come from
-    // the docs table directly (no explode needed for a row count)
+    // doc-term matrix — one token pass per session. Priors count
+    // distinct doc_ids IN THE MATRIX, not documents rows: the oracle's
+    // doc universe is the tokenized relation, which excludes NULL-text
+    // docs, so counting the raw table would diverge on such fixtures.
     val dtfLang = docTermBuckets(spark, dir)
     val nl = dtfLang.groupBy(col("lang")).agg(sum(col("tf")).cast("long").as("n_tok"))
-    val prior = docs(spark, dir).groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
-      .crossJoin(broadcast(docs(spark, dir).agg(count(lit(1)).as("tot"))))
+    val nDocs = dtfLang.select(col("lang"), col("doc_id")).distinct()
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val prior = nDocs
+      .crossJoin(broadcast(nDocs.agg(sum(col("n_docs")).cast("long").as("tot"))))
       .select(col("lang"),
         expr("CAST(round(1000000 * ln(CAST(n_docs AS DOUBLE) / tot)) AS BIGINT)").as("pr"))
     val model = dtfLang.groupBy(col("lang"), col("b"))

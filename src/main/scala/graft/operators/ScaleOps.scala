@@ -280,14 +280,39 @@ object ScaleOps {
   private val dppDirs = new SessionCache[String, String]()
 
   /** Path of an events copy written `partitionBy(event_type)`; built on
-    * first use per (session, dir). */
+    * first use per (session, dir). The output path folds in a
+    * fingerprint of the source fixture (name/size/mtime of every file
+    * under it), so a fixture regenerated in place can never pair with a
+    * stale partitioned copy. Concurrent JVMs racing to build the same
+    * copy each write a private staging dir and atomically rename it in;
+    * the loser discards its staging dir and reads the winner's. */
   private def dppEvents(spark: SparkSession, dir: String): String =
     dppDirs.getOrElseUpdate(spark, dir) {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp$safe"
+      val src = new java.io.File(s"$dir/events.parquet")
+      val files =
+        if (src.isDirectory) Option(src.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+        else Vector(src)
+      val fp = java.lang.Long.toHexString(
+        files.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
+          31 * (31 * h + f.getName.hashCode) + f.length() + f.lastModified()
+        })
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_dpp${safe}_$fp"
       if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+        val staging = s"$out.stage.${java.util.UUID.randomUUID().toString.take(8)}"
         Envelope.readTable(spark, dir, "events")
-          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+          .write.mode("overwrite").partitionBy("event_type").parquet(staging)
+        try
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(out),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.FileSystemException =>
+            // another JVM won the rename; use its copy
+            org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+        }
       }
       out
     }

@@ -14,8 +14,17 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionCache[K, V] {
 
+  // The map holds lazy holders, not values: putIfAbsent wins the slot
+  // cheaply and the (possibly multi-second Spark job) build then runs
+  // under the HOLDER's own lock, not the ConcurrentHashMap bin lock.
+  // computeIfAbsent(build) would pin the bin for the build's duration —
+  // unrelated keys hashing to the same bin would block behind a full
+  // localCheckpoint, and a reentrant getOrElseUpdate (a build that
+  // itself consults the cache) would throw IllegalStateException.
+  private final class Holder(thunk: () => V) { lazy val value: V = thunk() }
+
   private val map =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), V]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, K), Holder]()
   private val hooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
@@ -31,7 +40,15 @@ final class SessionCache[K, V] {
         }
       })
     }
-    map.computeIfAbsent((spark, key), _ => build)
+    val mine = new Holder(() => build)
+    val prior = map.putIfAbsent((spark, key), mine)
+    val holder = if (prior == null) mine else prior
+    val v = holder.value
+    // close the insert/stop race: if the context stopped after the
+    // isStopped check above, the sweep listener may have already run
+    // and missed our entry — remove it ourselves (idempotent)
+    if (spark.sparkContext.isStopped) map.remove((spark, key), holder)
+    v
   }
 
   private[operators] def size: Int = map.size
