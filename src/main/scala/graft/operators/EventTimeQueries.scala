@@ -126,20 +126,21 @@ object EventTimeQueries {
     // Bucket by event_id div K: the running max is intra-bucket (each
     // window task holds <= K rows), and the contribution of earlier
     // buckets is the broadcast prefix-max over per-bucket maxima — a
-    // summary table K× smaller than the data (re-shardable recursively
-    // if even that outgrows one task). greatest() keeps the null
-    // semantics of the global form: the first event overall has no
-    // predecessor, so max_seen_us stays null.
+    // summary table K× smaller than the data, itself prefix-maxed by
+    // ScaleOps.prefixMaxOfPrevious (partitioned window + theta-join:
+    // NO unpartitioned window at any level; PlanShapeSpec sweeps the
+    // whole query surface for that invariant). greatest() keeps the
+    // null semantics of the global form: the first event overall has
+    // no predecessor, so max_seen_us stays null.
     val bucketK = 8192
     val e = env(spark, dir)
       .select(col("stream_name"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
       .withColumn("_b", expr(s"event_id div $bucketK"))
     val intra = Window.partitionBy(col("_b")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prevBuckets = Window.orderBy(col("_b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = e.groupBy(col("_b")).agg(max(col("ts_us")).as("_bmax"))
-      .withColumn("_off", max(col("_bmax")).over(prevBuckets))
+    val offsets = ScaleOps.prefixMaxOfPrevious(
+      e.groupBy(col("_b")).agg(max(col("ts_us")).as("_bmax")),
+      "_b", "_bmax", "_off")
       .select(col("_b"), col("_off"))
     e.withColumn("_max_in", max(col("ts_us")).over(intra))
       .join(broadcast(offsets), Seq("_b"))

@@ -33,6 +33,45 @@ object ScaleOps {
       .groupBy(col("key"))
       .agg(mergeAggs.head, mergeAggs.tail: _*)
 
+  /** Prefix-of-previous MAX over an ordered summary table, with NO
+    * unpartitioned window anywhere in the plan. For each row, computes
+    * `outCol = max(valCol)` over all rows with a strictly smaller
+    * `ordCol` (null when no earlier row exists — the running-max
+    * seed semantics).
+    *
+    * Two levels:
+    *  1. rows are super-bucketed by `ordCol div k`; the contribution of
+    *     earlier rows in the SAME super-bucket is a window PARTITIONED
+    *     by super-bucket — each task holds ≤ k summary rows;
+    *  2. the contribution of EARLIER super-buckets is a broadcast
+    *     theta-join over the per-super-bucket maxima (|S| = M/k rows):
+    *     |S|²/2 long comparisons spread across all tasks — no sort, no
+    *     single-task stage.
+    *
+    * Capacity: with k=8192 and a 1e9-comparison join budget this holds
+    * to M ≈ 2.4e8 summary rows; callers feed it summaries already K×
+    * smaller than their data (e.g. q16_late_drop's per-bucket maxima),
+    * so the underlying data bound is K·M. Add a third level by calling
+    * recursively on `sb` if a summary ever outgrows that.
+    */
+  def prefixMaxOfPrevious(
+      summary: DataFrame, ordCol: String, valCol: String, outCol: String,
+      k: Int = 8192): DataFrame = {
+    val t = summary.withColumn("_sb", expr(s"$ordCol div $k"))
+    val intra = Window.partitionBy(col("_sb")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sb = t.groupBy(col("_sb")).agg(max(col(valCol)).as("_sbmax"))
+    val prev = sb.select(col("_sb").as("_psb"), col("_sbmax").as("_pmax"))
+    val offs = sb.join(broadcast(prev), col("_psb") < col("_sb"), "left")
+      .groupBy(col("_sb")).agg(max(col("_pmax")).as("_soff"))
+    // greatest() ignores nulls unless all inputs are null — exactly the
+    // first-row-has-no-predecessor semantics of the global running max
+    t.withColumn("_pin", max(col(valCol)).over(intra))
+      .join(broadcast(offs), Seq("_sb"))
+      .withColumn(outCol, greatest(col("_pin"), col("_soff")))
+      .drop("_sb", "_pin", "_soff")
+  }
+
   /** Salted skew aggregation, oracle-checked against the direct plan:
     * per event_type (only 5 distinct values = extreme skew at scale),
     * count + exact decimal sum, via 16 salt buckets. */
@@ -335,12 +374,26 @@ object ScaleOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
     val fact = spark.read.parquet(dppEvents(spark, dir))
-    val byVolume = Window.orderBy(col("n").desc, col("event_type"))
-    // the rank window runs over ≤|distinct types| rows — trivially small
-    val dim = Envelope.readTable(spark, dir, "events")
+    // top-2 without a rank window: a TakeOrdered pre-job pulls the
+    // rank-2 threshold pair (bounded driver collect: limit(1) = exactly
+    // one row at any scale), and the dim keeps everything
+    // lexicographically at or above it in (n DESC, event_type ASC)
+    // order — identical rows to row_number() <= 2 ((n, event_type) is
+    // unique after the groupBy). The literal threshold lands as a real
+    // selective Filter on the dim side, which is what Catalyst's
+    // PartitionPruning rule requires to inject the dynamicpruning
+    // subquery into the fact scan (a bare LIMIT doesn't qualify, and a
+    // threshold carried via crossJoin folds into the join condition
+    // where the rule can't see it).
+    val counts = Envelope.readTable(spark, dir, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .withColumn("rk", row_number().over(byVolume))
-      .where(col("rk") <= 2)
+    val r2 = counts
+      .orderBy(col("n").desc, col("event_type")).limit(2)
+      .orderBy(col("n").asc, col("event_type").desc).limit(1)
+      .select(col("n"), col("event_type")).collect()(0)
+    val (n2, t2) = (r2.getLong(0), r2.getString(1))
+    val dim = counts
+      .where(col("n") > n2 || (col("n") === n2 && col("event_type") <= t2))
       .select(col("event_type"))
     fact.join(dim, Seq("event_type"))
       .groupBy(col("event_type"))

@@ -95,14 +95,35 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("q16_late_drop: watermark prefix-max is bucketed, no full-data global sort") {
-    // the data-side running max partitions on _b (event_id div K); only
-    // the per-bucket maxima (K× smaller) pass through the unpartitioned
-    // prefix window, and they reach the data via broadcast
+    // the data-side running max partitions on _b (event_id div K); the
+    // per-bucket maxima (K× smaller) go through prefixMaxOfPrevious
+    // (partitioned window + theta-join) and reach the data via broadcast
     val p = plan("q16_late_drop")
     assert("windowspecdefinition\\(_b#\\d+L?, event_id".r.findAllIn(p).nonEmpty,
       p.take(3000))
     assert("BroadcastExchange".r.findAllIn(p).size >= 1, p.take(3000))
     assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("no unpartitioned window anywhere in the query surface") {
+    // THE single-task-stage sweep: an empty-partitionSpec Window sorts
+    // the whole input in one task — the classic 100 TB scale-killer.
+    // Every running total / rank in the engine must ride a partitioned
+    // window (sharded prefix operators for inherently-global prefixes)
+    // or a TakeOrdered limit. Checked on the OPTIMIZED logical plan of
+    // all registered queries so a regression in any helper is caught
+    // regardless of which query exercises it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val bad = fn(spark, sfDir).queryExecution.optimizedPlan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty => w
+        }
+        if (bad.isEmpty) Nil
+        else List(s"$name: ${bad.head.windowExpressions.take(2).mkString(", ").take(120)}")
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned windows in: ${offenders.mkString("; ")}")
   }
 
   test("q18_repetition: both per-doc windows share one doc_id exchange") {

@@ -47,6 +47,30 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colocated.count() == plain)
   }
 
+  test("prefixMaxOfPrevious matches the global running max; no unpartitioned window") {
+    import org.apache.spark.sql.expressions.Window
+    // ords with gaps + duplicated max values + a null-valued row; small
+    // k forces multiple super-buckets so both levels carry weight
+    val df = spark.range(0, 500)
+      .select((col("id") * 3).as("ord"),
+        when(col("id") % 97 === 0, lit(null).cast("long"))
+          .otherwise(pmod(col("id") * 2654435761L, lit(1000)).cast("long")).as("v"))
+    val got = ScaleOps.prefixMaxOfPrevious(df, "ord", "v", "pm", k = 64)
+      .select(col("ord"), col("pm"))
+    val ref = df.withColumn("pm",
+        max(col("v")).over(Window.orderBy(col("ord"))
+          .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("ord"), col("pm"))
+    assert(got.except(ref).isEmpty && ref.except(got).isEmpty)
+    // first row must keep the no-predecessor null
+    assert(got.orderBy(col("ord")).limit(1).collect()(0).isNullAt(1))
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = got.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "operator's own plan has an unpartitioned window")
+  }
+
   test("date-partitioned writes prune partitions on read (PartitionFilters)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-part").toString + "/events"
