@@ -557,6 +557,136 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- IVF-PQ with ADC re-rank: the standard production ANN stack,
+  //      composing the two halves above — IVF routing (q18_ann_ivf)
+  //      picks the probe's cluster, PQ codes (q18_pq_encode's encoding)
+  //      compress every candidate to 8 bytes, and the probe scores
+  //      candidates via Asymmetric Distance Computation: a per-probe
+  //      lookup table ld[s][codeword] = ‖probe_s − c_{codeword,s}‖²
+  //      (|probes|·K·8 integer rows, broadcast) summed over the
+  //      candidate's CODES — the scoring phase touches no full vectors.
+  //      The ADC top-8 shortlist is then re-ranked by the exact integer
+  //      L2 on the quantized vectors. At 100 TB: codes are 8 longs per
+  //      vector (vs 64) and would live as a precomputed table (here the
+  //      encode runs in-query off the ONE centroid broadcast, as in
+  //      q18_pq_encode); per-probe work = |cluster|·8 code lookups +
+  //      8 exact dots. Every window keys on a probe or (vec, sub) —
+  //      nothing global. ----
+  val q18AnnIvfPq: QueryDef = QueryDef(
+    "q18_ann_ivfpq",
+    s"""WITH $quantSql,
+       |u AS (
+       |  SELECT vec_id, label, i AS dim, q[i] AS qi
+       |  FROM quant, unnest(range(1, len(q) + 1)) AS t(i)),
+       |c AS (
+       |  SELECT label AS cl, dim, CAST(sum(qi) AS BIGINT) // count(*) AS mq
+       |  FROM u GROUP BY label, dim),
+       |sd AS (
+       |  SELECT u.vec_id, u.label, c.cl, (u.dim - 1) // 8 AS s,
+       |         CAST(sum((u.qi - c.mq) * (u.qi - c.mq)) AS BIGINT) AS dist
+       |  FROM u JOIN c ON u.dim = c.dim
+       |  GROUP BY u.vec_id, u.label, c.cl, (u.dim - 1) // 8),
+       |codes AS (
+       |  SELECT vec_id, label, s, cl AS code FROM (
+       |    SELECT vec_id, label, s, cl,
+       |           row_number() OVER (PARTITION BY vec_id, s ORDER BY dist, cl) AS rnk
+       |    FROM sd) z
+       |  WHERE rnk = 1),
+       |rt AS (
+       |  SELECT vec_id, cl, CAST(sum(dist) AS BIGINT) AS fdist
+       |  FROM sd WHERE vec_id < 5 GROUP BY vec_id, cl),
+       |routed AS (
+       |  SELECT vec_id AS probe_id, cl AS probe_label FROM (
+       |    SELECT vec_id, cl,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY fdist, cl) AS rn
+       |    FROM rt) z
+       |  WHERE rn = 1),
+       |lut AS (
+       |  SELECT vec_id AS probe_id, cl, s, dist AS ld FROM sd WHERE vec_id < 5),
+       |adc AS (
+       |  SELECT r.probe_id, k.vec_id AS cand_id, CAST(sum(l.ld) AS BIGINT) AS adc_d
+       |  FROM routed r
+       |  JOIN codes k ON k.label = r.probe_label AND k.vec_id <> r.probe_id
+       |  JOIN lut l ON l.probe_id = r.probe_id AND l.s = k.s AND l.cl = k.code
+       |  GROUP BY r.probe_id, k.vec_id),
+       |short AS (
+       |  SELECT probe_id, cand_id, adc_d FROM (
+       |    SELECT probe_id, cand_id, adc_d,
+       |           row_number() OVER (PARTITION BY probe_id ORDER BY adc_d, cand_id) AS arnk
+       |    FROM adc) z
+       |  WHERE arnk <= 8),
+       |rer AS (
+       |  SELECT sh.probe_id, sh.cand_id, sh.adc_d,
+       |         CAST(p.n2 - 2 * ${dotQSql("p.q", "cc.q")} + cc.n2 AS BIGINT) AS dist2
+       |  FROM short sh JOIN qn p ON p.vec_id = sh.probe_id
+       |                JOIN qn cc ON cc.vec_id = sh.cand_id)
+       |SELECT probe_id, cand_id, adc_d, dist2, rnk FROM (
+       |  SELECT rer.*, row_number() OVER (PARTITION BY probe_id
+       |                                   ORDER BY dist2, cand_id) AS rnk
+       |  FROM rer) f
+       |WHERE rnk <= 3
+       |ORDER BY probe_id, rnk""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorMath
+    val qn = quantized(embs(spark, dir))
+    // per-label mean codeword as a 64-long array — the one broadcast
+    // that routing, encoding, and the ADC lookup table all reuse
+    val cent = qn
+      .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
+      .groupBy(col("label"), col("dim0"))
+      .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
+      .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
+      .groupBy(col("cl"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
+    // per (vector, codeword, subvector): ‖q_s − c_s‖² via sliced codegen
+    // dots, stacked to (s, dist) rows — the shared core of encoding
+    // (argmin per (vec, s)), routing (Σ_s per (probe, codeword)), and
+    // the probe lookup table (the probe rows as-is)
+    def d(s: Int) = {
+      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
+      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
+      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
+        VectorMath.dotLong(cs, cs)).as(s"d$s")
+    }
+    val stacked = qn.crossJoin(broadcast(cent))
+      .select(Seq(col("vec_id"), col("label"), col("cl")) ++ (0 until 8).map(d): _*)
+      .select(col("vec_id"), col("label"), col("cl"), expr(
+        "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (s, dist)"))
+    val bySub = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist"), col("cl"))
+    val codes = stacked.withColumn("rnk", row_number().over(bySub))
+      .where(col("rnk") === 1)
+      .select(col("vec_id").as("cand_id"), col("label"), col("s"), col("cl").as("code"))
+    val pstack = stacked.where(col("vec_id") < 5)
+    val lut = pstack.select(col("vec_id").as("probe_id"), col("cl"), col("s"),
+      col("dist").as("ld"))
+    val byProbe = Window.partitionBy(col("vec_id")).orderBy(col("fdist"), col("cl"))
+    val routed = pstack.groupBy(col("vec_id"), col("cl"))
+      .agg(sum(col("dist")).cast("long").as("fdist"))
+      .withColumn("rn", row_number().over(byProbe))
+      .where(col("rn") === 1)
+      .select(col("vec_id").as("probe_id"), col("cl").as("probe_label"))
+    // ADC: codes-only scoring — no q arrays flow through this join
+    val adc = broadcast(routed)
+      .join(codes, col("label") === col("probe_label") && col("cand_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("cand_id"), col("s"), col("code").as("cl"))
+      .join(broadcast(lut), Seq("probe_id", "s", "cl"))
+      .groupBy(col("probe_id"), col("cand_id"))
+      .agg(sum(col("ld")).cast("long").as("adc_d"))
+    val byAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc_d"), col("cand_id"))
+    val short = adc.withColumn("arnk", row_number().over(byAdc))
+      .where(col("arnk") <= 8)
+      .select(col("probe_id"), col("cand_id"), col("adc_d"))
+    val p = qn.select(col("vec_id").as("probe_id"), col("q").as("qp"), col("n2").as("n2p"))
+    val cq = qn.select(col("vec_id").as("cand_id"), col("q").as("qc"), col("n2").as("n2c"))
+    val byExact = Window.partitionBy(col("probe_id")).orderBy(col("dist2"), col("cand_id"))
+    short.join(p, Seq("probe_id")).join(cq, Seq("cand_id"))
+      .select(col("probe_id"), col("cand_id"), col("adc_d"),
+        (col("n2p") - lit(2L) * dotQ("qp", "qc") + col("n2c")).cast("long").as("dist2"))
+      .withColumn("rnk", row_number().over(byExact))
+      .where(col("rnk") <= 3)
+      .select(col("probe_id"), col("cand_id"), col("adc_d"), col("dist2"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   // ---- embedding-cosine near-dup dedup, label-blocked: candidate
   //      pairs are generated only within a cluster block (the IVF
   //      partitioning), then the quantized cosine threshold collapses
@@ -1112,7 +1242,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18DedupEmbed,
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim)
 }

@@ -196,6 +196,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
+  test("q18_ann_ivfpq: centroid broadcast + codes-only ADC, no sort-merge join") {
+    // the ADC scoring join must ride broadcasts (routed probes + the
+    // per-probe lookup table are tiny by construction); the exact
+    // re-rank touches the integer dot kernel; nothing sort-merges
+    val p = plan("q18_ann_ivfpq")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      p.take(2000))
+    assert(p.contains("dot_long"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("q18_kmeans: K centroid arrays broadcast once; dot kernel codegen'd") {
     // assignment is scan × broadcast(centroids) — a shuffle here would
     // mean the n·d·k cross product went through an exchange
