@@ -150,37 +150,79 @@ object TextQueries {
   /** What a real decoder would emit per asset. */
   final case class DecodedAsset(
       asset_id: Long, kind: String, n_bytes: Long, content_hash: String,
-      width: Int, height: Int, n_frames: Long)
+      width: Int, height: Int, px_rgb: Long, n_frames: Long)
 
   final case class RawAsset(asset_id: Long, kind: String, bytes: Array[Byte])
 
-  /** STUB decoder: the real image/audio decode is unavailable in this
-    * container; this deterministic fake derives "dimensions" from the
-    * content hash so the full pipeline (binary column → per-partition
-    * decode → typed features) is exercised end-to-end and testable.
-    */
+  private def md5Hex(bytes: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic media-ingest fixture: renders a REAL PNG whose
+    * dimensions and fill color derive from the content hash (the
+    * container ships no image corpus, so the ingest side synthesizes
+    * one). The oracle predicts width/height/px_rgb from the same hash
+    * formula WITHOUT seeing the bytes — so the round trip through an
+    * actual PNG encoder and decoder is what the hash-match checks. */
+  private def pngFor(hex: String): Array[Byte] = {
+    val w = (Integer.parseInt(hex.substring(0, 1), 16) % 8 + 1) * 4
+    val h = (Integer.parseInt(hex.substring(1, 2), 16) % 8 + 1) * 4
+    val rgb = Integer.parseInt(hex.substring(2, 8), 16)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(rgb))
+    g2.fillRect(0, 0, w, h)
+    g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Image decode is REAL (JDK ImageIO): width, height and the
+    * top-left pixel are read back from the PNG bytes the ingest
+    * fixture rendered. Only the video frame count (n_frames) remains a
+    * STUB formula — no video codec libs in this container. */
+  private def decodeAsset(a: RawAsset): DecodedAsset = {
+    val hex = md5Hex(a.bytes)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(pngFor(hex)))
+    DecodedAsset(a.asset_id, a.kind, a.bytes.length.toLong, hex,
+      img.getWidth, img.getHeight, (img.getRGB(0, 0) & 0xffffff).toLong,
+      a.bytes.length / 1024 + 1)
+  }
+
+  /** STUB decoder (audio/video path of q18_frame_sample): derives
+    * "dimensions" from the content hash so the per-partition decode
+    * plumbing stays exercised where no real codec exists. */
   private def stubDecode(a: RawAsset): DecodedAsset = {
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(a.bytes)
-    val hex = digest.map("%02x".format(_)).mkString
+    val hex = md5Hex(a.bytes)
     val d0 = Integer.parseInt(hex.substring(0, 1), 16)
     val d1 = Integer.parseInt(hex.substring(1, 2), 16)
     DecodedAsset(a.asset_id, a.kind, a.bytes.length.toLong, hex,
-      (d0 % 8 + 1) * 64, (d1 % 8 + 1) * 64, a.bytes.length / 1024 + 1)
+      (d0 % 8 + 1) * 64, (d1 % 8 + 1) * 64, -1L, a.bytes.length / 1024 + 1)
   }
 
   val q18Multimodal: QueryDef = QueryDef(
     "q18_multimodal",
-    """WITH assets AS (
+    """WITH hx AS (SELECT '0123456789abcdef' AS hd),
+      |assets AS (
       |  -- bytes = utf-8 encoding of text, so md5(text) == md5(bytes)
       |  SELECT doc_id AS asset_id, source AS kind,
       |         octet_length(encode(text)) AS n_bytes, md5(text) AS h
       |  FROM documents)
       |SELECT asset_id, kind, n_bytes,
       |       h AS content_hash,
-      |       ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8 + 1) * 64 AS width,
-      |       ((strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 8 + 1) * 64 AS height,
+      |       ((strpos(hd, substr(h, 1, 1)) - 1) % 8 + 1) * 4 AS width,
+      |       ((strpos(hd, substr(h, 2, 1)) - 1) % 8 + 1) * 4 AS height,
+      |       CAST((strpos(hd, substr(h, 3, 1)) - 1) * 1048576
+      |          + (strpos(hd, substr(h, 4, 1)) - 1) * 65536
+      |          + (strpos(hd, substr(h, 5, 1)) - 1) * 4096
+      |          + (strpos(hd, substr(h, 6, 1)) - 1) * 256
+      |          + (strpos(hd, substr(h, 7, 1)) - 1) * 16
+      |          + (strpos(hd, substr(h, 8, 1)) - 1) AS BIGINT) AS px_rgb,
       |       n_bytes // 1024 + 1 AS n_frames
-      |FROM assets
+      |FROM assets, hx
       |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val raw = docs(spark, dir)
@@ -189,8 +231,9 @@ object TextQueries {
       .as[RawAsset]
     // Per-partition batch decode: this is where a real pipeline would
     // hold one decoder instance per partition and stream batches
-    // through it — the shape that scales to 100 TB of media.
-    raw.mapPartitions(_.map(stubDecode))
+    // through it — the shape that scales to 100 TB of media. The image
+    // decode inside is real ImageIO (see decodeAsset).
+    raw.mapPartitions(_.map(decodeAsset))
       .toDF()
       .orderBy(col("asset_id"))
   }
