@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CLI-level drive of every Tool subcommand (SURVEY §2.11) against
+  * sf0.001 — each test goes through Tool.main exactly as an operator
+  * would, capturing stdout. Tool.main owns its SparkSession lifecycle
+  * (create + stop per invocation), so this suite deliberately holds no
+  * session of its own while a subcommand runs.
+  */
+class ToolSpec extends AnyFunSuite {
+
+  private def runTool(args: String*): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(bos, true, "UTF-8")) {
+      Tool.main(args.toArray)
+    }
+    bos.toString("UTF-8")
+  }
+
+  test("checkpoint-show on an empty store reports no checkpoints") {
+    val dir = Files.createTempDirectory("graft-tool-cp0").toString + "/cp"
+    assert(runTool("checkpoint-show", dir).contains("(no checkpoints)"))
+  }
+
+  test("checkpoint-override then checkpoint-show round-trips positions") {
+    val dir = Files.createTempDirectory("graft-tool-cp").toString + "/cp"
+    assert(runTool("checkpoint-override", dir, "feedA", "0", "g1", "42")
+      .contains("checkpoint set: feedA/0/g1 -> 42"))
+    runTool("checkpoint-override", dir, "feedA", "1", "g1", "7")
+    // latest-wins on the same key
+    runTool("checkpoint-override", dir, "feedA", "0", "g1", "99")
+    val shown = runTool("checkpoint-show", dir)
+    assert(shown.contains("pos=99") && shown.contains("pos=7"))
+    assert(!shown.contains("pos=42"), shown)
+    assert(shown.linesIterator.count(_.contains("feedA")) == 2, shown)
+  }
+
+  test("stats summarizes a store by stream: write_pos and event counts") {
+    val dir = Files.createTempDirectory("graft-tool-store").toString + "/store"
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      Seq(("user-1", 0L), ("user-1", 1L), ("user-1", 2L), ("user-2", 0L))
+        .toDF("stream_name", "idx")
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    } finally spark.stop()
+    val out = runTool("stats", dir)
+    // user-1: write_pos = max(idx)+1 = 3, n=3; user-2: write_pos 1, n=1
+    assert(out.contains("user-1") && out.contains("user-2"), out)
+    assert(out.replaceAll("\\s+", " ").contains("user-1 |3 |3"), out)
+    assert(out.replaceAll("\\s+", " ").contains("user-2 |1 |1"), out)
+  }
+
+  test("corpus-report prints the full report card for sf0.001") {
+    val out = runTool("corpus-report", "/root/testdata/sf0.001")
+    // per-(source, lang) grain plus rollup rows with the q18 columns
+    assert(out.contains("n_docs") && out.contains("pass_permille"), out.take(500))
+    assert(out.linesIterator.count(_.startsWith("|")) > 10, out.take(500))
+  }
+}
