@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming curation gates: the Gopher quality rules and the DSIR
+  * importance scorer as live ingest filters — the stream-side twins of
+  * the batch q18_gopher_quality / q18_dsir operators, following the
+  * ContamStream pattern (stateless per-batch, run inside foreachBatch).
+  *
+  * Both are horizontally scalable by construction: the Gopher rules
+  * are row-local expressions (no join, no state — every executor
+  * classifies its partitions independently), and the DSIR model is a
+  * ≤256-row static artifact broadcast into each micro-batch. Identical
+  * classification under redelivery is therefore structural, and
+  * spec-pinned in CurationGatesSpec.
+  */
+object CurationGates {
+
+  private val stopWords =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+      .map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Gopher rule flags per incoming document: (doc_id, words_ok,
+    * mwl_ok, stop_ok, alpha_ok, keep) — the same integer rules the
+    * batch operator aggregates (CurationQueries.q18GopherQuality). */
+  def gopherClassify(incoming: DataFrame): DataFrame =
+    incoming.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("n_words"),
+      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("sum_wl"),
+      expr(s"size(filter(split(text, ' '), w -> w IN $stopWords))").as("n_stop"),
+      expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))").as("n_alpha"))
+      .withColumn("words_ok", col("n_words").between(40, 100000))
+      .withColumn("mwl_ok",
+        col("sum_wl").between(lit(3) * col("n_words"), lit(10) * col("n_words")))
+      .withColumn("stop_ok", col("n_stop") >= 2)
+      .withColumn("alpha_ok", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .select(col("doc_id"), col("words_ok"), col("mwl_ok"), col("stop_ok"),
+        col("alpha_ok"),
+        (col("words_ok") && col("mwl_ok") && col("stop_ok") && col("alpha_ok"))
+          .as("keep"))
+
+  /** Per-doc hashed-unigram bucket term frequencies (the DSIR feature
+    * map): md5-bucket B=256, exactly the batch formulation. */
+  private def bucketTf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("b",
+        conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10).cast("long"))
+      .groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** The static DSIR model: per-bucket integer micro-nat log-likelihood
+    * delta between the raw pool and the target slice — a ≤256-row
+    * artifact a production gate trains once offline and broadcasts.
+    * Identical math to CurationQueries.q18Dsir's delta. */
+  def dsirDelta(corpus: DataFrame, targetLang: String): DataFrame = {
+    val dtf = bucketTf(corpus)
+    val rawB = dtf.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
+    val tgtB = dtf.where(col("lang") === targetLang)
+      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
+    val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
+      .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
+    rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
+      .select(col("b"),
+        (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -
+          expr("CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE) / (coalesce(ct, 0) + 1))) AS BIGINT)"))
+          .as("d"))
+  }
+
+  /** The gate: (doc_id, n_tok, weight_unm) per incoming document —
+    * the integer tf-weighted sum of the broadcast model's deltas. Run
+    * inside foreachBatch; `delta` is the static artifact from
+    * [[dsirDelta]]. Buckets absent from the model (gram never seen in
+    * training) contribute 0, matching the batch inner-join semantics
+    * for in-model docs and degrading gracefully for novel text. */
+  def dsirScore(incoming: DataFrame, delta: DataFrame): DataFrame =
+    bucketTf(incoming.withColumn("lang", lit(null: String)))
+      .join(broadcast(delta), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("n_tok"),
+        expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * coalesce(d, 0)) AS BIGINT)")
+          .as("weight_unm"))
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.model.Envelope
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming Gopher and DSIR gates must classify/score exactly like
+  * their batch twins, across micro-batch boundaries and under
+  * redelivery (both gates are stateless, so identical output on resend
+  * is the structural property being pinned). */
+class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-curationgates-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def docs =
+    Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
+
+  /** Streams `rows` in two batches + a redelivery of batch 1 through
+    * `gate`, collecting (doc_id -> result row values) and asserting the
+    * redelivered batch classified identically to its first pass. */
+  private def drive(rows: Array[(Long, String)])(
+      gate: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Map[Long, Seq[Any]] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val results = new scala.collection.mutable.HashMap[Long, Seq[Any]]()
+    var redeliveryMismatch = false
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDS().toDF("doc_id", "text")
+      .writeStream
+      .option("checkpointLocation", tmp("cp-gate"))
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        gate(batch).collect().foreach { r =>
+          val id = r.getAs[Long]("doc_id")
+          val vals = r.toSeq.drop(1)
+          results.synchronized {
+            if (results.contains(id) && results(id) != vals) redeliveryMismatch = true
+            results(id) = vals
+          }
+        }
+        ()
+      }
+      .start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    assert(!redeliveryMismatch, "redelivered batch classified differently")
+    results.toMap
+  }
+
+  test("Gopher gate matches the batch rule flags, stable under redelivery") {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(CurationGates.gopherClassify)
+    val expected = CurationGates.gopherClassify(docs.select(col("doc_id"), col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1)).toMap
+    assert(got == expected)
+    // fixture sanity: the rules actually split the corpus
+    val kept = expected.values.count(_.last == true)
+    assert(kept > 0 && kept < expected.size, s"kept $kept of ${expected.size}")
+  }
+
+  test("DSIR gate scores identically to the batch model, stable under redelivery") {
+    import spark.implicits._
+    // static model trained offline on the full corpus, target = 'de'
+    val delta = CurationGates.dsirDelta(docs, "de").cache()
+    assert(delta.count() <= 256)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(b => CurationGates.dsirScore(b, delta))
+    val expected = CurationGates.dsirScore(docs.select(col("doc_id"), col("text")), delta)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1)).toMap
+    assert(got == expected)
+    // weights must discriminate (not all equal) for the gate to be useful
+    assert(expected.values.map(_.last).toSet.size > 1)
+  }
+}
