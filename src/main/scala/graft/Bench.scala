@@ -65,7 +65,12 @@ object Bench {
     SparkEntry.queries.get("q06_stream_hwm").foreach(f => f(spark, sfDir).count())
     SparkEntry.queries.get("q12_agg").foreach(f => f(spark, sfDir).count())
 
+    // optional comma-separated filter for local iteration and the
+    // SCALING.md study; the driver never sets it (its runs cover all)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toVector.sorted
+      .filter(n => only.forall(_.contains(n)))
     val times = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
     val errors = collection.mutable.LinkedHashMap.empty[String, String]
     val wall0 = System.nanoTime()
@@ -111,8 +116,10 @@ object Bench {
       case (n, v) if v > 0 && recorded.get(n).exists(b => b > 0 && v > 2 * b) =>
         n -> (v / recorded(n))
     }
-    // refresh the best file with new minima (guard judges BEFORE refresh)
-    val newBest = medians.collect { case (n, v) if v > 0 =>
+    // refresh the best file with new minima (guard judges BEFORE
+    // refresh); start from `recorded` so a filtered run can't drop the
+    // minima of queries it didn't execute
+    val newBest = recorded ++ medians.collect { case (n, v) if v > 0 =>
       n -> math.min(v, recorded.getOrElse(n, Double.MaxValue))
     }.toMap
     if (newBest.nonEmpty) {

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Synthesize larger scale factors from sf0.1 for the local scaling
+study (SCALING.md): sfX = N disjoint copies of sf0.1 with shifted ids.
+
+Usage: python3 tools/make_scale.py <src_sf_dir> <out_dir> <n_copies>
+
+Design rules (so the workload GROWS instead of degenerating):
+- id columns shift by i*1e8 per copy (preserves doc_id % 10/20 and
+  div-1000/8192 bucket semantics; stays clear of withDupes' +1e6).
+- documents.text gets a per-copy word suffix (every word w -> w_i for
+  copy i>0): copies are NOT near-duplicates of each other, so minhash/
+  simhash/gram candidate pairs scale linearly with copies instead of
+  quadratically (cross-copy identical text would put every replica in
+  the same LSH bucket — a data artifact, not an engine behavior).
+- embeddings rotate by 7*i dims per copy: same marginal distribution,
+  no cross-copy cosine~1 pairs; vec_id<5 probes exist only in copy 0
+  (fixed probe set over a growing corpus — the ANN scaling shape).
+- events shift user_id by i*1e6 (stream count grows with data; per-
+  stream history length stays constant, as it would in production).
+- TPC-H dims (customer/supplier/part/nation/region) stay fixed; fact
+  keys (l_orderkey/o_orderkey) shift. Dim-fixed fact growth is the
+  standard warehouse scale path.
+- events.ts keeps its TIMESTAMP(NANOS) physical type (Envelope.readTable
+  depends on it), hence pyarrow with version=2.6 throughout.
+"""
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SHIFT = 100_000_000
+USER_SHIFT = 1_000_000
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part"]
+ID_SHIFTS = {
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "orders": ["o_orderkey"],
+    "lineitem": ["l_orderkey"],
+}
+
+
+def shifted_copy(tbl: pa.Table, name: str, i: int) -> pa.Table:
+    if i == 0:
+        return tbl
+    for col in ID_SHIFTS.get(name, []):
+        idx = tbl.schema.get_field_index(col)
+        tbl = tbl.set_column(idx, col, pc.add(tbl.column(col), i * SHIFT))
+    if name == "events":
+        idx = tbl.schema.get_field_index("user_id")
+        tbl = tbl.set_column(idx, "user_id",
+                             pc.add(tbl.column("user_id"), i * USER_SHIFT))
+    if name == "documents":
+        idx = tbl.schema.get_field_index("text")
+        mutated = pc.replace_substring_regex(
+            tbl.column("text"), pattern=r"(\S+)", replacement=rf"\1_{i}")
+        tbl = tbl.set_column(idx, "text", mutated.cast(tbl.schema.field("text").type))
+    if name == "embeddings":
+        idx = tbl.schema.get_field_index("embedding")
+        col = tbl.column("embedding").combine_chunks()
+        mat = np.array(col.to_pylist(), dtype=np.float32)
+        rolled = np.roll(mat, 7 * i, axis=1)
+        arr = pa.array(list(rolled), type=tbl.schema.field("embedding").type)
+        tbl = tbl.set_column(idx, "embedding", arr)
+    return tbl
+
+
+def main(src: str, out: str, n: int) -> None:
+    import os
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_AS_IS:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet", version="2.6")
+        print(f"{name}: {t.num_rows} rows (dim, unscaled)")
+    for name in ID_SHIFTS:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        parts = [shifted_copy(t, name, i) for i in range(n)]
+        big = pa.concat_tables(parts)
+        pq.write_table(big, f"{out}/{name}.parquet", version="2.6")
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
