@@ -219,6 +219,92 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stream == batch)
   }
 
+  test("Tws crash-restore: RocksDB changelog checkpoint restores queue, write-pos and revision exactly-once") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the 100 TB failover path StreamProcessorTws claims: incremental
+    // changelog restore instead of full-snapshot reload
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try {
+      val cp = tmp("cp-tws-crash")
+      val input = MemoryStream[InputEvent]
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[ProcessedSpan[String]]
+      def start() = StreamProcessorTws.process[String](
+          input.toDS(),
+          (_, evs) => evs.map(e =>
+            s"${e.index}${if (e.isUnfold) "u" else ""}:${e.data}").mkString("|"),
+          requireAll = true)
+        .writeStream
+        .outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[ProcessedSpan[String]],
+                         _: Long) =>
+          val rows = batch.collect()
+          delivered.synchronized { delivered ++= rows }
+          ()
+        }
+        .start()
+
+      // phase 1: a completes a span; b buffers a gapped event (queue
+      // state); c handles events + snapshot (revision state)
+      val q1 = start()
+      input.addData(
+        InputEvent("a", 0, "t", "a0", 1, isUnfold = false),
+        InputEvent("a", 1, "t", "a1", 1, isUnfold = false),
+        InputEvent("b", 2, "t", "b2", 1, isUnfold = false), // gap: 0,1 missing
+        InputEvent("c", 0, "t", "c0", 1, isUnfold = false),
+        InputEvent("c", 1, "snap", "v1", 1, isUnfold = true))
+      q1.processAllAvailable()
+      q1.stop() // crash after commit
+
+      // phase 2: a NEW query restores from the checkpoint
+      val q2 = start()
+      input.addData(
+        InputEvent("a", 0, "t", "a0", 1, isUnfold = false), // redelivery: swallow
+        InputEvent("a", 1, "t", "a1", 1, isUnfold = false),
+        InputEvent("a", 2, "t", "a2", 1, isUnfold = false), // new: dispatch
+        InputEvent("b", 0, "t", "b0", 1, isUnfold = false), // fills the gap
+        InputEvent("b", 1, "t", "b1", 1, isUnfold = false),
+        InputEvent("c", 1, "snap", "v2", 1, isUnfold = true)) // snapshot refresh
+      q2.processAllAvailable()
+      q2.stop()
+
+      val spans = delivered.synchronized { delivered.toList }
+      val byStream = spans.groupBy(_.streamName)
+        .view.mapValues(_.sortBy(_.fromIndex)).toMap
+      // exactly-once: every span delivered once, redeliveries swallowed
+      assert(spans.size == 5, spans.map(s =>
+        (s.streamName, s.fromIndex, s.toIndex, s.result)).toString)
+      // a: write position survived the crash — the phase-2 redelivery
+      // of 0,1 produced nothing; only the new event dispatched
+      assert(byStream("a").map(s => (s.fromIndex, s.toIndex, s.result)) ==
+        List((0L, 1L, "0:a0|1:a1"), (2L, 2L, "2:a2")))
+      // b: the buffered gapped event survived — the gap fill dispatched
+      // ONE contiguous span 0..2 (state loss would emit 0..1 only)
+      assert(byStream("b").map(s => (s.fromIndex, s.toIndex, s.nEvents, s.result)) ==
+        List((0L, 2L, 3, "0:b0|1:b1|2:b2")))
+      // c: the unfold revision counter survived — the snapshot refresh
+      // at the unchanged write position re-dispatched with a strictly
+      // later revision (a reset counter could not order after r1)
+      val List(c1, c2) = byStream("c").toList
+      assert((c1.fromIndex, c1.toIndex, c1.handledUnfolds) == (0L, 1L, 1))
+      assert((c2.fromIndex, c2.toIndex, c2.handledUnfolds, c2.result) ==
+        (1L, 1L, 1, "1u:v2"))
+      assert(c2.revision > c1.revision, s"r1=${c1.revision} r2=${c2.revision}")
+    } finally {
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState engine is span-identical to flatMapGroupsWithState") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
