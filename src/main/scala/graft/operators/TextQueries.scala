@@ -158,6 +158,11 @@ object TextQueries {
     java.security.MessageDigest.getInstance("MD5").digest(bytes)
       .map("%02x".format(_)).mkString
 
+  // ImageIO defaults to DISK-backed stream caches (a temp file per
+  // encode/decode); per-asset codec work must stay in memory. Executor
+  // JVM-wide, set once per classloader.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Deterministic media-ingest fixture: renders a REAL PNG whose
     * dimensions and fill color derive from the content hash (the
     * container ships no image corpus, so the ingest side synthesizes
