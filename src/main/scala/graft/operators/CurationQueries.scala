@@ -642,6 +642,62 @@ object CurationQueries {
       .orderBy(col("source"), col("lang"))
   }
 
+  // ---- per-source quality-score calibration: the same absolute
+  //      quality threshold means different things in different dumps
+  //      (a web crawl's median is a book corpus' floor), so production
+  //      pipelines normalize per source — keep each source's top half
+  //      by score rather than one global cutoff. Implementation is
+  //      deliberately histogram-based for scale: the integer stopword
+  //      permille score has a BOUNDED domain (0..1000), so the
+  //      per-source median threshold comes from a cumulative window
+  //      over the ≤1001-row (source, score) histogram, never from a
+  //      rank window over documents. One scan, one tiny shuffle, the
+  //      keep counts read back off the same histogram. Ties at the
+  //      threshold are all-in (threshold semantics, not exact top-k),
+  //      which is what makes the decision partitioning-independent. ----
+  val q18QualityCalib: QueryDef = QueryDef(
+    "q18_quality_calib",
+    """WITH s AS (
+      |  SELECT doc_id, source,
+      |         (1000 * len(list_filter(string_split(text, ' '),
+      |                                 w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
+      |           // len(string_split(text, ' ')) AS score
+      |  FROM documents),
+      |h AS (SELECT source, score, CAST(count(*) AS BIGINT) AS c
+      |      FROM s GROUP BY source, score),
+      |cum AS (
+      |  SELECT source, score, c,
+      |         CAST(sum(c) OVER (PARTITION BY source ORDER BY score DESC
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cge,
+      |         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n
+      |  FROM h),
+      |thr AS (SELECT source, max(score) AS t
+      |        FROM cum WHERE 2 * cge >= n GROUP BY source)
+      |SELECT cum.source, cum.n AS n_docs, thr.t AS threshold_pm,
+      |       cum.cge AS n_kept
+      |FROM cum JOIN thr ON cum.source = thr.source AND cum.score = thr.t
+      |ORDER BY cum.source""".stripMargin) { (spark, dir) =>
+    val s = docs(spark, dir).select(col("source"), expr(
+      """(1000 * size(filter(split(text, ' '),
+        |              w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
+        | div size(split(text, ' '))""".stripMargin).as("score"))
+    val h = s.groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+    val byScoreDesc = Window.partitionBy(col("source")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bySource = Window.partitionBy(col("source"))
+    val cum = h
+      .withColumn("cge", sum(col("c")).over(byScoreDesc).cast("long"))
+      .withColumn("n", sum(col("c")).over(bySource).cast("long"))
+    val thr = cum.where(lit(2) * col("cge") >= col("n"))
+      .groupBy(col("source")).agg(max(col("score")).as("t"))
+      .select(col("source").as("t_source"), col("t"))
+    cum.join(broadcast(thr),
+        col("source") === col("t_source") && col("score") === col("t"))
+      .select(col("source"), col("n").as("n_docs"), col("t").as("threshold_pm"),
+        col("cge").as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   // ---- cross-source overlap matrix (the corpus-level contamination
   //      audit: "how much of source A is also in source B"): distinct
   //      (source, 8-gram digest) pairs, gram-keyed self-join into
@@ -788,5 +844,6 @@ object CurationQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
-    q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode)
+    q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode,
+    q18QualityCalib)
 }
