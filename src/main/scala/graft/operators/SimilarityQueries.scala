@@ -557,6 +557,48 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- n-gram novelty: the dedup-adjacent quality signal — what
+  //      fraction of a document's word 3-grams appears in NO other
+  //      document. High novelty = unique content; low novelty = boiler-
+  //      plate / near-dup tail that slipped past exact dedup. One gram
+  //      pass: distinct (doc, gram), gram-keyed document counts, probe
+  //      docs join back (gram-keyed shuffle, volume linear in distinct
+  //      grams). Integer permille; probes bounded to doc_id % 20. ----
+  val q18Novelty: QueryDef = QueryDef(
+    "q18_novelty",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+      |      WHERE len(ws) >= 3),
+      |gd AS (SELECT s, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY s)
+      |SELECT g.doc_id,
+      |       CAST(count(*) AS BIGINT) AS n_grams,
+      |       CAST(count(CASE WHEN gd.nd = 1 THEN 1 END) AS BIGINT) AS n_unique,
+      |       (1000 * CAST(count(CASE WHEN gd.nd = 1 THEN 1 END) AS BIGINT))
+      |         // CAST(count(*) AS BIGINT) AS novelty_permille
+      |FROM g JOIN gd USING (s)
+      |WHERE g.doc_id % 20 = 0
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin) { (spark, dir) =>
+    val g = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      // Spark's sequence(0, n) DESCENDS for n < 0 — guard short docs
+      .where(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("s"))
+      .distinct()
+    val gd = g.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    g.where(col("doc_id") % 20 === 0)
+      .join(gd, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("nd") === 1, 1)).as("n_unique"))
+      .select(col("doc_id"), col("n_grams"), col("n_unique"),
+        expr("(1000 * n_unique) div n_grams").as("novelty_permille"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- IVF-PQ with ADC re-rank: the standard production ANN stack,
   //      composing the two halves above — IVF routing (q18_ann_ivf)
   //      picks the probe's cluster, PQ codes (q18_pq_encode's encoding)
@@ -1242,7 +1284,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18DedupEmbed,
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim)
 }
