@@ -43,7 +43,8 @@ object Bench {
   val headline: Vector[String] = Vector(
     "q18_cc_dedup", "q18_source_overlap", "q18_tfidf_sim", "q18_bigram_lp",
     "q18_nb_langid", "q18_pagerank", "q13_topk", "q18_edit_dedup",
-    "q18_pq_encode", "q21_index_hydrate", "q18_ann_ivf", "q16_late_drop")
+    "q18_pq_encode", "q21_index_hydrate", "q18_ann_ivf", "q16_late_drop",
+    "q18_ann_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
