@@ -82,4 +82,39 @@ object CurationGates {
       .agg(sum(col("tf")).cast("long").as("n_tok"),
         expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * coalesce(d, 0)) AS BIGINT)")
           .as("weight_unm"))
+
+  /** Integer stopword-permille quality score — q18_quality_calib's
+    * score formula. */
+  private def scoreCol =
+    expr(s"""(1000 * size(filter(split(text, ' '), w -> w IN $stopWords)))
+            | div size(split(text, ' '))""".stripMargin).as("score")
+
+  /** The static calibration artifact: per-source median score
+    * threshold, derived from the bounded (source, score) histogram
+    * exactly as the batch q18_quality_calib derives it — a
+    * |sources|-row table a production gate trains once per dump. */
+  def calibThresholds(corpus: DataFrame): DataFrame = {
+    val h = corpus.select(col("source"), scoreCol)
+      .groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
+    val byScoreDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    h.withColumn("cge", sum(col("c")).over(byScoreDesc).cast("long"))
+      .withColumn("n", sum(col("c")).over(bySource).cast("long"))
+      .where(lit(2) * col("cge") >= col("n"))
+      .groupBy(col("source")).agg(max(col("score")).as("t"))
+  }
+
+  /** The gate: (doc_id, score, keep) per incoming document against the
+    * broadcast per-source thresholds. Sources absent from the
+    * calibration artifact are NOT kept (an uncalibrated dump must be
+    * trained before it flows). Stateless, row-local after the tiny
+    * broadcast join. */
+  def calibClassify(incoming: DataFrame, thresholds: DataFrame): DataFrame =
+    incoming.select(col("doc_id"), col("source"), scoreCol)
+      .join(broadcast(thresholds), Seq("source"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("score") >= col("t"), lit(false)).as("keep"))
 }

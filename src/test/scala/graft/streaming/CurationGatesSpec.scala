@@ -81,6 +81,54 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept > 0 && kept < expected.size, s"kept $kept of ${expected.size}")
   }
 
+  test("calibration gate keeps each source's top half; unknown sources drop") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id"), col("source"), col("text"))
+    val thr = CurationGates.calibThresholds(corpus).cache()
+    val nSources = corpus.select("source").distinct().count()
+    assert(thr.count() == nSources)
+    // stream in two batches + redelivery via a 3-column MemoryStream
+    val rows = corpus.as[(Long, String, String)].collect()
+    val results = scala.collection.mutable.Map.empty[Long, Boolean]
+    var mismatch = false
+    val input = MemoryStream[(Long, String, String)]
+    val q = input.toDS().toDF("doc_id", "source", "text")
+      .writeStream.option("checkpointLocation", tmp("cp-calib"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        CurationGates.calibClassify(b, thr).collect().foreach { r =>
+          val id = r.getAs[Long]("doc_id"); val k = r.getAs[Boolean]("keep")
+          results.synchronized {
+            if (results.get(id).exists(_ != k)) mismatch = true
+            results(id) = k
+          }
+        }
+        ()
+      }.start()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    assert(!mismatch, "redelivered batch classified differently")
+    // batch twin: per-source, kept count == the calibrated n_kept
+    val expected = CurationGates.calibClassify(corpus, thr)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(results.toMap == expected)
+    // threshold semantics: at least half of each source kept, never all
+    val bySource = corpus.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    expected.groupBy { case (id, _) => bySource(id) }.foreach { case (src, m) =>
+      val kept = m.values.count(identity)
+      assert(2 * kept >= m.size, s"$src kept $kept of ${m.size}")
+    }
+    // unknown source: never kept
+    val foreign = Seq((999999L, "src-unknown", "the a of and to in is x y z"))
+      .toDF("doc_id", "source", "text")
+    assert(CurationGates.calibClassify(foreign, thr)
+      .collect().head.getAs[Boolean]("keep") == false)
+  }
+
   test("DSIR gate scores identically to the batch model, stable under redelivery") {
     import spark.implicits._
     // static model trained offline on the full corpus, target = 'de'
