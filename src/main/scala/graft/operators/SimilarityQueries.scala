@@ -1201,13 +1201,27 @@ object SimilarityQueries {
     val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
       .select(col("doc_a"), col("doc_b")).distinct()
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
-    val lev = levenshtein(col("ta"), col("tb")).cast("long")
+    // Exact pruning, same result rows as the oracle's plain levenshtein:
+    // nd_permille <= 400 ⟺ lev <= bound := (401·gmax − 1) div 1000, and
+    // lev >= |Δlen| always — so (1) pairs with |Δlen| > bound skip the
+    // kernel entirely, and (2) the kernel runs BANDED (threshold arg:
+    // early-exit −1 past the bound), O(bound·L) instead of O(L²).
+    // Honesty note (measured at 30× data): at THIS 40% relative
+    // threshold the band covers most of the matrix and LSH candidates
+    // are near-equal-length, so the runtime win is marginal — the
+    // payoff grows as the dedup threshold tightens (at 10% the kernel
+    // drops ~5×), which is where a production near-dup pass sits.
+    val bound = "(401 * greatest(length(ta), length(tb)) - 1) div 1000"
     cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"), lev.as("lev"),
-        expr("(CAST(levenshtein(ta, tb) AS BIGINT) * 1000) div greatest(length(ta), length(tb))")
-          .as("nd_permille"))
+      .where(expr(s"abs(length(ta) - length(tb)) <= $bound"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"),
+        col("ta"), col("tb"))
+      .where(col("lev") >= 0)
+      .select(col("doc_a"), col("doc_b"), col("lev"),
+        expr("(lev * 1000) div greatest(length(ta), length(tb))").as("nd_permille"))
       .where(col("nd_permille") <= 400)
       .orderBy(col("doc_a"), col("doc_b"))
   }
