@@ -33,4 +33,51 @@ class SessionCacheSpec extends AnyFunSuite {
       assert(cache.size == 0)
     } finally if (!spark.sparkContext.isStopped) spark.stop()
   }
+
+  test("concurrent lookups build once; reentrant builds on other keys don't deadlock") {
+    val spark = SparkSession.builder()
+      .master("local[1]")
+      .appName("graft-sessioncache-conc-test")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val cache = new SessionCache[String, Int]()
+      // reentrancy: a build that consults the cache for ANOTHER key —
+      // computeIfAbsent would throw IllegalStateException or deadlock
+      // on a same-bin key; the lazy-holder pattern must not
+      val v = cache.getOrElseUpdate(spark, "outer") {
+        10 + cache.getOrElseUpdate(spark, "inner") { 5 }
+      }
+      assert(v == 15 && cache.size == 2)
+
+      // N threads racing the same cold key: exactly one build, and no
+      // thread blocks behind an unrelated key's long build
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      val started = new java.util.concurrent.CountDownLatch(1)
+      val slowDone = new java.util.concurrent.CountDownLatch(1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        // occupy one key with a slow build...
+        pool.submit(new Runnable {
+          def run(): Unit = cache.getOrElseUpdate(spark, "slow") {
+            started.countDown(); Thread.sleep(1500); slowDone.countDown(); 0
+          }
+        })
+        started.await()
+        // ...while other keys must complete immediately (bin-lock-free)
+        val t0 = System.nanoTime()
+        val fs = (1 to 8).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Int] {
+            def call(): Int =
+              cache.getOrElseUpdate(spark, "hot") { builds.incrementAndGet(); 7 }
+          })
+        }
+        assert(fs.map(_.get(5, java.util.concurrent.TimeUnit.SECONDS)).forall(_ == 7))
+        val elapsedMs = (System.nanoTime() - t0) / 1000000
+        assert(builds.get() == 1, s"hot key built ${builds.get()} times")
+        assert(slowDone.getCount == 1 || elapsedMs < 1500,
+          s"hot-key lookups waited ${elapsedMs}ms behind the slow build")
+      } finally pool.shutdownNow()
+    } finally if (!spark.sparkContext.isStopped) spark.stop()
+  }
 }
