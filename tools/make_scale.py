@@ -15,6 +15,13 @@ Design rules (so the workload GROWS instead of degenerating):
 - embeddings rotate by 7*i dims per copy: same marginal distribution,
   no cross-copy cosine~1 pairs; vec_id<5 probes exist only in copy 0
   (fixed probe set over a growing corpus — the ANN scaling shape).
+- embeddings labels shift by i*1000 per copy: cluster COUNT grows with
+  the corpus while cluster SIZE stays constant — the production shape
+  (K is the kmeans/IVF knob, retrained as n grows). The label-blocked
+  pair generators (knn_graph, dedup_embed, semdedup) are |cluster|²
+  by design; holding K fixed while data grew 10× measured 71× runtime
+  on knn_graph (see SCALING.md) — the knob's warning label, not the
+  default.
 - events shift user_id by i*1e6 (stream count grows with data; per-
   stream history length stays constant, as it would in production).
 - TPC-H dims (customer/supplier/part/nation/region) stay fixed; fact
@@ -65,6 +72,10 @@ def shifted_copy(tbl: pa.Table, name: str, i: int) -> pa.Table:
         rolled = np.roll(mat, 7 * i, axis=1)
         arr = pa.array(list(rolled), type=tbl.schema.field("embedding").type)
         tbl = tbl.set_column(idx, "embedding", arr)
+        lidx = tbl.schema.get_field_index("label")
+        ltype = tbl.schema.field("label").type
+        tbl = tbl.set_column(lidx, "label",
+                             pc.add(tbl.column("label"), i * 1000).cast(ltype))
     return tbl
 
 
