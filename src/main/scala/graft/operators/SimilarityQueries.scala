@@ -1050,7 +1050,11 @@ object SimilarityQueries {
   //      dot products are the codegen'd integer kernel, and the
   //      per-vector top-2 is a row_number window on vec_id that rides
   //      the pair join's own partitioning; cosine ties break on
-  //      neighbor id so the ranking is engine-independent. ----
+  //      neighbor id so the ranking is engine-independent.
+  //      MEASURED caveat (SCALING.md, round 6): |block|² means the
+  //      cluster count K MUST grow with the corpus — K held fixed at
+  //      10× data ran 71×; K ∝ n (constant cluster size, the kmeans
+  //      retraining knob) runs at slope 0.69. ----
   val q18KnnGraph: QueryDef = QueryDef(
     "q18_knn_graph",
     s"""WITH $quantSql,
