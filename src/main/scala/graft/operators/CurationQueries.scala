@@ -842,8 +842,81 @@ object CurationQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ---- fixed-size-codebook PQ encode: the linear-encode path that
+  //      closes the n·K term SCALING.md measured on the label-codebook
+  //      variant. Real product quantization trains a CONSTANT number
+  //      of codewords per subquantizer (256 in the literature; 16
+  //      here), so encode cost is n·16·8 forever — corpus growth never
+  //      touches it. The codebook "training set" is a deterministic
+  //      hash-sample of the corpus (TakeOrdered over md5(vec_id) —
+  //      the q18_sample discipline), standing in for the sampled
+  //      kmeans a production run does offline. Same stacked argmin
+  //      plan as q18_pq_encode: one ≤16-row broadcast, sliced codegen
+  //      dots, windows keyed (vec, sub). ----
+  val q18PqSampled: QueryDef = QueryDef(
+    "q18_pq_sampled",
+    """WITH quant AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |seeds AS (
+      |  SELECT vec_id AS cl, q AS cq FROM quant
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      |sd AS (
+      |  SELECT v.vec_id, s.cl, (t.i - 1) // 8 AS sub,
+      |         CAST(sum((v.q[t.i] - s.cq[t.i]) * (v.q[t.i] - s.cq[t.i])) AS BIGINT)
+      |           AS dist
+      |  FROM quant v CROSS JOIN seeds s, unnest(range(1, len(v.q) + 1)) AS t(i)
+      |  GROUP BY v.vec_id, s.cl, (t.i - 1) // 8),
+      |best AS (
+      |  SELECT vec_id, sub, cl, dist,
+      |         row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cl) AS rnk
+      |  FROM sd)
+      |SELECT vec_id,
+      |       CAST(max(CASE WHEN sub = 0 THEN cl END) AS BIGINT) AS c0,
+      |       CAST(max(CASE WHEN sub = 1 THEN cl END) AS BIGINT) AS c1,
+      |       CAST(max(CASE WHEN sub = 2 THEN cl END) AS BIGINT) AS c2,
+      |       CAST(max(CASE WHEN sub = 3 THEN cl END) AS BIGINT) AS c3,
+      |       CAST(max(CASE WHEN sub = 4 THEN cl END) AS BIGINT) AS c4,
+      |       CAST(max(CASE WHEN sub = 5 THEN cl END) AS BIGINT) AS c5,
+      |       CAST(max(CASE WHEN sub = 6 THEN cl END) AS BIGINT) AS c6,
+      |       CAST(max(CASE WHEN sub = 7 THEN cl END) AS BIGINT) AS c7,
+      |       CAST(sum(dist) AS BIGINT) AS recon_err
+      |FROM best WHERE rnk = 1
+      |GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+    import graft.functions.VectorMath
+    val qn = embs(spark, dir)
+      .select(col("vec_id"), VectorMath.quantize(col("embedding")).as("q"))
+    val seeds = qn
+      .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
+      .limit(16)
+      .select(col("vec_id").as("cl"), col("q").as("c"))
+    def dist(s: Int) = {
+      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
+      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
+      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
+        VectorMath.dotLong(cs, cs)).as(s"d$s")
+    }
+    val byVecSub = Window.partitionBy(col("vec_id"), col("sub"))
+      .orderBy(col("dist"), col("cl"))
+    val stacked = qn.crossJoin(broadcast(seeds))
+      .select(Seq(col("vec_id"), col("cl")) ++ (0 until 8).map(dist): _*)
+      .select(col("vec_id"), col("cl"), expr(
+        "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (sub, dist)"))
+    val aggs = (0 until 8).map(s =>
+      max(when(col("sub") === s, col("cl"))).cast("long").as(s"c$s")) :+
+      sum(col("dist")).cast("long").as("recon_err")
+    stacked
+      .withColumn("rnk", row_number().over(byVecSub))
+      .where(col("rnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
     q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode,
-    q18QualityCalib)
+    q18QualityCalib, q18PqSampled)
 }
