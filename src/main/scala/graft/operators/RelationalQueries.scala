@@ -749,6 +749,52 @@ object RelationalQueries {
       .orderBy(col("event_type"))
   }
 
+  // ---- robust (median/MAD) outliers: the heavy-tail-safe twin of the
+  //      3-sigma rule — mean/stddev are themselves dragged by the very
+  //      outliers they are meant to flag, so curation pipelines filter
+  //      on median absolute deviation instead. Exactness discipline:
+  //      values quantize to integer micro-units; medians of integers
+  //      interpolate only to .5, so 2·median and the decision rule
+  //      2·dev2 > 3·mad4 (⟺ |x − med| > 3·MAD) are pure integer
+  //      comparisons — no float boundary can flip a count between
+  //      engines. med2_um/mad4_um are emitted unscaled (dividing an
+  //      odd negative would floor vs truncate differently across
+  //      engines). Two percentile passes + two ≤|types|-row broadcast
+  //      joins — same shuffle budget as q12_outliers. ----
+  val q12MadOutliers: QueryDef = QueryDef(
+    "q12_mad_outliers",
+    """WITH fx AS (
+      |  SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS xi FROM events),
+      |m AS (SELECT event_type, CAST(round(2 * median(xi)) AS BIGINT) AS med2
+      |      FROM fx GROUP BY event_type),
+      |d AS (SELECT f.event_type, abs(2 * f.xi - m.med2) AS dev2
+      |      FROM fx f JOIN m ON f.event_type = m.event_type),
+      |md AS (SELECT event_type, CAST(round(2 * median(dev2)) AS BIGINT) AS mad4
+      |       FROM d GROUP BY event_type)
+      |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+      |       max(m.med2) AS med2_um, max(md.mad4) AS mad4_um,
+      |       count(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 END) AS n_outliers
+      |FROM d JOIN m ON d.event_type = m.event_type
+      |     JOIN md ON d.event_type = md.event_type
+      |GROUP BY d.event_type
+      |ORDER BY d.event_type""".stripMargin) { (spark, dir) =>
+    val fx = t(spark, dir, "events").select(col("event_type"),
+      expr("CAST(round(value * 1000000) AS BIGINT)").as("xi"))
+    val m = fx.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(xi, 0.5)) AS BIGINT)").as("med2"))
+    val d = fx.join(broadcast(m), Seq("event_type"))
+      .select(col("event_type"), abs(lit(2) * col("xi") - col("med2")).as("dev2"))
+    val md = d.groupBy(col("event_type"))
+      .agg(expr("CAST(round(2 * percentile(dev2, 0.5)) AS BIGINT)").as("mad4"))
+    d.join(broadcast(m), Seq("event_type"))
+      .join(broadcast(md), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("med2")).as("med2_um"), max(col("mad4")).as("mad4_um"),
+        count(when(lit(2) * col("dev2") > lit(3) * col("mad4"), 1)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   // ---- calendar densification + LOCF gap-fill (the time-series
   //      resample every metrics pipeline runs): per user, a daily grid
   //      over the corpus date span, each day carrying that day's
@@ -813,7 +859,7 @@ object RelationalQueries {
     q10WindowRank, q10Analytics, q10Rolling, q10Scd2, q10Gapfill,
     q11Join, q11AsOf, q11SemiAnti, q11FullOuter,
     q12Agg, q12Rollup, q12Distinct, q12Approx, q12GroupingSets, q12Stats,
-    q12Outliers,
+    q12Outliers, q12MadOutliers,
     q13TopK, q14SetOps, q14SnapshotDiff,
     q15Scalar, q15ArrayMap, q15Pivot, q15Unpivot, q15Json)
 }
