@@ -22,7 +22,7 @@ class DeterminismSpec extends AnyFunSuite with BeforeAndAfterAll {
     "q18_unigram_lp", "q18_bigram_lp", "q18_bm25", "q18_dsir",
     "q18_nb_langid", "q12_outliers", "q12_stats", "q18_weighted_sample",
     "q18_kmeans", "q18_semdedup", "q20_dpp", "q18_ann_ivfpq",
-    "q18_quality_calib", "q18_novelty")
+    "q18_quality_calib", "q18_novelty", "q12_mad_outliers", "q18_pq_sampled")
 
   private lazy val spark: SparkSession = {
     val s = SparkSession.builder()
