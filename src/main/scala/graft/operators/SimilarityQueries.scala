@@ -557,6 +557,55 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- contrastive triplet mining: for every anchor vector, its
+  //      most-similar (hardest positive) and least-similar (hardest
+  //      in-cluster negative) block-mate by exact integer dot — the
+  //      dataset-construction op behind contrastive embedding-model
+  //      training. Pairs stay inside the label block (|block|² per
+  //      block, the K ∝ n knob as everywhere), both argmaxes are
+  //      windows PARTITIONED by anchor riding the pair join's own
+  //      partitioning, ties break on candidate id. ----
+  val q18Triplets: QueryDef = QueryDef(
+    "q18_triplets",
+    s"""WITH $quantSql,
+       |p AS (
+       |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+       |         ${dotQSql("a.q", "b.q")} AS dot_s
+       |  FROM qn a JOIN qn b ON a.label = b.label AND a.vec_id <> b.vec_id),
+       |r AS (
+       |  SELECT anchor_id, cand_id, dot_s,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY dot_s DESC, cand_id) AS rp,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY dot_s ASC, cand_id) AS rn
+       |  FROM p)
+       |SELECT anchor_id,
+       |       CAST(max(CASE WHEN rp = 1 THEN cand_id END) AS BIGINT) AS pos_id,
+       |       CAST(max(CASE WHEN rp = 1 THEN dot_s END) AS BIGINT) AS pos_dot,
+       |       CAST(max(CASE WHEN rn = 1 THEN cand_id END) AS BIGINT) AS neg_id,
+       |       CAST(max(CASE WHEN rn = 1 THEN dot_s END) AS BIGINT) AS neg_dot
+       |FROM r GROUP BY anchor_id
+       |ORDER BY anchor_id""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val a = qn.select(col("label"), col("vec_id").as("anchor_id"), col("q").as("qa"))
+    val b = qn.select(col("label"), col("vec_id").as("cand_id"), col("q").as("qb"))
+    val pairs = a.join(b, Seq("label"))
+      .where(col("anchor_id") =!= col("cand_id"))
+      .select(col("anchor_id"), col("cand_id"), dotQ("qa", "qb").as("dot_s"))
+    val byP = Window.partitionBy(col("anchor_id")).orderBy(col("dot_s").desc, col("cand_id"))
+    val byN = Window.partitionBy(col("anchor_id")).orderBy(col("dot_s").asc, col("cand_id"))
+    pairs
+      .withColumn("rp", row_number().over(byP))
+      .withColumn("rn", row_number().over(byN))
+      .where(col("rp") === 1 || col("rn") === 1)
+      .groupBy(col("anchor_id"))
+      .agg(max(when(col("rp") === 1, col("cand_id"))).cast("long").as("pos_id"),
+        max(when(col("rp") === 1, col("dot_s"))).cast("long").as("pos_dot"),
+        max(when(col("rn") === 1, col("cand_id"))).cast("long").as("neg_id"),
+        max(when(col("rn") === 1, col("dot_s"))).cast("long").as("neg_dot"))
+      .orderBy(col("anchor_id"))
+  }
+
   // ---- n-gram novelty: the dedup-adjacent quality signal — what
   //      fraction of a document's word 3-grams appears in NO other
   //      document. High novelty = unique content; low novelty = boiler-
@@ -1302,7 +1351,7 @@ object SimilarityQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
-    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18DedupEmbed,
+    q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim)
 }
