@@ -616,7 +616,8 @@ object SimilarityQueries {
   val q18Novelty: QueryDef = QueryDef(
     "q18_novelty",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |g AS (SELECT DISTINCT doc_id,
+      |             md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS s
       |      FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
       |      WHERE len(ws) >= 3),
       |gd AS (SELECT s, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY s)
@@ -633,8 +634,12 @@ object SimilarityQueries {
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       // Spark's sequence(0, n) DESCENDS for n < 0 — guard short docs
       .where(size(col("ws")) >= 3)
+      // digest the gram BEFORE the distinct/join: fixed 32-char keys
+      // shuffle and hash-join far cheaper than raw 30-60 char grams,
+      // and counts-by-digest equal counts-by-gram (md5 is the same
+      // collision-free identity every dedup op here already keys on)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        "transform(sequence(0, size(ws)-3), i -> md5(CAST(concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS BINARY)))"))
         .as("s"))
       .distinct()
     val gd = g.groupBy(col("s")).agg(count(lit(1)).as("nd"))
