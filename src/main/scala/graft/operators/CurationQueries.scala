@@ -35,12 +35,7 @@ object CurationQueries {
 
   private def docTermBuckets(spark: SparkSession, dir: String): DataFrame =
     dtfCache.getOrElseUpdate(spark, dir) {
-      docs(spark, dir)
-        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-        .withColumn("b", conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10)
-          .cast("long"))
-        .groupBy(col("doc_id"), col("lang"), col("b")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      graft.functions.CurationRules.bucketTf(docs(spark, dir)).localCheckpoint()
     }
 
   // ---- DSIR (Data Selection via Importance Resampling, Xie et al.
@@ -86,16 +81,7 @@ object CurationQueries {
     // derives from the materialized doc-term matrix — the corpus is
     // token-exploded ONCE per session, not once per model statistic
     val dtfLang = docTermBuckets(spark, dir)
-    val rawB = dtfLang.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
-    val tgtB = dtfLang.where(col("lang") === "de")
-      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
-    val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
-      .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
-    val delta = rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
-      .select(col("b"),
-        (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -
-          expr("CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE) / (coalesce(ct, 0) + 1))) AS BIGINT)"))
-          .as("d"))
+    val delta = graft.functions.CurationRules.dsirDelta(dtfLang, "de")
     val dtf = dtfLang.select(col("doc_id"), col("b"), col("tf"))
     dtf.join(broadcast(delta), Seq("b"))
       .groupBy(col("doc_id"))
@@ -188,20 +174,9 @@ object CurationQueries {
       |       count(CASE WHEN NOT stop_ok THEN 1 END) AS fail_stop,
       |       count(CASE WHEN NOT alpha_ok THEN 1 END) AS fail_alpha
       |FROM flags GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
-    val feat = docs(spark, dir).select(
-      col("doc_id"), col("source"),
-      size(split(col("text"), " ")).as("n_words"),
-      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("sum_wl"),
-      expr(s"size(filter(split(text, ' '), w -> w IN $stop))").as("n_stop"),
-      expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))").as("n_alpha"))
-    val flags = feat
-      .withColumn("words_ok", col("n_words").between(40, 100000))
-      .withColumn("mwl_ok",
-        col("sum_wl").between(lit(3) * col("n_words"), lit(10) * col("n_words")))
-      .withColumn("stop_ok", col("n_stop") >= 2)
-      .withColumn("alpha_ok", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+    import graft.functions.CurationRules
+    val flags = CurationRules.withGopherFlags(
+      CurationRules.gopherFeatures(docs(spark, dir).select(col("doc_id"), col("source"), col("text"))))
     flags.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         count(when(col("words_ok") && col("mwl_ok") && col("stop_ok") && col("alpha_ok"), 1))
@@ -621,8 +596,7 @@ object CurationQueries {
       |FROM feat
       |GROUP BY ROLLUP (source, lang)
       |ORDER BY source, lang""".stripMargin) { (spark, dir) =>
-    val stop = Seq("the", "a", "of", "and", "to", "in", "is")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
+    val stop = graft.functions.CurationRules.stopWordsIn
     val feat = docs(spark, dir).select(
       col("source"), col("lang"),
       size(split(col("text"), " ")).as("n_words"),
@@ -677,10 +651,8 @@ object CurationQueries {
       |       cum.cge AS n_kept
       |FROM cum JOIN thr ON cum.source = thr.source AND cum.score = thr.t
       |ORDER BY cum.source""".stripMargin) { (spark, dir) =>
-    val s = docs(spark, dir).select(col("source"), expr(
-      """(1000 * size(filter(split(text, ' '),
-        |              w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))))
-        | div size(split(text, ' '))""".stripMargin).as("score"))
+    val s = docs(spark, dir).select(col("source"),
+      graft.functions.CurationRules.stopwordScore.as("score"))
     val h = s.groupBy(col("source"), col("score")).agg(count(lit(1)).as("c"))
     val byScoreDesc = Window.partitionBy(col("source")).orderBy(col("score").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -817,28 +789,25 @@ object CurationQueries {
       .groupBy(col("cl"))
       .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
     // per (vector, codeword) row: 8 subvector distances via sliced
-    // codegen dots (|a−b|² = a·a − 2·a·b + b·b), then stacked to
-    // (s, dist) and argmin'd per (vec, s)
+    // codegen dots (|a−b|² = a·a − 2·a·b + b·b); the per-(vec, sub)
+    // argmin is a lexicographic min(struct(dist, cl)) under ONE
+    // groupBy(vec_id) — map-side combinable, sortless, same (dist, cl)
+    // tie-break as the oracle's row_number ORDER BY
     def dist(s: Int) = {
       val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
       val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
       (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
         VectorMath.dotLong(cs, cs)).as(s"d$s")
     }
-    val byVecSub = Window.partitionBy(col("vec_id"), col("s"))
-      .orderBy(col("dist"), col("cl"))
-    val stacked = qn.crossJoin(broadcast(cent))
+    val wide = qn.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("cl")) ++ (0 until 8).map(dist): _*)
-      .select(col("vec_id"), col("cl"), expr(
-        "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (s, dist)"))
-    val aggs = (0 until 8).map(s =>
-      max(when(col("s") === s, col("cl"))).cast("long").as(s"c$s")) :+
-      sum(col("dist")).cast("long").as("recon_err")
-    stacked
-      .withColumn("rnk", row_number().over(byVecSub))
-      .where(col("rnk") === 1)
-      .groupBy(col("vec_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    val mins = (0 until 8).map(s =>
+      min(struct(col(s"d$s").as("dist"), col("cl"))).as(s"m$s"))
+    wide.groupBy(col("vec_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id") +:
+        ((0 until 8).map(s => col(s"m$s.cl").cast("long").as(s"c$s")) :+
+          (0 until 8).map(s => col(s"m$s.dist")).reduce(_ + _).cast("long").as("recon_err")): _*)
       .orderBy(col("vec_id"))
   }
 
@@ -850,9 +819,13 @@ object CurationQueries {
   //      touches it. The codebook "training set" is a deterministic
   //      hash-sample of the corpus (TakeOrdered over md5(vec_id) —
   //      the q18_sample discipline), standing in for the sampled
-  //      kmeans a production run does offline. Same stacked argmin
-  //      plan as q18_pq_encode: one ≤16-row broadcast, sliced codegen
-  //      dots, windows keyed (vec, sub). ----
+  //      kmeans a production run does offline. The argmin needs no
+  //      window: each (vector, codeword) row carries all 8 subvector
+  //      distances, so a single groupBy(vec_id) takes min(struct(dist,
+  //      cl)) per sub — sortless, map-side combinable, one shuffle of
+  //      n·16 narrow rows (the round-6 stack+row_number shape sorted
+  //      128n rows per (vec, sub) group; measured slower for no
+  //      semantic gain). ----
   val q18PqSampled: QueryDef = QueryDef(
     "q18_pq_sampled",
     """WITH quant AS (
@@ -898,20 +871,19 @@ object CurationQueries {
       (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
         VectorMath.dotLong(cs, cs)).as(s"d$s")
     }
-    val byVecSub = Window.partitionBy(col("vec_id"), col("sub"))
-      .orderBy(col("dist"), col("cl"))
-    val stacked = qn.crossJoin(broadcast(seeds))
+    // argmin per (vec, sub) as a lexicographic struct-min: (dist, cl)
+    // orders by distance then codeword id — identical tie-break to the
+    // oracle's ORDER BY dist, cl — and min() combines map-side, so the
+    // shuffle carries 16 pre-reduced structs per vector, never a sort
+    val wide = qn.crossJoin(broadcast(seeds))
       .select(Seq(col("vec_id"), col("cl")) ++ (0 until 8).map(dist): _*)
-      .select(col("vec_id"), col("cl"), expr(
-        "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (sub, dist)"))
-    val aggs = (0 until 8).map(s =>
-      max(when(col("sub") === s, col("cl"))).cast("long").as(s"c$s")) :+
-      sum(col("dist")).cast("long").as("recon_err")
-    stacked
-      .withColumn("rnk", row_number().over(byVecSub))
-      .where(col("rnk") === 1)
-      .groupBy(col("vec_id"))
-      .agg(aggs.head, aggs.tail: _*)
+    val mins = (0 until 8).map(s =>
+      min(struct(col(s"d$s").as("dist"), col("cl"))).as(s"m$s"))
+    wide.groupBy(col("vec_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id") +:
+        ((0 until 8).map(s => col(s"m$s.cl").cast("long").as(s"c$s")) :+
+          (0 until 8).map(s => col(s"m$s.dist")).reduce(_ + _).cast("long").as("recon_err")): _*)
       .orderBy(col("vec_id"))
   }
 

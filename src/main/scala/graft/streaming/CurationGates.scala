@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.functions.CurationRules
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -13,61 +14,30 @@ import org.apache.spark.sql.functions._
   * classifies its partitions independently), and the DSIR model is a
   * ≤256-row static artifact broadcast into each micro-batch. Identical
   * classification under redelivery is therefore structural, and
-  * spec-pinned in CurationGatesSpec.
+  * spec-pinned in CurationGatesSpec. Every rule expression comes from
+  * [[graft.functions.CurationRules]] — the SAME objects the batch
+  * operators build from, so stream/batch twin drift is impossible by
+  * construction, not by test.
   */
 object CurationGates {
-
-  private val stopWords =
-    Seq("the", "a", "of", "and", "to", "in", "is")
-      .map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Gopher rule flags per incoming document: (doc_id, words_ok,
     * mwl_ok, stop_ok, alpha_ok, keep) — the same integer rules the
     * batch operator aggregates (CurationQueries.q18GopherQuality). */
   def gopherClassify(incoming: DataFrame): DataFrame =
-    incoming.select(
-      col("doc_id"),
-      size(split(col("text"), " ")).as("n_words"),
-      length(replace(col("text"), lit(" "), lit(""))).cast("long").as("sum_wl"),
-      expr(s"size(filter(split(text, ' '), w -> w IN $stopWords))").as("n_stop"),
-      expr("size(filter(split(text, ' '), w -> w rlike '^[a-z]+$'))").as("n_alpha"))
-      .withColumn("words_ok", col("n_words").between(40, 100000))
-      .withColumn("mwl_ok",
-        col("sum_wl").between(lit(3) * col("n_words"), lit(10) * col("n_words")))
-      .withColumn("stop_ok", col("n_stop") >= 2)
-      .withColumn("alpha_ok", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+    CurationRules.withGopherFlags(CurationRules.gopherFeatures(incoming))
       .select(col("doc_id"), col("words_ok"), col("mwl_ok"), col("stop_ok"),
         col("alpha_ok"),
         (col("words_ok") && col("mwl_ok") && col("stop_ok") && col("alpha_ok"))
           .as("keep"))
 
-  /** Per-doc hashed-unigram bucket term frequencies (the DSIR feature
-    * map): md5-bucket B=256, exactly the batch formulation. */
-  private def bucketTf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
-      .withColumn("b",
-        conv(substring(md5(col("w").cast("binary")), 1, 2), 16, 10).cast("long"))
-      .groupBy(col("doc_id"), col("lang"), col("b"))
-      .agg(count(lit(1)).as("tf"))
-
   /** The static DSIR model: per-bucket integer micro-nat log-likelihood
     * delta between the raw pool and the target slice — a ≤256-row
     * artifact a production gate trains once offline and broadcasts.
-    * Identical math to CurationQueries.q18Dsir's delta. */
-  def dsirDelta(corpus: DataFrame, targetLang: String): DataFrame = {
-    val dtf = bucketTf(corpus)
-    val rawB = dtf.groupBy(col("b")).agg(sum(col("tf")).as("cr"))
-    val tgtB = dtf.where(col("lang") === targetLang)
-      .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
-    val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
-      .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
-    rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
-      .select(col("b"),
-        (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -
-          expr("CAST(round(1000000 * ln(CAST(nt + 256 AS DOUBLE) / (coalesce(ct, 0) + 1))) AS BIGINT)"))
-          .as("d"))
-  }
+    * Same delta as CurationQueries.q18Dsir (shared CurationRules
+    * formulation). */
+  def dsirDelta(corpus: DataFrame, targetLang: String): DataFrame =
+    CurationRules.dsirDelta(CurationRules.bucketTf(corpus), targetLang)
 
   /** The gate: (doc_id, n_tok, weight_unm) per incoming document —
     * the integer tf-weighted sum of the broadcast model's deltas. Run
@@ -76,7 +46,7 @@ object CurationGates {
     * training) contribute 0, matching the batch inner-join semantics
     * for in-model docs and degrading gracefully for novel text. */
   def dsirScore(incoming: DataFrame, delta: DataFrame): DataFrame =
-    bucketTf(incoming.withColumn("lang", lit(null: String)))
+    CurationRules.bucketTf(incoming.withColumn("lang", lit(null: String)))
       .join(broadcast(delta), Seq("b"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast("long").as("n_tok"),
@@ -84,10 +54,8 @@ object CurationGates {
           .as("weight_unm"))
 
   /** Integer stopword-permille quality score — q18_quality_calib's
-    * score formula. */
-  private def scoreCol =
-    expr(s"""(1000 * size(filter(split(text, ' '), w -> w IN $stopWords)))
-            | div size(split(text, ' '))""".stripMargin).as("score")
+    * score formula (shared CurationRules expression). */
+  private def scoreCol = CurationRules.stopwordScore.as("score")
 
   /** The static calibration artifact: per-source median score
     * threshold, derived from the bounded (source, score) histogram

@@ -79,6 +79,21 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     // fixture sanity: the rules actually split the corpus
     val kept = expected.values.count(_.last == true)
     assert(kept > 0 && kept < expected.size, s"kept $kept of ${expected.size}")
+    // and the gate flags aggregated per source must reproduce the BATCH
+    // OPERATOR's report exactly (gate vs q18_gopher_quality, not gate
+    // vs itself — the rules are shared in CurationRules, this pins it)
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val gateAgg = got.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, m) =>
+        val fs = m.map(_._2.map(_.asInstanceOf[Boolean]))
+        src -> Seq[Long](m.size, fs.count(_(4)), fs.count(!_(0)),
+          fs.count(!_(1)), fs.count(!_(2)), fs.count(!_(3)))
+      }
+    val report = graft.operators.CurationQueries.q18GopherQuality
+      .build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (1 to 6).map(r.getLong(_)).toSeq).toMap
+    assert(gateAgg == report)
   }
 
   test("calibration gate keeps each source's top half; unknown sources drop") {
@@ -122,6 +137,14 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
       val kept = m.values.count(identity)
       assert(2 * kept >= m.size, s"$src kept $kept of ${m.size}")
     }
+    // per-source kept counts must equal the BATCH OPERATOR's n_kept
+    // (q18_quality_calib's all-in-at-threshold semantics)
+    val batchKept = graft.operators.CurationQueries.q18QualityCalib
+      .build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n_kept")).toMap
+    val gateKept = expected.groupBy { case (id, _) => bySource(id) }
+      .map { case (src, m) => src -> m.values.count(identity).toLong }
+    assert(gateKept == batchKept)
     // unknown source: never kept
     val foreign = Seq((999999L, "src-unknown", "the a of and to in is x y z"))
       .toDF("doc_id", "source", "text")
@@ -142,5 +165,13 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
     // weights must discriminate (not all equal) for the gate to be useful
     assert(expected.values.map(_.last).toSet.size > 1)
+    // gate scores must equal the BATCH OPERATOR's top-50 rows (same
+    // target slice, same corpus — q18_dsir, not the gate run in batch)
+    graft.operators.CurationQueries.q18Dsir.build(spark, "/root/testdata/sf0.001")
+      .collect().foreach { r =>
+        assert(got(r.getAs[Long]("doc_id")) ==
+          Seq(r.getAs[Long]("n_tok"), r.getAs[Long]("weight_unm")),
+          s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
+      }
   }
 }
