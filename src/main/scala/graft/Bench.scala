@@ -154,8 +154,11 @@ object Bench {
     def line(render: Double => String, only: Option[Set[String]]) =
       s"""{"metric":"total","value":${render(total)},"unit":"sec","reps":$reps,"wall":${render(wall)},""" +
         s""""queries":${qmap(render, only)},"errors":$errs,"guard":$guard,"sf":"$sfDir"}"""
-    // full precision, all 104 queries, to a file (survives any stdout limit)...
-    Files.write(Paths.get("BENCH_LAST.json"),
+    // full precision to a file (survives any stdout limit). A filtered
+    // (SPARK_GRAFT_BENCH_ONLY) run goes to its own file so a local
+    // subset run can never clobber the last full-suite record.
+    val lastFile = if (only.isDefined) "BENCH_LAST_FILTERED.json" else "BENCH_LAST.json"
+    Files.write(Paths.get(lastFile),
       line(_.toString, None).getBytes(StandardCharsets.UTF_8))
     // ...and a short ms-rounded headline-only line to stdout (~600 bytes),
     // sized to survive the driver's tail-capture window intact

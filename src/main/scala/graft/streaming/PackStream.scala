@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+import org.apache.spark.util.LongAccumulator
 
 /** One document entering the packing gate. */
 final case class PackInput(source: String, docId: Long, nWords: Long)
@@ -29,10 +30,31 @@ final case class PackState(lastDocId: Long, cumTokens: Long)
   * can never change (state is the (cursor, cumTokens) pair, not
   * history). PackStreamSpec pins chunk ids identical to the batch
   * operator across batch splits and under redelivery.
+  *
+  * A genuinely NEW document arriving below the cursor (an
+  * ordered-ingest contract violation) is indistinguishable from a
+  * redelivery and is dropped like one — but never silently: every drop
+  * increments the [[dropCounter]] accumulator, so a violation shows as
+  * a counter climbing past the known redelivery volume (a clean
+  * exactly-once resend is also counted — the signal is the RATE vs the
+  * source's redelivery profile, and any nonzero count on a
+  * no-redelivery source is a contract violation by definition).
   */
 object PackStream {
 
-  def process(in: Dataset[PackInput], budget: Long = 512L): Dataset[PackedDoc] = {
+  /** Name under which [[process]] registers its drop accumulator (shows
+    * in the Spark UI / StatusStore per stage). */
+  val DropCounterName = "graft.pack.droppedBelowCursor"
+
+  /** Session-scoped accumulator counting docs dropped at the cursor
+    * (redeliveries + any ordering-contract violations). */
+  def dropCounter(spark: org.apache.spark.sql.SparkSession): LongAccumulator = {
+    val acc = spark.sparkContext.longAccumulator(DropCounterName)
+    acc
+  }
+
+  def process(in: Dataset[PackInput], budget: Long = 512L,
+      dropped: Option[LongAccumulator] = None): Dataset[PackedDoc] = {
     implicit val stateEnc = Encoders.product[PackState]
     implicit val outEnc = Encoders.product[PackedDoc]
     import in.sparkSession.implicits._
@@ -43,8 +65,10 @@ object PackStream {
         var cum = prev.cumTokens
         var last = prev.lastDocId
         val out = it.toVector.sortBy(_.docId).flatMap { d =>
-          if (d.docId <= last) None // redelivery of an admitted doc
-          else {
+          if (d.docId <= last) { // redelivery OR ordering violation
+            dropped.foreach(_.add(1L))
+            None
+          } else {
             val chunk = cum / budget
             cum += d.nWords
             last = d.docId

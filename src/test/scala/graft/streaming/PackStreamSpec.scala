@@ -40,7 +40,8 @@ class PackStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = scala.collection.mutable.Map.empty[Long, (String, Long)]
     var changed = false
     val input = MemoryStream[PackInput]
-    val q = PackStream.process(input.toDS(), budget = 512L)
+    val drops = PackStream.dropCounter(spark)
+    val q = PackStream.process(input.toDS(), budget = 512L, dropped = Some(drops))
       .writeStream.outputMode("append")
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("cp-pack").toString)
@@ -57,12 +58,17 @@ class PackStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (b1, b2) = docs.splitAt(docs.length / 2)
     input.addData(b1.toIndexedSeq); q.processAllAvailable()
     input.addData(b2.toIndexedSeq); q.processAllAvailable()
-    // redelivery of already-admitted docs: no output, no reassignment
+    val dropsBeforeRedelivery = drops.value
+    // redelivery of already-admitted docs: no output, no reassignment —
+    // but OBSERVABLE: every cursor-drop increments the accumulator, so
+    // an ordering-contract violation can never be silent data loss
     val before = got.synchronized(got.size)
     input.addData(b1.take(50).toIndexedSeq); q.processAllAvailable()
     q.stop()
     assert(got.size == before, "redelivered docs produced output")
     assert(!changed, "an admitted assignment changed")
+    assert(drops.value - dropsBeforeRedelivery == 50L,
+      s"expected 50 counted drops, got ${drops.value - dropsBeforeRedelivery}")
 
     // batch oracle: per-source running sum in doc_id order
     val expected = docs.groupBy(_.source).iterator.flatMap { case (src, ds) =>
