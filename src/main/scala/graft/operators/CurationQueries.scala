@@ -317,7 +317,9 @@ object CurationQueries {
   //      dot > 0), so the keep/drop decision never touches a float.
   //      Scale: pair enumeration is cluster-blocked (|pairs| bounded by
   //      the cluster size a production run controls via K), centroids
-  //      ride one broadcast, every pair is a single codegen'd dot. ----
+  //      ride one broadcast, every pair is a single codegen'd dot; an
+  //      over-dense cluster (K misconfigured for the corpus) aborts
+  //      fast via ScaleOps.guardBlockSize, not at |cluster|². ----
   val q18Semdedup: QueryDef = QueryDef(
     "q18_semdedup",
     """WITH quant AS (
@@ -384,8 +386,10 @@ object CurationQueries {
       .withColumn("rnk", row_number().over(byVec))
       .where(col("rnk") === 1)
       .select(col("vec_id"), col("clabel").as("cluster"))
-    val qa = qn.join(assign, Seq("vec_id"))
-      .select(col("vec_id"), col("q"), col("n2"), col("cluster"))
+    val qa = ScaleOps.guardBlockSize(
+      qn.join(assign, Seq("vec_id"))
+        .select(col("vec_id"), col("q"), col("n2"), col("cluster")),
+      "cluster", "q18_semdedup pair join")
     val a = qa.select(col("cluster"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("n2").as("n2_a"))
     val b = qa.select(col("cluster"), col("vec_id").as("b_id"),

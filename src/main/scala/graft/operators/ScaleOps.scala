@@ -33,6 +33,53 @@ object ScaleOps {
       .groupBy(col("key"))
       .agg(mergeAggs.head, mergeAggs.tail: _*)
 
+  /** Default ceiling for [[guardBlockSize]]: a 100k-row block in a
+    * |block|²-pair operator means 1e10 pairs for that block alone —
+    * far past the point a 100 TB run should be stopped, well above any
+    * correctly-K'd clustering (constant block size under K ∝ n). */
+  val DefaultMaxBlockRows = 100000L
+
+  /** Fail-fast guard for block-keyed pair joins (kNN graph, embedding
+    * dedup, semdedup, triplet mining): those operators are |block|² by
+    * design, so a misconfigured clustering — K held fixed while the
+    * corpus grew — turns them quadratic (measured 71× at 10× data,
+    * SCALING.md). Rather than discovering that at hour six of a 100 TB
+    * run, this wraps the blocked input with a cluster-size histogram
+    * check that aborts BEFORE the pair join expands.
+    *
+    * Mechanics: one column-pruned pass builds the per-block row counts
+    * (a ≤K-row aggregate — the scan reads only the block key); each
+    * count is routed through a codegen'd `when(n <= bound, n)
+    * .otherwise(raise_error(...))` projection and the result rides a
+    * broadcast join back onto the input. The raise fires while the
+    * broadcast side materializes — i.e. before a single pair is
+    * enumerated — and names the offending block, its size, and the
+    * knob. Configure with `spark.graft.guard.maxBlockRows` (≤ 0
+    * disables; default [[DefaultMaxBlockRows]]). The extra cost is one
+    * key-only scan plus a K-row broadcast — noise next to the pair join
+    * it protects. Guarded-pass output is row-identical to the input
+    * (every oracle query runs through it unchanged). */
+  def guardBlockSize(df: DataFrame, key: String, what: String): DataFrame = {
+    val bound = df.sparkSession.conf.getOption("spark.graft.guard.maxBlockRows")
+      .map(_.toLong).getOrElse(DefaultMaxBlockRows)
+    if (bound <= 0L) df
+    else {
+      val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("__blk_n"))
+        .select(col(key).as("__blk_key"),
+          when(col("__blk_n") <= bound, col("__blk_n")).otherwise(raise_error(
+            format_string(
+              s"[graft] $what: block '%s' holds %s rows, over spark.graft.guard." +
+                s"maxBlockRows=$bound; the |block|^2 pair join would be quadratic " +
+                "- re-shard the blocking (retrain K with K proportional to n) or " +
+                "raise the bound",
+              col("__blk_key").cast("string"), col("__blk_n").cast("string"))))
+            .as("__blk_ok"))
+      df.join(broadcast(sizes),
+          col(key) === col("__blk_key") && col("__blk_ok") > 0)
+        .drop("__blk_key", "__blk_ok")
+    }
+  }
+
   /** Prefix-of-previous MAX over an ordered summary table, with NO
     * unpartitioned window anywhere in the plan. For each row, computes
     * `outCol = max(valCol)` over all rows with a strictly smaller
@@ -321,13 +368,28 @@ object ScaleOps {
   /** Path of an events copy written `partitionBy(event_type)`; built on
     * first use per (session, dir). The output path folds in a
     * fingerprint of the source fixture (name/size/mtime of every file
-    * under it), so a fixture regenerated in place can never pair with a
-    * stale partitioned copy. Concurrent JVMs racing to build the same
-    * copy each write a private staging dir and atomically rename it in;
-    * the loser discards its staging dir and reads the winner's. */
+    * under it), so ACROSS JVMs a fixture regenerated in place never
+    * pairs with a stale partitioned copy. (Within one session the
+    * result is cached by (session, dir) — the fingerprint is computed
+    * once on first use, so a fixture regenerated mid-session while the
+    * same session keeps querying it still reads the first copy; test
+    * fixtures are immutable for a session's lifetime, which is the
+    * contract here.) Concurrent JVMs racing to build the same copy each
+    * write a private staging dir and atomically rename it in; the loser
+    * discards its staging dir and reads the winner's. A crash between
+    * write and rename can orphan a `*.stage.*` dir — swept on entry. */
   private def dppEvents(spark: SparkSession, dir: String): String =
     dppDirs.getOrElseUpdate(spark, dir) {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+      // sweep staging orphans from crashed builders (older than 1h, so
+      // a concurrent JVM's live staging write is never yanked mid-copy)
+      val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmpDir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith(s"graft_dpp$safe") &&
+          f.getName.contains(".stage.") &&
+          f.lastModified() < System.currentTimeMillis() - 3600_000L)
+        .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
+          catch { case _: java.io.IOException => () })
       val src = new java.io.File(s"$dir/events.parquet")
       val files =
         if (src.isDirectory) Option(src.listFiles()).map(_.toVector).getOrElse(Vector.empty)

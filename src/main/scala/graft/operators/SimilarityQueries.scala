@@ -586,7 +586,8 @@ object SimilarityQueries {
        |       CAST(max(CASE WHEN rn = 1 THEN dot_s END) AS BIGINT) AS neg_dot
        |FROM r GROUP BY anchor_id
        |ORDER BY anchor_id""".stripMargin) { (spark, dir) =>
-    val qn = quantized(embs(spark, dir))
+    val qn = ScaleOps.guardBlockSize(quantized(embs(spark, dir)), "label",
+      "q18_triplets pair join")
     val a = qn.select(col("label"), col("vec_id").as("anchor_id"), col("q").as("qa"))
     val b = qn.select(col("label"), col("vec_id").as("cand_id"), col("q").as("qb"))
     val pairs = a.join(b, Seq("label"))
@@ -813,7 +814,8 @@ object SimilarityQueries {
     * (keep_id, dup_id, cosine) — the shared core of q18_dedup_embed and
     * q18_dedup_resolve. */
   private def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val qn = quantized(embs(spark, dir))
+    val qn = ScaleOps.guardBlockSize(quantized(embs(spark, dir)), "label",
+      "q18_dedup_embed pair join")
     val a = qn.select(col("label"), col("vec_id").as("keep_id"),
       col("q").as("qa"), col("n2").as("n2_a"))
     val b = qn.select(col("label"), col("vec_id").as("dup_id"),
@@ -1108,7 +1110,10 @@ object SimilarityQueries {
   //      MEASURED caveat (SCALING.md, round 6): |block|² means the
   //      cluster count K MUST grow with the corpus — K held fixed at
   //      10× data ran 71×; K ∝ n (constant cluster size, the kmeans
-  //      retraining knob) runs at slope 0.69. ----
+  //      retraining knob) runs at slope 0.69. A misconfigured run
+  //      fails FAST, not quadratically: ScaleOps.guardBlockSize
+  //      aborts before the pair join when any block exceeds
+  //      spark.graft.guard.maxBlockRows (BlockGuardSpec). ----
   val q18KnnGraph: QueryDef = QueryDef(
     "q18_knn_graph",
     s"""WITH $quantSql,
@@ -1128,7 +1133,8 @@ object SimilarityQueries {
        |  FROM sc)
        |SELECT vec_id, rnk, nb_id, cosine FROM rk WHERE rnk <= 2
        |ORDER BY vec_id, rnk""".stripMargin) { (spark, dir) =>
-    val qn = quantized(embs(spark, dir))
+    val qn = ScaleOps.guardBlockSize(quantized(embs(spark, dir)), "label",
+      "q18_knn_graph pair join")
     val a = qn.select(col("label"), col("vec_id"),
       col("q").as("qa"), col("n2").as("n2_a"))
     val b = qn.select(col("label"), col("vec_id").as("nb_id"),
