@@ -237,17 +237,20 @@ object CurationQueries {
       .groupBy(col("clabel"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
       .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
+    // the per-vector argmin is a lexicographic min(struct(dist2,
+    // clabel)) under groupBy — sortless and map-side combinable, vs the
+    // former row_number window sorting K rows per vector (same (dist2,
+    // clabel) tie-break as the oracle's ORDER BY)
     qn.withColumn("n2", VectorMath.dotLong(col("q"), col("q")))
       .crossJoin(broadcast(cent))
       .select(col("vec_id"), col("label"), col("clabel"),
         (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
           .as("dist2"))
-      .withColumn("rnk", row_number().over(byVec))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("label").as("old_label"), col("clabel").as("new_label"),
-        col("dist2"),
-        when(col("label") =!= col("clabel"), 1L).otherwise(0L).as("moved"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("label").as("old_label"),
+        col("m.clabel").as("new_label"), col("m.dist2").as("dist2"),
+        when(col("label") =!= col("m.clabel"), 1L).otherwise(0L).as("moved"))
       .orderBy(col("vec_id"))
   }
 
@@ -377,15 +380,16 @@ object CurationQueries {
       .groupBy(col("clabel"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
       .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
-    val byVec = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("clabel"))
+    // sortless per-vector argmin (min-struct agg, not a window) — the
+    // q18_kmeans shape
     val assign = qn
       .crossJoin(broadcast(cent))
       .select(col("vec_id"),
         (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
           .as("dist2"), col("clabel"))
-      .withColumn("rnk", row_number().over(byVec))
-      .where(col("rnk") === 1)
-      .select(col("vec_id"), col("clabel").as("cluster"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
+      .select(col("vec_id"), col("m.clabel").as("cluster"))
     val qa = ScaleOps.guardBlockSize(
       qn.join(assign, Seq("vec_id"))
         .select(col("vec_id"), col("q"), col("n2"), col("cluster")),

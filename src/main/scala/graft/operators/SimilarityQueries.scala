@@ -734,25 +734,33 @@ object SimilarityQueries {
       .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
       .groupBy(col("cl"))
       .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
-    // per (vector, codeword, subvector): ‖q_s − c_s‖² via sliced codegen
-    // dots, stacked to (s, dist) rows — the shared core of encoding
-    // (argmin per (vec, s)), routing (Σ_s per (probe, codeword)), and
-    // the probe lookup table (the probe rows as-is)
+    // per (vector, codeword): all 8 subvector ‖q_s − c_s‖² via sliced
+    // codegen dots — the shared core of encoding (argmin per (vec, s)),
+    // routing (Σ_s per (probe, codeword)), and the probe lookup table
     def d(s: Int) = {
       val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
       val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
       (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
         VectorMath.dotLong(cs, cs)).as(s"d$s")
     }
-    val stacked = qn.crossJoin(broadcast(cent))
+    val wide = qn.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("label"), col("cl")) ++ (0 until 8).map(d): _*)
-      .select(col("vec_id"), col("label"), col("cl"), expr(
+    // corpus-side encode: sortless per-(vec, sub) argmin — one groupBy
+    // taking 8 lexicographic min(struct(dist, cl))s (map-side
+    // combinable; the former stack + row_number window sorted 8·n·K
+    // rows), then the 8 chosen codes unstack to narrow (s, code) rows
+    val mins = (0 until 8).map(s =>
+      min(struct(col(s"d$s").as("dist"), col("cl"))).as(s"m$s"))
+    val codes = wide.groupBy(col("vec_id"), col("label"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("vec_id").as("cand_id"), col("label"), expr(
+        "stack(8, " + (0 until 8).map(s => s"${s}L, m$s.cl").mkString(", ") +
+          ") AS (s, code)"))
+    // probe side stays stacked — the LUT needs every (probe, cl, s,
+    // dist) row, and the probe set is tiny by construction
+    val pstack = wide.where(col("vec_id") < 5)
+      .select(col("vec_id"), col("cl"), expr(
         "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (s, dist)"))
-    val bySub = Window.partitionBy(col("vec_id"), col("s")).orderBy(col("dist"), col("cl"))
-    val codes = stacked.withColumn("rnk", row_number().over(bySub))
-      .where(col("rnk") === 1)
-      .select(col("vec_id").as("cand_id"), col("label"), col("s"), col("cl").as("code"))
-    val pstack = stacked.where(col("vec_id") < 5)
     val lut = pstack.select(col("vec_id").as("probe_id"), col("cl"), col("s"),
       col("dist").as("ld"))
     val byProbe = Window.partitionBy(col("vec_id")).orderBy(col("fdist"), col("cl"))
