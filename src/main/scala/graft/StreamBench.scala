@@ -7,14 +7,19 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 /** Streaming-engine throughput bench (not driver-run; numbers recorded
-  * in BASELINE.md): pushes the events table through the
-  * MemoryStream → StreamProcessor (flatMapGroupsWithState) engine —
+  * in BASELINE.md): pushes the events table through the span engine —
   * the reference's MemoryStoreSource → Scheduler/Dispatcher path — in
   * fixed-size micro-batches and reports end-to-end events/sec,
   * including per-stream span coalescing, write-pos dedupe, and handler
   * dispatch. Throughput scales with stream cardinality (per-stream
   * serialization is the ordering contract), so the events table's
   * ~10k users at sf0.1 is the interesting regime.
+  *
+  * args: [batches] [statePartitions] [engine]. engine = `fmgws`
+  * (default: flatMapGroupsWithState on the HDFS-backed store) or `tws`
+  * (transformWithState on RocksDB with changelog checkpointing — the
+  * claimed 100 TB state path; same pure `step`, so the comparison
+  * isolates the state-backend cost).
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -23,12 +28,19 @@ object StreamBench {
     // state-store partition count: fixed at first checkpoint, sized so
     // per-micro-batch task+commit overhead doesn't swamp small batches
     val statePartitions = args.lift(1).map(_.toInt).getOrElse(32)
-    val spark = SparkSession.builder()
+    val engine = args.lift(2).getOrElse("fmgws")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", statePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (engine == "tws") {
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
@@ -47,8 +59,10 @@ object StreamBench {
     val cp = java.nio.file.Files.createTempDirectory("streambench").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[InputEvent]
-    val out = StreamProcessor.process[Long](
-      input.toDS(), (_, events) => events.map(_.size).sum)
+    val handle: (String, Seq[InputEvent]) => Long = (_, events) => events.map(_.size).sum
+    val out =
+      if (engine == "tws") graft.streaming.StreamProcessorTws.process[Long](input.toDS(), handle)
+      else StreamProcessor.process[Long](input.toDS(), handle)
     val q = out.writeStream.format("noop")
       .outputMode("append").option("checkpointLocation", cp).start()
 
@@ -66,7 +80,8 @@ object StreamBench {
     // report the batches actually fed (grouped() yields ceil(n/per))
     println(
       s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec",""" +
-        s""""n_events":$n,"batches":$fed,"state_partitions":$statePartitions,""" +
+        s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
+        s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

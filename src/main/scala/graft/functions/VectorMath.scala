@@ -70,6 +70,64 @@ object VectorMath {
     ColumnBridge.column(DotLongArrays(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  /** Integer squared L2 distance over an index range of two BIGINT
+    * arrays (codegen'd): Σ_{i∈[offset, offset+len)} (a[i]−b[i])².
+    *
+    * The product-quantization kernels need per-SUBVECTOR distances; a
+    * `slice()` formulation allocates two fresh arrays per (row, sub) —
+    * 16 allocations per candidate row, which at the n·K encode stage is
+    * billions of short-lived arrays. This expression walks the parent
+    * arrays in place: one fused loop, zero allocation, exact integer
+    * math identical to qs·qs − 2·qs·cs + cs·cs. */
+  case class SubDist2LongArrays(
+      left: Expression, right: Expression, offset: Int, len: Int)
+      extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sub_dist2_long"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val end = math.min(offset + len, math.min(x.numElements(), y.numElements()))
+      var acc = 0L
+      var i = offset
+      while (i < end) {
+        val d = x.getLong(i) - y.getLong(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val end = ctx.freshName("end")
+        val acc = ctx.freshName("acc")
+        val d = ctx.freshName("d")
+        s"""
+           |int $end = java.lang.Math.min($offset + $len,
+           |    java.lang.Math.min($a.numElements(), $b.numElements()));
+           |long $acc = 0L;
+           |for (int $i = $offset; $i < $end; $i++) {
+           |  long $d = $a.getLong($i) - $b.getLong($i);
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SubDist2LongArrays =
+      copy(left = newLeft, right = newRight)
+  }
+
+  /** `sub_dist2_long(a, b, offset, len)` as a Column (0-based offset). */
+  def subDist2(a: Column, b: Column, offset: Int, len: Int): Column =
+    ColumnBridge.column(SubDist2LongArrays(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), offset, len))
+
   /** Fix-point a float/double vector: `round(x·1e6) → BIGINT` per
     * component, computed ONCE per vector (Spark round = DuckDB round =
     * HALF_UP away from zero, proven hash-identical by the q18 oracles).

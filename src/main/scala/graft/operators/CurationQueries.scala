@@ -796,17 +796,14 @@ object CurationQueries {
       .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
       .groupBy(col("cl"))
       .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
-    // per (vector, codeword) row: 8 subvector distances via sliced
-    // codegen dots (|a−b|² = a·a − 2·a·b + b·b); the per-(vec, sub)
-    // argmin is a lexicographic min(struct(dist, cl)) under ONE
-    // groupBy(vec_id) — map-side combinable, sortless, same (dist, cl)
-    // tie-break as the oracle's row_number ORDER BY
-    def dist(s: Int) = {
-      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
-      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
-      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
-        VectorMath.dotLong(cs, cs)).as(s"d$s")
-    }
+    // per (vector, codeword) row: 8 subvector distances via the ranged
+    // zero-allocation codegen kernel (slice() would allocate 16 arrays
+    // per row at the n·K encode stage); the per-(vec, sub) argmin is a
+    // lexicographic min(struct(dist, cl)) under ONE groupBy(vec_id) —
+    // map-side combinable, sortless, same (dist, cl) tie-break as the
+    // oracle's row_number ORDER BY
+    def dist(s: Int) =
+      VectorMath.subDist2(col("q"), col("c"), 8 * s, 8).as(s"d$s")
     val wide = qn.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("cl")) ++ (0 until 8).map(dist): _*)
     val mins = (0 until 8).map(s =>
@@ -873,12 +870,8 @@ object CurationQueries {
       .orderBy(md5(col("vec_id").cast("string").cast("binary")), col("vec_id"))
       .limit(16)
       .select(col("vec_id").as("cl"), col("q").as("c"))
-    def dist(s: Int) = {
-      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
-      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
-      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
-        VectorMath.dotLong(cs, cs)).as(s"d$s")
-    }
+    def dist(s: Int) =
+      VectorMath.subDist2(col("q"), col("c"), 8 * s, 8).as(s"d$s")
     // argmin per (vec, sub) as a lexicographic struct-min: (dist, cl)
     // orders by distance then codeword id — identical tie-break to the
     // oracle's ORDER BY dist, cl — and min() combines map-side, so the

@@ -734,15 +734,14 @@ object SimilarityQueries {
       .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
       .groupBy(col("cl"))
       .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
-    // per (vector, codeword): all 8 subvector ‖q_s − c_s‖² via sliced
-    // codegen dots — the shared core of encoding (argmin per (vec, s)),
-    // routing (Σ_s per (probe, codeword)), and the probe lookup table
-    def d(s: Int) = {
-      val qs = expr(s"slice(q, ${8 * s + 1}, 8)")
-      val cs = expr(s"slice(c, ${8 * s + 1}, 8)")
-      (VectorMath.dotLong(qs, qs) - lit(2L) * VectorMath.dotLong(qs, cs) +
-        VectorMath.dotLong(cs, cs)).as(s"d$s")
-    }
+    // per (vector, codeword): all 8 subvector ‖q_s − c_s‖² via the
+    // ranged zero-allocation codegen kernel (VectorMath.subDist2 — a
+    // slice() formulation allocates 16 arrays per candidate row, fatal
+    // at the n·K encode stage) — the shared core of encoding (argmin
+    // per (vec, s)), routing (Σ_s per (probe, codeword)), and the
+    // probe lookup table
+    def d(s: Int) =
+      VectorMath.subDist2(col("q"), col("c"), 8 * s, 8).as(s"d$s")
     val wide = qn.crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("label"), col("cl")) ++ (0 until 8).map(d): _*)
     // corpus-side encode: sortless per-(vec, sub) argmin — one groupBy

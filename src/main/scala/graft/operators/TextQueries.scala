@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * Everything is codegen'd `functions._` / expr — no UDFs — except the
   * multimodal decode, which is deliberately a typed `mapPartitions`
   * to exercise the real plumbing a binary decoder needs (per-partition
-  * batch iteration, typed output schema), with the decode itself a
-  * clearly-marked deterministic stub (no image/audio libs in this
-  * container).
+  * batch iteration, typed output schema). The codecs inside are REAL
+  * JDK ImageIO: PNG encode/decode for width/height/pixel and
+  * multi-frame GIF encode/decode for the frame count (the container
+  * ships no media corpus, so the ingest side renders content-derived
+  * fixtures and the oracle predicts what the decoder must read back).
   */
 object TextQueries {
 
@@ -184,28 +186,65 @@ object TextQueries {
     bos.toByteArray
   }
 
-  /** Image decode is REAL (JDK ImageIO): width, height and the
-    * top-left pixel are read back from the PNG bytes the ingest
-    * fixture rendered. Only the video frame count (n_frames) remains a
-    * STUB formula — no video codec libs in this container. */
+  /** Multi-frame "video" fixture: an animated GIF with `k` real frames
+    * (4×4, per-frame color derived from the hash), written through
+    * ImageIO's sequence writer. The frame COUNT is what the decode side
+    * reads back — the video twin of the PNG width/height round trip. */
+  private def gifFor(hex: String, k: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val base = Integer.parseInt(hex.substring(2, 8), 16)
+    var i = 0
+    while (i < k) {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color((base + i * 7919) & 0xffffff))
+      g2.fillRect(0, 0, 4, 4)
+      g2.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Real multi-frame decode: ImageIO's GIF reader counts the frames
+    * actually present in the container (`getNumImages(true)` walks the
+    * stream), exactly what a production frame sampler asks its
+    * demuxer. */
+  private def framesOf(gif: Array[Byte]): Long = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis, false)
+      reader.getNumImages(true).toLong
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** The decode is REAL end-to-end (JDK ImageIO): width, height and
+    * the top-left pixel are read back from the PNG bytes the ingest
+    * fixture rendered, and the frame count is read back from a
+    * multi-frame GIF written with content-derived frames — the oracle
+    * predicts all five from the hash formula WITHOUT seeing the bytes,
+    * so both codec round trips are what the hash-match checks. */
   private def decodeAsset(a: RawAsset): DecodedAsset = {
     val hex = md5Hex(a.bytes)
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(pngFor(hex)))
+    val nFrames = framesOf(gifFor(hex, (a.bytes.length / 1024 + 1).toInt))
     DecodedAsset(a.asset_id, a.kind, a.bytes.length.toLong, hex,
       img.getWidth, img.getHeight, (img.getRGB(0, 0) & 0xffffff).toLong,
-      a.bytes.length / 1024 + 1)
-  }
-
-  /** STUB decoder (audio/video path of q18_frame_sample): derives
-    * "dimensions" from the content hash so the per-partition decode
-    * plumbing stays exercised where no real codec exists. */
-  private def stubDecode(a: RawAsset): DecodedAsset = {
-    val hex = md5Hex(a.bytes)
-    val d0 = Integer.parseInt(hex.substring(0, 1), 16)
-    val d1 = Integer.parseInt(hex.substring(1, 2), 16)
-    DecodedAsset(a.asset_id, a.kind, a.bytes.length.toLong, hex,
-      (d0 % 8 + 1) * 64, (d1 % 8 + 1) * 64, -1L, a.bytes.length / 1024 + 1)
+      nFrames)
   }
 
   val q18Multimodal: QueryDef = QueryDef(
@@ -248,8 +287,10 @@ object TextQueries {
   //      (decode → frame index explode → per-frame feature) where the
   //      explode generator runs inside codegen and per-frame work
   //      parallelizes over the standard shuffle, no driver involvement.
-  //      The frame "decode" remains the stubbed deterministic fake; the
-  //      plumbing (typed decode → generator → per-frame hash) is real. ----
+  //      The frame count is DECODED (ImageIO's multi-frame GIF reader
+  //      over the content-derived fixture — see framesOf), and the
+  //      probe filter runs BEFORE the decode so only sampled assets pay
+  //      the codec. ----
   val q18FrameSample: QueryDef = QueryDef(
     "q18_frame_sample",
     """WITH assets AS (
@@ -268,8 +309,8 @@ object TextQueries {
       .select(col("doc_id").as("asset_id"), col("source").as("kind"),
         col("text").cast("binary").as("bytes"))
       .as[RawAsset]
-    raw.mapPartitions(_.map(stubDecode)).toDF()
-      .where(col("asset_id") % 20 === 0)
+    raw.filter(_.asset_id % 20 == 0)
+      .mapPartitions(_.map(decodeAsset)).toDF()
       .select(col("asset_id"), col("kind"), col("n_frames"),
         explode(expr("sequence(0, n_frames - 1, 3)")).as("frame_no"),
         col("content_hash"))
