@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  // kernel-heavy scans widened to session parallelism (no-op on
+  // well-split data — ScaleOps.wideRead)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Envelope.readTable(spark, dir, "documents")
+    ScaleOps.wideRead(spark, dir, "documents")
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    Envelope.readTable(spark, dir, "embeddings")
+    ScaleOps.wideRead(spark, dir, "embeddings")
 
   /** Session-scoped hashed doc-term matrix per corpus (the bandIndex
     * discipline): (doc_id, lang, bucket, tf) with bucket =
@@ -236,21 +238,20 @@ object CurationQueries {
       .select(col("label").as("clabel"), col("dim"), expr("s div n").as("mq"))
       .groupBy(col("clabel"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
-      .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
-    // the per-vector argmin is a lexicographic min(struct(dist2,
-    // clabel)) under groupBy — sortless and map-side combinable, vs the
-    // former row_number window sorting K rows per vector (same (dist2,
-    // clabel) tie-break as the oracle's ORDER BY)
-    qn.withColumn("n2", VectorMath.dotLong(col("q"), col("q")))
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("label"), col("clabel"),
-        (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
-          .as("dist2"))
-      .groupBy(col("vec_id"), col("label"))
-      .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
+    // nearest-centroid assignment via the driver-resident codebook
+    // (VectorMath.NearestCodes, the Spark-ML-KMeansModel shape): ONE
+    // fused codegen loop per vector — n rows in, n out, no n·K row
+    // blowup and no argmin aggregation at all. Σ(q−c)² ≡ the oracle's
+    // n2 − 2·dot + cn2, integer-exact; first-strict-min over the
+    // id-sorted codebook ≡ its ORDER BY (dist2, clabel) tie-break.
+    val (flat, cls) = ScaleOps.cachedCodebook(spark, dir, "label-mean")(
+      VectorMath.collectCodebook(cent, "clabel", "c"))
+    qn.select(col("vec_id"), col("label"),
+        VectorMath.nearestCodes(col("q"), flat, cls, 1, flat.length / cls.length)
+          .as("nc"))
       .select(col("vec_id"), col("label").as("old_label"),
-        col("m.clabel").as("new_label"), col("m.dist2").as("dist2"),
-        when(col("label") =!= col("m.clabel"), 1L).otherwise(0L).as("moved"))
+        col("nc").getItem(0).as("new_label"), col("nc").getItem(1).as("dist2"),
+        when(col("label") =!= col("nc").getItem(0), 1L).otherwise(0L).as("moved"))
       .orderBy(col("vec_id"))
   }
 
@@ -379,20 +380,17 @@ object CurationQueries {
       .select(col("label").as("clabel"), col("dim"), expr("s div n").as("mq"))
       .groupBy(col("clabel"))
       .agg(expr("transform(sort_array(collect_list(struct(dim, mq))), s -> s.mq)").as("c"))
-      .withColumn("cn2", VectorMath.dotLong(col("c"), col("c")))
-    // sortless per-vector argmin (min-struct agg, not a window) — the
-    // q18_kmeans shape
-    val assign = qn
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        (col("n2") - lit(2L) * VectorMath.dotLong(col("q"), col("c")) + col("cn2"))
-          .as("dist2"), col("clabel"))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("dist2"), col("clabel"))).as("m"))
-      .select(col("vec_id"), col("m.clabel").as("cluster"))
+    // nearest-centroid assignment via the driver-resident codebook —
+    // the q18_kmeans shape (one fused codegen loop per vector; no n·K
+    // crossJoin, no argmin aggregation; recomputing this lineage for
+    // both pair-join sides and the final join is now a per-row map,
+    // not an n·K replay)
+    val (flat, cls) = ScaleOps.cachedCodebook(spark, dir, "label-mean")(
+      VectorMath.collectCodebook(cent, "clabel", "c"))
     val qa = ScaleOps.guardBlockSize(
-      qn.join(assign, Seq("vec_id"))
-        .select(col("vec_id"), col("q"), col("n2"), col("cluster")),
+      qn.select(col("vec_id"), col("q"), col("n2"),
+        VectorMath.nearestCodes(col("q"), flat, cls, 1, flat.length / cls.length)
+          .getItem(0).as("cluster")),
       "cluster", "q18_semdedup pair join")
     val a = qa.select(col("cluster"), col("vec_id").as("a_id"),
       col("q").as("qa"), col("n2").as("n2_a"))

@@ -27,11 +27,15 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
+  // wideRead: the q18 family is kernel-heavy (dots, DPs, digests) and
+  // that work fuses into the scan stage — which on the single-row-group
+  // fixtures is ONE task (no-op on well-split data; see
+  // ScaleOps.wideRead)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Envelope.readTable(spark, dir, "documents")
+    ScaleOps.wideRead(spark, dir, "documents")
 
   private def embs(spark: SparkSession, dir: String): DataFrame =
-    Envelope.readTable(spark, dir, "embeddings")
+    ScaleOps.wideRead(spark, dir, "embeddings")
 
   /** documents ∪ re-delivered copies (doc_id%10==0, shifted id) — gives
     * exact-dedup a non-trivial duplicate set to find. */
@@ -734,30 +738,32 @@ object SimilarityQueries {
       .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
       .groupBy(col("cl"))
       .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
-    // per (vector, codeword): all 8 subvector ‖q_s − c_s‖² via the
-    // ranged zero-allocation codegen kernel (VectorMath.subDist2 — a
-    // slice() formulation allocates 16 arrays per candidate row, fatal
-    // at the n·K encode stage) — the shared core of encoding (argmin
-    // per (vec, s)), routing (Σ_s per (probe, codeword)), and the
-    // probe lookup table
+    // probe side: per (probe, codeword) all 8 subvector ‖q_s − c_s‖²
+    // via the ranged zero-allocation codegen kernel (VectorMath
+    // .subDist2) — the LUT needs every (probe, cl, s, dist) row and the
+    // probe set is tiny by construction, so 5·K declarative rows is the
+    // right shape here
     def d(s: Int) =
       VectorMath.subDist2(col("q"), col("c"), 8 * s, 8).as(s"d$s")
-    val wide = qn.crossJoin(broadcast(cent))
+    val wide = qn.where(col("vec_id") < 5).crossJoin(broadcast(cent))
       .select(Seq(col("vec_id"), col("label"), col("cl")) ++ (0 until 8).map(d): _*)
-    // corpus-side encode: sortless per-(vec, sub) argmin — one groupBy
-    // taking 8 lexicographic min(struct(dist, cl))s (map-side
-    // combinable; the former stack + row_number window sorted 8·n·K
-    // rows), then the 8 chosen codes unstack to narrow (s, code) rows
-    val mins = (0 until 8).map(s =>
-      min(struct(col(s"d$s").as("dist"), col("cl"))).as(s"m$s"))
-    val codes = wide.groupBy(col("vec_id"), col("label"))
-      .agg(mins.head, mins.tail: _*)
-      .select(col("vec_id").as("cand_id"), col("label"), expr(
-        "stack(8, " + (0 until 8).map(s => s"${s}L, m$s.cl").mkString(", ") +
+    // corpus-side encode: the driver-resident codebook + one fused
+    // argmin loop per vector (VectorMath.NearestCodes) — n rows in, 8·n
+    // narrow (s, code) rows out. The former crossJoin + per-(vec, sub)
+    // argmin aggregation materialized n·K wide rows and paid a
+    // SortAggregate (struct-min has no mutable agg buffer); this is the
+    // production encode shape — PQ codes are a per-row map of the
+    // vector against a K-bounded codebook
+    val (flat, cls) = ScaleOps.cachedCodebook(spark, dir, "label-mean")(
+      VectorMath.collectCodebook(cent, "cl", "c"))
+    val codes = qn
+      .select(col("vec_id").as("cand_id"), col("label"),
+        VectorMath.nearestCodes(col("q"), flat, cls, 8,
+          flat.length / cls.length / 8).as("nc"))
+      .select(col("cand_id"), col("label"), expr(
+        "stack(8, " + (0 until 8).map(s => s"${s}L, nc[${2 * s}]").mkString(", ") +
           ") AS (s, code)"))
-    // probe side stays stacked — the LUT needs every (probe, cl, s,
-    // dist) row, and the probe set is tiny by construction
-    val pstack = wide.where(col("vec_id") < 5)
+    val pstack = wide
       .select(col("vec_id"), col("cl"), expr(
         "stack(8, " + (0 until 8).map(s => s"${s}L, d$s").mkString(", ") + ") AS (s, dist)"))
     val lut = pstack.select(col("vec_id").as("probe_id"), col("cl"), col("s"),
@@ -1287,6 +1293,15 @@ object SimilarityQueries {
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
       .where(expr(s"abs(length(ta) - length(tb)) <= $bound"))
+      // Kernel-stage parallelism (profiled at 30× data: 28 s of a 43 s
+      // query was the DP running in ONE task): the lev predicates below
+      // are pushed by Catalyst through any repartition down to just
+      // above these joins — i.e. into whatever stage streams the
+      // documents side. A post-join repartition therefore does NOT
+      // parallelize the kernel (measured: no change); widening the
+      // documents SCAN itself (docs() → ScaleOps.wideRead) does,
+      // because the broadcast-join stream stage inherits the scan's
+      // width.
       .select(col("doc_a"), col("doc_b"),
         expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"),
         col("ta"), col("tb"))

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   */
 object TextQueries {
 
+  // kernel-heavy scans widened to session parallelism (no-op on
+  // well-split data — ScaleOps.wideRead)
   private def docs(spark: SparkSession, dir: String): DataFrame =
-    Envelope.readTable(spark, dir, "documents")
+    ScaleOps.wideRead(spark, dir, "documents")
 
   // ---- language ID: marker-stopword voting (n-gram heuristic) ----
   private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")

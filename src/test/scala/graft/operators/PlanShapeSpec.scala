@@ -196,23 +196,28 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
   }
 
-  test("q18_ann_ivfpq: centroid broadcast + codes-only ADC, no sort-merge join") {
-    // the ADC scoring join must ride broadcasts (routed probes + the
-    // per-probe lookup table are tiny by construction); the exact
-    // re-rank touches the integer dot kernel; nothing sort-merges
+  test("q18_ann_ivfpq: per-row encode + codes-only ADC, no sort-merge join") {
+    // the corpus-side PQ encode must be the fused per-row codebook map
+    // (nearest_codes — NOT an n·K crossJoin + argmin agg); the ADC
+    // scoring join rides broadcasts (routed probes + per-probe lookup
+    // table are tiny by construction); the exact re-rank touches the
+    // integer dot kernel; nothing sort-merges
     val p = plan("q18_ann_ivfpq")
+    assert(p.contains("nearest_codes"), p.take(2000))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
       p.take(2000))
     assert(p.contains("dot_long"), p.take(2000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
-  test("q18_kmeans: K centroid arrays broadcast once; dot kernel codegen'd") {
-    // assignment is scan × broadcast(centroids) — a shuffle here would
-    // mean the n·d·k cross product went through an exchange
+  test("q18_kmeans: assignment is a pure per-row map against the driver codebook") {
+    // the codebook rides the task binary (NearestCodes reference
+    // object), so the assignment path has NO join and NO aggregation —
+    // n rows in, n out; a Join or HashAggregate here would mean the
+    // n·K cross product came back
     val p = plan("q18_kmeans")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      p.take(2000))
-    assert(p.contains("dot_long"), p.take(2000))
+    assert(p.contains("nearest_codes"), p.take(2000))
+    assert(!p.contains("Join"), p.take(3000))
+    assert(!p.contains("HashAggregate"), p.take(3000))
   }
 }
