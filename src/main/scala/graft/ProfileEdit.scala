@@ -60,6 +60,33 @@ object ProfileEdit {
         .select(expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"))
         .agg(sum(col("lev")).cast("long")).collect().head.getLong(0)
     }
+    // p4h: the same kernel but with the text joins forced to shuffle
+    // joins (the 100 TB shape — a billion-pair candidate set cannot
+    // broadcast); the kernel stage width then comes from
+    // shuffle.partitions, not the scan or AQE's broadcast choice
+    time("p4h_lev_shuffle") {
+      cand.hint("shuffle_hash")
+        .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+        .hint("shuffle_hash")
+        .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+        .where(expr(s"abs(length(ta) - length(tb)) <= $bound"))
+        .select(expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"))
+        .agg(sum(col("lev")).cast("long")).collect().head.getLong(0)
+    }
+    // final AQE plan of the plain p4 shape — which join strategy ran,
+    // and where the kernel project sits
+    val p4df = cand
+      .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
+      .where(expr(s"abs(length(ta) - length(tb)) <= $bound"))
+      .select(expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"))
+      .agg(sum(col("lev")).cast("long"))
+    p4df.collect()
+    println("p4 final plan:")
+    println(p4df.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange") ||
+        l.contains("Scan") || l.contains("AQEShuffleRead"))
+      .mkString("\n"))
     // p5: text length distribution of the pair set
     val lens = cand
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))

@@ -1289,19 +1289,22 @@ object SimilarityQueries {
     // payoff grows as the dedup threshold tightens (at 10% the kernel
     // drops ~5×), which is where a production near-dup pass sits.
     val bound = "(401 * greatest(length(ta), length(tb)) - 1) div 1000"
-    cand
+    // Kernel-stage parallelism (profiled at 30× data: 28 s of a 43 s
+    // query was the DP running in ONE task): left to itself, Spark
+    // BROADCASTS the documents side and streams the byte-tiny pair set
+    // through a shuffle whose read AQE coalesces to ONE partition — the
+    // lev predicates (pushed down to just above these joins) then run
+    // single-threaded. A post-join repartition cannot fix this (the
+    // predicates are pushed back through it — measured: no change).
+    // The shuffle_hash hints force the production plan: at 100 TB a
+    // billion-pair candidate set cannot broadcast ANYWAY, both sides
+    // shuffle on the doc key, and the kernel stage inherits the
+    // shuffle's width (measured 28.4 s → 3.6 s at 30×; same rows).
+    cand.hint("shuffle_hash")
       .join(d.select(col("doc_id").as("doc_a"), col("text").as("ta")), Seq("doc_a"))
+      .hint("shuffle_hash")
       .join(d.select(col("doc_id").as("doc_b"), col("text").as("tb")), Seq("doc_b"))
       .where(expr(s"abs(length(ta) - length(tb)) <= $bound"))
-      // Kernel-stage parallelism (profiled at 30× data: 28 s of a 43 s
-      // query was the DP running in ONE task): the lev predicates below
-      // are pushed by Catalyst through any repartition down to just
-      // above these joins — i.e. into whatever stage streams the
-      // documents side. A post-join repartition therefore does NOT
-      // parallelize the kernel (measured: no change); widening the
-      // documents SCAN itself (docs() → ScaleOps.wideRead) does,
-      // because the broadcast-join stream stage inherits the scan's
-      // width.
       .select(col("doc_a"), col("doc_b"),
         expr(s"CAST(levenshtein(ta, tb, CAST($bound AS INT)) AS BIGINT)").as("lev"),
         col("ta"), col("tb"))
