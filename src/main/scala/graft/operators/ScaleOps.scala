@@ -78,9 +78,23 @@ object ScaleOps {
   def wideRead(spark: SparkSession, dir: String, name: String): DataFrame =
     wideReads.getOrElseUpdate(spark, s"$dir/$name") {
       val raw = Envelope.readTable(spark, dir, name)
-      val target = spark.sparkContext.defaultParallelism
+      // width scales with table size (floor 8): each scan of the copy
+      // pays ~2-8 ms of task launch per split, so a sub-MB table at
+      // full parallelism costs more in scheduling than its kernels
+      // save — measured +0.2-0.5 s PER QUERY at sf0.1 with a flat 32.
+      // By the sizes where kernel time matters the width is back at
+      // full parallelism. The width is folded into the copy's path:
+      // a resized source or a changed formula can never pair with a
+      // stale copy.
+      val src = new java.io.File(s"$dir/$name.parquet")
+      val bytes =
+        if (src.isDirectory)
+          Option(src.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
+        else src.length()
+      val target = math.max(8L, math.min(
+        spark.sparkContext.defaultParallelism.toLong, bytes / (256L << 10))).toInt
       if (raw.rdd.getNumPartitions >= target) raw
-      else spark.read.parquet(materialized(spark, dir, name, "graft_wide") {
+      else spark.read.parquet(materialized(spark, dir, name, s"graft_wide_p$target") {
         (df, staging) => df.repartition(target)
           .write.mode("overwrite").parquet(staging)
       })
