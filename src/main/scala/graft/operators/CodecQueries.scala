@@ -82,7 +82,7 @@ object CodecQueries {
       |FROM lineitem
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin) { (spark, dir) =>
-    Envelope.readTable(spark, dir, "lineitem")
+    ScaleOps.wideRead(spark, dir, "lineitem")
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(l_quantity AS DECIMAL(20,4))")).cast("double").as("sum_qty"))

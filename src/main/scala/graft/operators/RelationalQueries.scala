@@ -17,8 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object RelationalQueries {
 
+  // fact tables go through the width-ensuring read (single-row-group
+  // fixtures otherwise make every map-side agg/filter a 1-task stage —
+  // ScaleOps.wideRead, no-op on well-split data); dims stay raw (tiny,
+  // broadcast)
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Envelope.readTable(spark, dir, name)
+    if (name == "lineitem" || name == "orders") ScaleOps.wideRead(spark, dir, name)
+    else Envelope.readTable(spark, dir, name)
 
   /** Exact decimal view of a raw double column (4 decimal digits is
     * lossless for the TPC-H-ish money/quantity columns). */

@@ -214,7 +214,7 @@ object ScaleOps {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-    Envelope.readTable(spark, dir, "lineitem")
+    wideRead(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
         expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
@@ -370,7 +370,7 @@ object ScaleOps {
        |FROM zv
        |GROUP BY 1
        |ORDER BY 1""".stripMargin) { (spark, dir) =>
-    Envelope.readTable(spark, dir, "lineitem")
+    wideRead(spark, dir, "lineitem")
       .select((col("l_partkey").cast("long").bitwiseAND(65535L)).as("x"),
         (col("l_suppkey").cast("long").bitwiseAND(65535L)).as("y"))
       .withColumn("z", zvalue("x", "y"))
@@ -399,7 +399,7 @@ object ScaleOps {
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
-    Envelope.readTable(spark, dir, "lineitem")
+    wideRead(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty_exact"),
         expr("percentile(l_extendedprice, 0.95)").as("p95_price_exact"),
@@ -556,7 +556,7 @@ object ScaleOps {
         .write.mode(SaveMode.Overwrite)
         .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
-      Envelope.readTable(spark, dir, "lineitem")
+      wideRead(spark, dir, "lineitem")
         .select(col("l_orderkey").as("o_orderkey"),
           col("l_extendedprice"), col("l_discount"))
         .write.mode(SaveMode.Overwrite)
