@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object CodecQueries {
 
   private def env(spark: SparkSession, dir: String): DataFrame =
-    Envelope.fromEvents(Envelope.readTable(spark, dir, "events"))
+    Envelope.fromEvents(ScaleOps.wideRead(spark, dir, "events"))
 
   val q19CodecRoundtrip: QueryDef = QueryDef(
     "q19_codec_roundtrip",

@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object EventTimeQueries {
 
   private def env(spark: SparkSession, dir: String): DataFrame =
-    Envelope.fromEvents(Envelope.readTable(spark, dir, "events"))
+    Envelope.fromEvents(ScaleOps.wideRead(spark, dir, "events"))
 
   // Q16a: tumbling 1h windows per stream.
   val q16Tumbling: QueryDef = QueryDef(
@@ -212,7 +212,7 @@ object EventTimeQueries {
       |FROM pairs
       |GROUP BY user_id
       |ORDER BY stream_name""".stripMargin) { (spark, dir) =>
-    val e = Envelope.readTable(spark, dir, "events")
+    val e = ScaleOps.wideRead(spark, dir, "events")
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_type"))
     val p = e.where(col("event_type") === "purchase")
@@ -271,7 +271,7 @@ object EventTimeQueries {
       |       LEFT JOIN p ON v.user_id = p.user_id
       |ORDER BY v.user_id""".stripMargin) { (spark, dir) =>
     val dayUs = 86400000000L
-    val ev = Envelope.readTable(spark, dir, "events")
+    val ev = ScaleOps.wideRead(spark, dir, "events")
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
     val v = ev.where(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("tus")).as("t_view"))
@@ -315,7 +315,7 @@ object EventTimeQueries {
       |ORDER BY cohort_w, offset_w""".stripMargin) { (spark, dir) =>
     val weekUs = 604800000000L
     val epoch0 = 1704067200000000L // 2024-01-01 UTC
-    val p = Envelope.readTable(spark, dir, "events")
+    val p = ScaleOps.wideRead(spark, dir, "events")
       .where(col("event_type") === "purchase")
       .select(col("user_id"), unix_micros(col("ts")).as("us"))
     val f = p.groupBy(col("user_id")).agg(min(col("us")).as("first_us"))
@@ -353,7 +353,7 @@ object EventTimeQueries {
       |       CAST(rk AS BIGINT) AS rk
       |FROM ranked WHERE rk <= 2
       |ORDER BY day_idx, rk""".stripMargin) { (spark, dir) =>
-    val events = Envelope.readTable(spark, dir, "events")
+    val events = ScaleOps.wideRead(spark, dir, "events")
     val b = events.agg(min(to_date(col("ts"))).as("d0"))
     val byDay = Window.partitionBy(col("day_idx"))
       .orderBy(col("n").desc, col("event_type"))

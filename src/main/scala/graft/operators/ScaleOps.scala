@@ -190,7 +190,7 @@ object ScaleOps {
       |FROM events
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (spark, dir) =>
-    val events = Envelope.readTable(spark, dir, "events")
+    val events = wideRead(spark, dir, "events")
     saltedAgg(events,
       key = col("event_type"),
       saltSource = col("event_id"),
@@ -255,7 +255,7 @@ object ScaleOps {
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
     val winUs = 15L * 60 * 1000000
-    val events = Envelope.readTable(spark, dir, "events")
+    val events = wideRead(spark, dir, "events")
       .select(col("event_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
     val windows = events.where(col("event_type") === "signup")
       .select(col("ts_us").as("lo_us"), (col("ts_us") + winUs).as("hi_us"))
@@ -324,7 +324,7 @@ object ScaleOps {
       |FROM events e JOIN dim USING (event_type)
       |GROUP BY e.event_type
       |ORDER BY e.event_type""".stripMargin) { (spark, dir) =>
-    val events = Envelope.readTable(spark, dir, "events")
+    val events = wideRead(spark, dir, "events")
     val dim = events.groupBy(col("event_type")).agg(count(lit(1)).as("type_total"))
     saltedJoin(events, dim, "event_type", col("event_id"), buckets = 16)
       .groupBy(col("event_type"))
@@ -516,7 +516,7 @@ object ScaleOps {
     // subquery into the fact scan (a bare LIMIT doesn't qualify, and a
     // threshold carried via crossJoin folds into the join condition
     // where the rule can't see it).
-    val counts = Envelope.readTable(spark, dir, "events")
+    val counts = wideRead(spark, dir, "events")
       .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
     val r2 = counts
       .orderBy(col("n").desc, col("event_type")).limit(2)

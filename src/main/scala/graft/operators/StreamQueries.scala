@@ -28,7 +28,7 @@ object StreamQueries {
       |  FROM events)""".stripMargin
 
   private def env(spark: SparkSession, dir: String): DataFrame =
-    Envelope.fromEvents(Envelope.readTable(spark, dir, "events"))
+    Envelope.fromEvents(ScaleOps.wideRead(spark, dir, "events"))
 
   // Q1: source scan + projection + predicate (StreamFilter.fs:6-46)
   val q01ScanFilter: QueryDef = QueryDef(
@@ -56,7 +56,7 @@ object StreamQueries {
       |FROM events
       |GROUP BY 1
       |ORDER BY category""".stripMargin) { (spark, dir) =>
-    Envelope.readTable(spark, dir, "events")
+    ScaleOps.wideRead(spark, dir, "events")
       .withColumn("raw", concat(col("event_type"), lit("-"), col("user_id")))
       .groupBy(categoryOf(col("raw")).as("category"))
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_streams"))
