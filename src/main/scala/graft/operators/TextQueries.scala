@@ -1008,9 +1008,80 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  // ---- PII scrubbing: the mandatory pre-training redaction pass —
+  //      mask emails / IPv4s / phone-shaped tokens, report per-source
+  //      redaction counts AND the exact byte effect of the scrub. The
+  //      fixture corpus contains no PII by construction, so the query
+  //      INJECTS deterministic PII derived from doc_id (identical
+  //      expression on both engines), then scrubs it back out — the
+  //      oracle proves detection and removal, not just pattern
+  //      presence. Patterns are written backslash-free ([0-9], [.])
+  //      so one literal parses identically under Spark's and DuckDB's
+  //      string-escape rules, and mask order is fixed (email → IP →
+  //      phone). Scale: a pure per-row regex map fused into the scan
+  //      stage (wideRead keeps that stage parallel); the only shuffle
+  //      is the ≤|sources|-row rollup. ----
+  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  private val piiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  private val piiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  val q18PiiScrub: QueryDef = QueryDef(
+    "q18_pii_scrub",
+    s"""WITH inj AS (
+       |  SELECT doc_id, source,
+       |         text || ' contact user' || CAST(doc_id % 1000 AS VARCHAR) ||
+       |         '@mail-' || CAST(doc_id % 7 AS VARCHAR) || '.example from 10.' ||
+       |         CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+       |         CAST(doc_id % 100 AS VARCHAR) || ' call ' ||
+       |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t2
+       |  FROM documents),
+       |cnt AS (
+       |  SELECT source, t2,
+       |         len(regexp_extract_all(t2, '$piiEmail')) AS n_email,
+       |         len(regexp_extract_all(t2, '$piiIp')) AS n_ip,
+       |         len(regexp_extract_all(t2, '$piiPhone')) AS n_phone,
+       |         regexp_replace(regexp_replace(regexp_replace(t2,
+       |           '$piiEmail', '<EMAIL>', 'g'),
+       |           '$piiIp', '<IP>', 'g'),
+       |           '$piiPhone', '<PHONE>', 'g') AS scrubbed
+       |  FROM inj)
+       |SELECT source, count(*) AS n_docs,
+       |       CAST(sum(n_email) AS BIGINT) AS emails,
+       |       CAST(sum(n_ip) AS BIGINT) AS ips,
+       |       CAST(sum(n_phone) AS BIGINT) AS phones,
+       |       CAST(sum(length(t2) - length(scrubbed)) AS BIGINT) AS len_delta
+       |FROM cnt GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val inj = docs(spark, dir).select(col("source"), concat(
+      col("text"), lit(" contact user"), (col("doc_id") % 1000).cast("string"),
+      lit("@mail-"), (col("doc_id") % 7).cast("string"), lit(".example from 10."),
+      (col("doc_id") % 256).cast("string"), lit(".0."),
+      (col("doc_id") % 100).cast("string"), lit(" call "),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t2"))
+    inj
+      .select(col("source"), col("t2"),
+        expr(s"regexp_count(t2, '$piiEmail')").as("n_email"),
+        expr(s"regexp_count(t2, '$piiIp')").as("n_ip"),
+        expr(s"regexp_count(t2, '$piiPhone')").as("n_phone"),
+        regexp_replace(regexp_replace(regexp_replace(col("t2"),
+          lit(piiEmail), lit("<EMAIL>")),
+          lit(piiIp), lit("<IP>")),
+          lit(piiPhone), lit("<PHONE>")).as("scrubbed"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_email")).cast("long").as("emails"),
+        sum(col("n_ip")).cast("long").as("ips"),
+        sum(col("n_phone")).cast("long").as("phones"),
+        sum(length(col("t2")) - length(col("scrubbed"))).cast("long").as("len_delta"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix, q18HeavyHitters,
-    q18UnigramLp, q18Upsample, q18BpePairs, q18WeightedSample)
+    q18UnigramLp, q18Upsample, q18BpePairs, q18WeightedSample, q18PiiScrub)
 }
