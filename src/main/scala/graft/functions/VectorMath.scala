@@ -170,15 +170,18 @@ object VectorMath {
       val out = new Array[Long](2 * numSubs)
       var s = 0
       while (s < numSubs) {
+        val qBase = s * subLen
+        // a short input vector contributes only its present components
+        // (same min() bound discipline as the dot/subDist kernels)
+        val lim = math.min(subLen, q.numElements() - qBase)
         var best = Long.MaxValue
         var bestCl = 0L
         var k = 0
         while (k < cls.length) {
-          val base = k * dim + s * subLen
-          val qBase = s * subLen
+          val base = k * dim + qBase
           var acc = 0L
           var j = 0
-          while (j < subLen) {
+          while (j < lim) {
             val d = q.getLong(qBase + j) - flat(base + j)
             acc += d * d
             j += 1
@@ -206,16 +209,18 @@ object VectorMath {
         val bestCl = ctx.freshName("bestCl")
         val base = ctx.freshName("base")
         val qb = ctx.freshName("qb")
+        val lim = ctx.freshName("lim")
         val d = ctx.freshName("d")
         s"""
            |long[] $out = new long[${2 * numSubs}];
            |for (int $s = 0; $s < $numSubs; $s++) {
            |  long $best = Long.MAX_VALUE; long $bestCl = 0L;
            |  int $qb = $s * $subLen;
+           |  int $lim = java.lang.Math.min($subLen, $q.numElements() - $qb);
            |  for (int $k = 0; $k < ${cls.length}; $k++) {
            |    int $base = $k * $dim + $qb;
            |    long $acc = 0L;
-           |    for (int $j = 0; $j < $subLen; $j++) {
+           |    for (int $j = 0; $j < $lim; $j++) {
            |      long $d = $q.getLong($qb + $j) - $flatRef[$base + $j];
            |      $acc += $d * $d;
            |    }

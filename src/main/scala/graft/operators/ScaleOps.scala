@@ -91,8 +91,11 @@ object ScaleOps {
         if (src.isDirectory)
           Option(src.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
         else src.length()
-      val target = math.max(8L, math.min(
-        spark.sparkContext.defaultParallelism.toLong, bytes / (256L << 10))).toInt
+      // clamp order matters: the parallelism CAP must win over the
+      // size floor, or a small session (or executor) would demand more
+      // splits than it has cores and materialize a copy it can't use
+      val target = math.min(spark.sparkContext.defaultParallelism.toLong,
+        math.max(8L, bytes / (256L << 10))).toInt
       if (raw.rdd.getNumPartitions >= target) raw
       else spark.read.parquet(materialized(spark, dir, name, s"graft_wide_p$target") {
         (df, staging) => df.repartition(target)

@@ -45,6 +45,44 @@ class VectorMathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaSql == List(Some(32L), None))
   }
 
+  test("nearestCodes: argmin matches brute force; ties go to the smallest id") {
+    import spark.implicits._
+    // 4 codewords of dim 4 (2 subs × 2); codewords 10 and 20 are
+    // IDENTICAL so any vector equidistant to both must pick id 10
+    val cls = Array(10L, 20L, 30L, 40L)
+    val flat = Array[Long](
+      1, 1, 5, 5, /* cl 10 */ 1, 1, 5, 5, /* cl 20 (same) */
+      0, 0, 0, 0, /* cl 30 */ 9, 9, 9, 9 /* cl 40 */)
+    val rows = Seq(Array(1L, 1L, 5L, 5L), Array(0L, 0L, 9L, 9L), Array(2L, 2L, 4L, 4L))
+    val got = rows.toDF("q")
+      .select(VectorMath.nearestCodes(col("q"), flat, cls, 2, 2).as("nc"))
+      .as[Array[Long]].collect().toSeq
+    def brute(q: Array[Long], s: Int): (Long, Long) =
+      cls.zipWithIndex.map { case (cl, k) =>
+        val d = (0 until 2).map(j =>
+          (q(s * 2 + j) - flat(k * 4 + s * 2 + j)) match { case x => x * x }).sum
+        (d, cl)
+      }.min match { case (d, cl) => (cl, d) }
+    for ((q, nc) <- rows.zip(got); s <- 0 until 2) {
+      val (cl, d) = brute(q, s)
+      assert(nc(2 * s) == cl && nc(2 * s + 1) == d, s"row $q sub $s")
+    }
+    // the tie case explicitly: q == codeword 10 == codeword 20
+    assert(got.head.toSeq == Seq(10L, 0L, 10L, 0L))
+  }
+
+  test("nearestCodes: a short input vector uses only its present components") {
+    import spark.implicits._
+    val cls = Array(1L, 2L)
+    val flat = Array[Long](3, 3, 3, 3, /* cl 1 */ 0, 0, 0, 0 /* cl 2 */)
+    // q has 3 of 4 components: sub 1 sees only q(2)
+    val got = Seq(Array(0L, 0L, 3L)).toDF("q")
+      .select(VectorMath.nearestCodes(col("q"), flat, cls, 2, 2).as("nc"))
+      .as[Array[Long]].head().toSeq
+    // sub 0: dists (18, 0) -> cl 2; sub 1: dists (0, 9) on one dim -> cl 1
+    assert(got == Seq(2L, 0L, 1L, 0L))
+  }
+
   test("quantize: fixed-points each component like the SQL formulation") {
     import spark.implicits._
     val vecs = Seq(Array(0.1234567f, -0.9876543f, 0f, 1f))
