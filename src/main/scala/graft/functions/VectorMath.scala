@@ -149,6 +149,13 @@ object VectorMath {
     * id at construction; strict `<` keeps the first minimum) — the same
     * `(dist, cl)` lexicographic order as the SQL oracles' `ORDER BY`.
     *
+    * Ragged inputs: a vector shorter than `numSubs·subLen` is treated
+    * as zero-padded — the missing components contribute the codeword's
+    * own `c_i²` to the distance, which is exactly the SQL oracles'
+    * `n2 − 2·dot_long + cn2` with `dot_long` min-length-bounded. (A
+    * fixture corpus is fixed-dim so this is belt-and-braces, but the
+    * equivalence claim now holds for ALL inputs, not just uniform-dim.)
+    *
     * `flat` is the row-major K×dim codeword matrix; `cls` the parallel
     * codeword ids. Both live in the expression's reference objects —
     * serialized once per stage, not per row. */
@@ -171,9 +178,10 @@ object VectorMath {
       var s = 0
       while (s < numSubs) {
         val qBase = s * subLen
-        // a short input vector contributes only its present components
-        // (same min() bound discipline as the dot/subDist kernels)
-        val lim = math.min(subLen, q.numElements() - qBase)
+        // a short input vector is zero-padded: present components pair
+        // off against the codeword, missing ones contribute c_i² (the
+        // oracle's n2 − 2·dot + cn2 with a min-length-bounded dot)
+        val lim = math.max(0, math.min(subLen, q.numElements() - qBase))
         var best = Long.MaxValue
         var bestCl = 0L
         var k = 0
@@ -184,6 +192,11 @@ object VectorMath {
           while (j < lim) {
             val d = q.getLong(qBase + j) - flat(base + j)
             acc += d * d
+            j += 1
+          }
+          while (j < subLen) {
+            val c = flat(base + j)
+            acc += c * c
             j += 1
           }
           if (acc < best) { best = acc; bestCl = cls(k) }
@@ -216,12 +229,18 @@ object VectorMath {
            |for (int $s = 0; $s < $numSubs; $s++) {
            |  long $best = Long.MAX_VALUE; long $bestCl = 0L;
            |  int $qb = $s * $subLen;
-           |  int $lim = java.lang.Math.min($subLen, $q.numElements() - $qb);
+           |  int $lim = java.lang.Math.max(0,
+           |      java.lang.Math.min($subLen, $q.numElements() - $qb));
            |  for (int $k = 0; $k < ${cls.length}; $k++) {
            |    int $base = $k * $dim + $qb;
            |    long $acc = 0L;
-           |    for (int $j = 0; $j < $lim; $j++) {
+           |    int $j = 0;
+           |    for (; $j < $lim; $j++) {
            |      long $d = $q.getLong($qb + $j) - $flatRef[$base + $j];
+           |      $acc += $d * $d;
+           |    }
+           |    for (; $j < $subLen; $j++) {
+           |      long $d = $flatRef[$base + $j];
            |      $acc += $d * $d;
            |    }
            |    if ($acc < $best) { $best = $acc; $bestCl = $clsRef[$k]; }

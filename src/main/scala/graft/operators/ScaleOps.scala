@@ -122,7 +122,10 @@ object ScaleOps {
     * disables; default [[DefaultMaxBlockRows]]). The extra cost is one
     * key-only scan plus a K-row broadcast — noise next to the pair join
     * it protects. Guarded-pass output is row-identical to the input
-    * (every oracle query runs through it unchanged). */
+    * (every oracle query runs through it unchanged) — including rows
+    * with a NULL block key: the histogram groups them as their own
+    * block and the join-back uses null-safe equality (`<=>`), so they
+    * are counted against the bound and retained, never dropped. */
   def guardBlockSize(df: DataFrame, key: String, what: String): DataFrame = {
     val bound = df.sparkSession.conf.getOption("spark.graft.guard.maxBlockRows")
       .map(_.toLong).getOrElse(DefaultMaxBlockRows)
@@ -139,7 +142,7 @@ object ScaleOps {
               col("__blk_key").cast("string"), col("__blk_n").cast("string"))))
             .as("__blk_ok"))
       df.join(broadcast(sizes),
-          col(key) === col("__blk_key") && col("__blk_ok") > 0)
+          col(key) <=> col("__blk_key") && col("__blk_ok") > 0)
         .drop("__blk_key", "__blk_ok")
     }
   }

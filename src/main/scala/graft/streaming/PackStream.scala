@@ -46,12 +46,17 @@ object PackStream {
     * in the Spark UI / StatusStore per stage). */
   val DropCounterName = "graft.pack.droppedBelowCursor"
 
+  private val counters = new graft.operators.SessionCache[String, LongAccumulator]
+
   /** Session-scoped accumulator counting docs dropped at the cursor
-    * (redeliveries + any ordering-contract violations). */
-  def dropCounter(spark: org.apache.spark.sql.SparkSession): LongAccumulator = {
-    val acc = spark.sparkContext.longAccumulator(DropCounterName)
-    acc
-  }
+    * (redeliveries + any ordering-contract violations). Memoized per
+    * SparkSession: a monitor reading the counter and the stream wiring
+    * feeding it both resolve to the SAME accumulator, so observed
+    * counts are shared — not independent per-call zeros. */
+  def dropCounter(spark: org.apache.spark.sql.SparkSession): LongAccumulator =
+    counters.getOrElseUpdate(spark, DropCounterName) {
+      spark.sparkContext.longAccumulator(DropCounterName)
+    }
 
   def process(in: Dataset[PackInput], budget: Long = 512L,
       dropped: Option[LongAccumulator] = None): Dataset[PackedDoc] = {

@@ -71,16 +71,19 @@ class VectorMathSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.head.toSeq == Seq(10L, 0L, 10L, 0L))
   }
 
-  test("nearestCodes: a short input vector uses only its present components") {
+  test("nearestCodes: a short input vector is zero-padded (oracle n2-2dot+cn2)") {
     import spark.implicits._
     val cls = Array(1L, 2L)
     val flat = Array[Long](3, 3, 3, 3, /* cl 1 */ 0, 0, 0, 0 /* cl 2 */)
-    // q has 3 of 4 components: sub 1 sees only q(2)
+    // q has 3 of 4 components: sub 1 pairs q(2) and zero-pads index 3,
+    // so the codeword tail contributes c_3² — exactly the SQL oracle's
+    // n2 − 2·dot_long(min-bounded) + cn2 on a ragged row
     val got = Seq(Array(0L, 0L, 3L)).toDF("q")
       .select(VectorMath.nearestCodes(col("q"), flat, cls, 2, 2).as("nc"))
       .as[Array[Long]].head().toSeq
-    // sub 0: dists (18, 0) -> cl 2; sub 1: dists (0, 9) on one dim -> cl 1
-    assert(got == Seq(2L, 0L, 1L, 0L))
+    // sub 0: dists (18, 0) -> cl 2
+    // sub 1: cl1 = (3-3)² + 3² = 9, cl2 = 3² + 0² = 9 -> tie -> cl 1
+    assert(got == Seq(2L, 0L, 1L, 9L))
   }
 
   test("quantize: fixed-points each component like the SQL formulation") {

@@ -62,6 +62,25 @@ class BlockGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off == n, "disabled guard changed the result")
   }
 
+  test("NULL block keys are counted and retained, never silently dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("a"), 1L), (Some("a"), 2L), (None: Option[String], 3L),
+      (None: Option[String], 4L), (Some("b"), 5L)
+    ).toDF("blk", "id")
+    // pass-through: the null block (2 rows) rides the null-safe join back
+    val kept = ScaleOps.guardBlockSize(df, "blk", "nulltest")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
+      "guarded output must be row-identical to the input incl. NULL keys")
+    // and the null block counts against the bound like any other
+    val e = intercept[Exception] {
+      withBound(1L) { ScaleOps.guardBlockSize(df, "blk", "nulltest").count() }
+    }
+    assert(messages(e).exists(_.contains("maxBlockRows")),
+      "over-dense NULL block must abort like any other block")
+  }
+
   test("guard failure is fast: it raises from the size histogram, not the pairs") {
     // the abort must come from the tiny broadcast side materializing —
     // i.e. the exception surfaces without the pair join completing; we

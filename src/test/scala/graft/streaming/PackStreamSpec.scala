@@ -82,4 +82,10 @@ class PackStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     val gotChunks = got.toMap.groupBy(_._2).view.mapValues(_.size).toMap
     assert(gotChunks.values.sum == docs.length && gotChunks.nonEmpty)
   }
+
+  test("dropCounter is memoized per session: monitor and wiring share one counter") {
+    val a = PackStream.dropCounter(spark)
+    val b = PackStream.dropCounter(spark)
+    assert(a eq b, "two dropCounter calls must resolve to the same accumulator")
+  }
 }
