@@ -60,6 +60,28 @@ object CurationRules {
       .groupBy(col("doc_id"), col("lang"), col("b"))
       .agg(count(lit(1)).as("tf"))
 
+  /** PII patterns (email → IPv4 → phone, masked in that fixed order).
+    * Written backslash-free ([0-9], [.]) so ONE literal parses
+    * identically under Spark's and DuckDB's string-escape rules —
+    * the batch oracle (q18_pii_scrub) and the streaming gate
+    * (CurationGates.piiScrub) share these exact strings. */
+  val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val piiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+  val piiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Per-category PII hit counts over a text column (named by column). */
+  def piiCounts(textCol: String): Seq[(String, Column)] = Seq(
+    "n_email" -> expr(s"regexp_count($textCol, '$piiEmail')"),
+    "n_ip" -> expr(s"regexp_count($textCol, '$piiIp')"),
+    "n_phone" -> expr(s"regexp_count($textCol, '$piiPhone')"))
+
+  /** The redacted text: all three categories masked, fixed order. */
+  def piiScrubbed(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      lit(piiEmail), lit("<EMAIL>")),
+      lit(piiIp), lit("<IP>")),
+      lit(piiPhone), lit("<PHONE>"))
+
   /** DSIR per-bucket log-likelihood delta (Xie et al. 2023) in integer
     * micro-nats, from a [[bucketTf]]-shaped matrix: add-1 smoothed,
     * rounded ONCE per bucket so downstream sums are order-independent.

@@ -122,16 +122,33 @@ object ScaleOps {
     * disables; default [[DefaultMaxBlockRows]]). The extra cost is one
     * key-only scan plus a K-row broadcast — noise next to the pair join
     * it protects. Guarded-pass output is row-identical to the input
-    * (every oracle query runs through it unchanged) — including rows
-    * with a NULL block key: the histogram groups them as their own
-    * block and the join-back uses null-safe equality (`<=>`), so they
-    * are counted against the bound and retained, never dropped. */
+    * (every oracle query runs through it unchanged).
+    *
+    * Block keys must be NON-NULL — and the guard enforces that itself:
+    * a NULL key would silently fall out of the equi-join-back, so the
+    * key column is rewritten to `raise_error` on NULL before anything
+    * else sees it; the abort fires in whichever stage first touches a
+    * null row (normally the histogram scan, i.e. while the broadcast
+    * side builds). The check rides the key PROJECTION, not the
+    * histogram rows: an inner join lets the optimizer infer
+    * `isnotnull(key)` and push the filter below a row-level check,
+    * silently deleting the null group before it could raise — a
+    * pushed filter over the rewritten projection still evaluates the
+    * raise instead. (A null-safe `<=>` join was tried too and
+    * rejected: EqualNullSafe keys break the planner's size estimation
+    * and demoted downstream pair joins to SortMergeJoin.) */
   def guardBlockSize(df: DataFrame, key: String, what: String): DataFrame = {
     val bound = df.sparkSession.conf.getOption("spark.graft.guard.maxBlockRows")
       .map(_.toLong).getOrElse(DefaultMaxBlockRows)
     if (bound <= 0L) df
     else {
-      val sizes = df.groupBy(col(key)).agg(count(lit(1)).as("__blk_n"))
+      val in = df.withColumn(key,
+        when(col(key).isNotNull, col(key)).otherwise(raise_error(lit(
+          s"[graft] $what: NULL '$key' block key - guardBlockSize " +
+            "requires non-null block keys (an equi-join-back would " +
+            "silently drop them); filter or coalesce the key first"))
+          .cast(df.schema(key).dataType)))
+      val sizes = in.groupBy(col(key)).agg(count(lit(1)).as("__blk_n"))
         .select(col(key).as("__blk_key"),
           when(col("__blk_n") <= bound, col("__blk_n")).otherwise(raise_error(
             format_string(
@@ -141,8 +158,8 @@ object ScaleOps {
                 "raise the bound",
               col("__blk_key").cast("string"), col("__blk_n").cast("string"))))
             .as("__blk_ok"))
-      df.join(broadcast(sizes),
-          col(key) <=> col("__blk_key") && col("__blk_ok") > 0)
+      in.join(broadcast(sizes),
+          col(key) === col("__blk_key") && col("__blk_ok") > 0)
         .drop("__blk_key", "__blk_ok")
     }
   }

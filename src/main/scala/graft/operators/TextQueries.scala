@@ -778,6 +778,128 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- corpus-level SUBSTRING dedup (the exact-substring pass of
+  //      production LLM pipelines): remove repeated passages of
+  //      ARBITRARY length >= G words across document boundaries,
+  //      keeping only the corpus-wide first occurrence — the step
+  //      q18_line_dedup (fixed 10-word chunks) cannot express, because
+  //      a repeated passage straddling a chunk boundary survives
+  //      chunking. Identity: a span of length >= G repeats somewhere
+  //      iff every one of its G-gram windows repeats, so word-level
+  //      coverage by "some repeated >= G-word passage" equals coverage
+  //      by "some repeated G-gram" — no suffix array needed, and the
+  //      removal set is exactly the suffix-array formulation's at
+  //      threshold G.
+  //
+  //      Scale shape (the reason for each stage):
+  //      * gram digests ride ONE Generate — digest array computed
+  //        pre-explode, zipped with the words, no shuffle;
+  //      * first-occurrence detection is TWO stacked HASH aggregations
+  //        — (dg, doc_id) -> min pos, then dg -> (min doc, arg_min) —
+  //        all-long buffers, deliberately NOT min(struct(...)): struct
+  //        min has no mutable buffer and plans as SortAggregate, which
+  //        would sort every token in the corpus (measured 2.4-6x on
+  //        the round-7 kernels). The second agg groups by a prefix of
+  //        the first's key — no extra exchange;
+  //      * non-first flagging is a LEFT JOIN on digest, not a digest
+  //        window: a hot boilerplate digest (10^6+ occurrences at
+  //        100 TB) would buffer one window partition on one task,
+  //        while a join streams the probe side and AQE skew-splits it;
+  //      * tail positions (p > len-G, digest-less) BYPASS the join and
+  //        union back flag=false — shuffling them would hash every
+  //        NULL digest to one partition (~G/avg_len of the corpus);
+  //      * coverage is a per-doc ROWS window (dense positions), island
+  //        count a lag over the same partitioning, and the final
+  //        rollup reuses the doc_id exchange — one shuffle for all
+  //        three. Nothing holds more than a document in memory. ----
+  private val SubGram = 15
+
+  val q18SubstringDedup: QueryDef = QueryDef(
+    "q18_substring_dedup",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |g AS (SELECT doc_id, i AS p, ws[i+1] AS word,
+       |             CASE WHEN i + $SubGram <= len(ws)
+       |                  THEN md5(array_to_string(ws[(i+1):(i+$SubGram)], ' ')) END AS dg
+       |      FROM w, unnest(range(0, len(ws))) t(i)),
+       |s1 AS (SELECT dg, doc_id, min(p) AS mp, count(*) AS cnt
+       |       FROM g WHERE dg IS NOT NULL GROUP BY dg, doc_id),
+       |dup AS (SELECT dg, min(doc_id) AS fd, arg_min(mp, doc_id) AS fp
+       |        FROM s1 GROUP BY dg HAVING sum(cnt) > 1),
+       |f AS (SELECT g.doc_id, g.p, g.word,
+       |             (dup.dg IS NOT NULL AND
+       |              NOT (g.doc_id = dup.fd AND g.p = dup.fp)) AS flag
+       |      FROM g LEFT JOIN dup ON g.dg = dup.dg),
+       |c AS (SELECT doc_id, p, word,
+       |             max(CASE WHEN flag THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY doc_id ORDER BY p
+       |                     ROWS BETWEEN ${SubGram - 1} PRECEDING AND CURRENT ROW)
+       |               = 1 AS covered
+       |      FROM f),
+       |i AS (SELECT *, CASE WHEN covered AND NOT coalesce(lag(covered)
+       |                       OVER (PARTITION BY doc_id ORDER BY p), FALSE)
+       |                     THEN 1 ELSE 0 END AS isl
+       |      FROM c)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |       CAST(sum(isl) AS BIGINT) AS n_islands,
+       |       md5(string_agg(CASE WHEN NOT covered THEN word END, ' ' ORDER BY p))
+       |         AS kept_md5
+       |FROM i GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val g = SubGram
+    val rows = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("dgs", expr(
+        s"""transform(sequence(0, size(ws) - 1),
+           |  i -> IF(i + $g <= size(ws),
+           |          md5(CAST(array_join(slice(ws, i + 1, $g), ' ') AS BINARY)),
+           |          CAST(NULL AS STRING)))""".stripMargin))
+      .select(col("doc_id"), expr("posexplode(arrays_zip(ws, dgs)) AS (p, z)"))
+      .select(col("doc_id"), col("p"),
+        col("z.ws").as("word"), col("z.dgs").as("dg"))
+    val gramRows = rows.where(col("dg").isNotNull)
+    // two stacked hash aggs (all-long buffers; second reuses the dg
+    // exchange): corpus-wide first occurrence of each gram sequence
+    val dup = gramRows
+      .groupBy(col("dg"), col("doc_id"))
+      .agg(min(col("p")).as("mp"), count(lit(1)).as("cnt"))
+      .groupBy(col("dg"))
+      .agg(sum(col("cnt")).as("c"), min(col("doc_id")).as("fd"),
+        expr("min_by(mp, doc_id)").as("fp"))
+      .where(col("c") > 1)
+      .select(col("dg").as("ddg"), col("fd"), col("fp"))
+    val flagged = gramRows.join(dup, col("dg") === col("ddg"), "left")
+      .select(col("doc_id"), col("p"), col("word"),
+        (col("ddg").isNotNull &&
+          !(col("doc_id") === col("fd") && col("p") === col("fp"))).as("flag"))
+    val allRows = flagged.unionByName(
+      rows.where(col("dg").isNull)
+        .select(col("doc_id"), col("p"), col("word"), lit(false).as("flag")))
+    val winCov = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      .rowsBetween(-(g - 1), Window.currentRow)
+    val winSeq = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    allRows
+      .withColumn("covered",
+        max(when(col("flag"), 1).otherwise(0)).over(winCov) === 1)
+      .withColumn("isl",
+        when(col("covered") &&
+          !coalesce(lag(col("covered"), 1).over(winSeq), lit(false)), 1)
+          .otherwise(0))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("covered"), 1L).otherwise(0L)).as("n_removed"),
+        sum(col("isl")).cast("long").as("n_islands"),
+        // keep-first recompose, line_dedup discipline: collect only
+        // surviving (p, word) structs, sort, join; NULL when nothing
+        // survived (string_agg's NULL-skipping semantics)
+        array_sort(collect_list(when(!col("covered"),
+          struct(col("p"), col("word"))))).as("kept"))
+      .select(col("doc_id"), col("n_words"), col("n_removed"), col("n_islands"),
+        when(col("n_removed") < col("n_words"),
+          md5(array_join(expr("transform(kept, x -> x.word)"), " ")
+            .cast("binary"))).as("kept_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- temperature-scaled language mixing (α = 0.5): sample each
   //      language toward a share ∝ n^α instead of the uniform target
   //      of q18_rebalance — the standard multilingual-pretraining
@@ -1021,9 +1143,12 @@ object TextQueries {
   //      phone). Scale: a pure per-row regex map fused into the scan
   //      stage (wideRead keeps that stage parallel); the only shuffle
   //      is the ≤|sources|-row rollup. ----
-  private val piiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
-  private val piiIp = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
-  private val piiPhone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  // patterns + scrub expressions live in CurationRules, shared with
+  // the streaming gate (CurationGates.piiScrub) so twin drift is
+  // impossible by construction
+  private val piiEmail = graft.functions.CurationRules.piiEmail
+  private val piiIp = graft.functions.CurationRules.piiIp
+  private val piiPhone = graft.functions.CurationRules.piiPhone
 
   val q18PiiScrub: QueryDef = QueryDef(
     "q18_pii_scrub",
@@ -1061,15 +1186,11 @@ object TextQueries {
       lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
       lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
       lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t2"))
+    val piiCols = graft.functions.CurationRules.piiCounts("t2")
+      .map { case (n, c) => c.as(n) }
     inj
-      .select(col("source"), col("t2"),
-        expr(s"regexp_count(t2, '$piiEmail')").as("n_email"),
-        expr(s"regexp_count(t2, '$piiIp')").as("n_ip"),
-        expr(s"regexp_count(t2, '$piiPhone')").as("n_phone"),
-        regexp_replace(regexp_replace(regexp_replace(col("t2"),
-          lit(piiEmail), lit("<EMAIL>")),
-          lit(piiIp), lit("<IP>")),
-          lit(piiPhone), lit("<PHONE>")).as("scrubbed"))
+      .select(Seq(col("source"), col("t2")) ++ piiCols :+
+        graft.functions.CurationRules.piiScrubbed(col("t2")).as("scrubbed"): _*)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_email")).cast("long").as("emails"),
@@ -1082,6 +1203,7 @@ object TextQueries {
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
-    q18Rebalance, q18PrepPipeline, q18LineDedup, q18DomainMix, q18HeavyHitters,
+    q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
+    q18DomainMix, q18HeavyHitters,
     q18UnigramLp, q18Upsample, q18BpePairs, q18WeightedSample, q18PiiScrub)
 }

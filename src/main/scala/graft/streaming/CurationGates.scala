@@ -85,4 +85,25 @@ object CurationGates {
       .join(broadcast(thresholds), Seq("source"), "left")
       .select(col("doc_id"), col("score"),
         coalesce(col("score") >= col("t"), lit(false)).as("keep"))
+
+  /** The PII gate: (doc_id, n_email, n_ip, n_phone, had_pii, scrubbed)
+    * per incoming document — the stream-side twin of the batch
+    * q18_pii_scrub operator, redacting email/IPv4/phone (fixed mask
+    * order) as data lands instead of in a corpus-wide pass.
+    *
+    * Pure per-row regex map over the SAME CurationRules patterns the
+    * batch oracle proves out: no join, no state, no shuffle — every
+    * executor redacts its partitions independently, so redelivery
+    * yields byte-identical scrubbed text structurally (spec-pinned in
+    * CurationGatesSpec alongside the other gates). */
+  def piiScrub(incoming: DataFrame): DataFrame = {
+    val counts = CurationRules.piiCounts("text").map { case (n, c) => c.as(n) }
+    incoming
+      .select(Seq(col("doc_id")) ++ counts :+
+        CurationRules.piiScrubbed(col("text")).as("scrubbed"): _*)
+      .withColumn("had_pii",
+        col("n_email") + col("n_ip") + col("n_phone") > 0)
+      .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_phone"),
+        col("had_pii"), col("scrubbed"))
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkEntry
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -62,23 +63,24 @@ class BlockGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(off == n, "disabled guard changed the result")
   }
 
-  test("NULL block keys are counted and retained, never silently dropped") {
+  test("NULL block keys abort loudly instead of silently falling out of the join") {
     import spark.implicits._
-    val df = Seq(
+    val withNulls = Seq(
       (Some("a"), 1L), (Some("a"), 2L), (None: Option[String], 3L),
       (None: Option[String], 4L), (Some("b"), 5L)
     ).toDF("blk", "id")
-    // pass-through: the null block (2 rows) rides the null-safe join back
-    val kept = ScaleOps.guardBlockSize(df, "blk", "nulltest")
-      .select("id").as[Long].collect().sorted
-    assert(kept.toSeq == Seq(1L, 2L, 3L, 4L, 5L),
-      "guarded output must be row-identical to the input incl. NULL keys")
-    // and the null block counts against the bound like any other
+    // a NULL key would silently drop from the equi-join-back, so the
+    // guard must refuse it before a single row can vanish
     val e = intercept[Exception] {
-      withBound(1L) { ScaleOps.guardBlockSize(df, "blk", "nulltest").count() }
+      ScaleOps.guardBlockSize(withNulls, "blk", "nulltest").count()
     }
-    assert(messages(e).exists(_.contains("maxBlockRows")),
-      "over-dense NULL block must abort like any other block")
+    assert(messages(e).exists(m => m.contains("NULL") && m.contains("nulltest")),
+      "NULL block key must abort with the operator named")
+    // and an all-non-null frame stays row-identical
+    val clean = withNulls.where(col("blk").isNotNull)
+    val kept = ScaleOps.guardBlockSize(clean, "blk", "nulltest")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 2L, 5L))
   }
 
   test("guard failure is fast: it raises from the size histogram, not the pairs") {

@@ -210,6 +210,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("q18_substring_dedup: all-hash aggregation, no corpus sort before the rollup") {
+    // first-occurrence detection must stay in HASH aggregates (the
+    // all-long min_by buffers) — a min(struct) formulation falls to
+    // SortAggregate and sorts every token in the corpus; the only
+    // Sorts allowed are the per-doc window sort (partitioned by
+    // doc_id) and the final ORDER BY of the ≤|docs| rollup
+    val p = plan("q18_substring_dedup")
+    assert(!p.contains("SortAggregate"),
+      s"substring dedup fell to SortAggregate: ${p.take(3000)}")
+    assert(p.contains("Generate"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q18_kmeans: assignment is a pure per-row map against the driver codebook") {
     // the codebook rides the task binary (NearestCodes reference
     // object), so the assignment path has NO join and NO aggregation —

@@ -131,6 +131,69 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("q18_substring_dedup removes chunk-straddling passages line_dedup cannot") {
+    val G = 15
+    val passage = (1 to 20).map(i => s"p$i") // 20-word repeated passage
+    val short = (1 to 15).map(i => s"q$i")   // exactly-G intra-doc repeat
+    val solo = (1 to 25).map(i => s"z$i")
+    val docsW: Seq[(Long, Seq[String])] = Seq(
+      1L -> ((1 to 5).map(i => s"a$i") ++ passage ++ (1 to 5).map(i => s"b$i")),
+      // the passage re-occurs at offset 7 — misaligned with every
+      // 10-word chunk boundary, so line_dedup sees only novel chunks
+      2L -> ((1 to 7).map(i => s"c$i") ++ passage ++ (1 to 3).map(i => s"d$i")),
+      3L -> solo,
+      4L -> solo, // full copy — everything covered, NULL kept_md5
+      5L -> (short ++ Seq("mid1", "mid2") ++ short)) // intra-doc repeat
+    val dir = java.nio.file.Files.createTempDirectory("subdedup").toString
+    import spark.implicits._
+    docsW.map { case (id, ws) => (id, ws.mkString(" "), "en", "s0") }
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+    // brute force straight from the definition: a position is removed
+    // iff some G-gram window covering it repeats corpus-wide and this
+    // occurrence is not the corpus-wide first (lowest (doc_id, start))
+    val grams = docsW.flatMap { case (id, ws) =>
+      (0 to ws.length - G).map(i => (ws.slice(i, i + G), id, i))
+    }
+    val firstOf = grams.groupBy(_._1).map { case (g, occ) =>
+      g -> (occ.map(o => (o._2, o._3)).min, occ.size)
+    }
+    val expected = docsW.map { case (id, ws) =>
+      val flagged = (0 to ws.length - G).filter { i =>
+        val (first, n) = firstOf(ws.slice(i, i + G))
+        n > 1 && first != ((id, i))
+      }.toSet
+      val covered = ws.indices.filter(p =>
+        (math.max(0, p - G + 1) to p).exists(flagged)).toSet
+      val islands = covered.count(p => !covered(p - 1))
+      val kept = ws.indices.filterNot(covered).map(ws)
+      val md5 = if (kept.isEmpty) null
+        else java.security.MessageDigest.getInstance("MD5")
+          .digest(kept.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+      (id, ws.length.toLong, covered.size.toLong, islands.toLong, md5)
+    }
+    val got = SparkEntry.queries("q18_substring_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) null else r.getString(4))).toSeq
+    assert(got == expected)
+    // the engineered corpus actually exercises every mode: doc 2 loses
+    // exactly the 20-word passage, doc 4 is wiped, doc 5 loses its
+    // intra-doc repeat, docs 1/3 are untouched
+    val byId = expected.map(e => e._1 -> e).toMap
+    assert(byId(1L)._3 == 0L && byId(3L)._3 == 0L)
+    assert(byId(2L)._3 == 20L && byId(2L)._4 == 1L)
+    assert(byId(4L)._3 == 25L && byId(4L)._5 == null)
+    assert(byId(5L)._3 == 15L)
+    // and the contrast that motivates the operator: line_dedup's fixed
+    // 10-word chunks see doc 2's misaligned passage as all-novel
+    val ld = SparkEntry.queries("q18_line_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(ld(2L) == ((3L, 3L)), s"line_dedup unexpectedly caught the straddle: $ld")
+  }
+
   test("q18_unigram_lp matches direct integer micro-nat surprisal sums") {
     val dir = writeCorpus()
     val got = SparkEntry.queries("q18_unigram_lp")(spark, dir)

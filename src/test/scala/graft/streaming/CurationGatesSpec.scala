@@ -152,6 +152,51 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().head.getAs[Boolean]("keep") == false)
   }
 
+  test("PII gate redacts identically to the batch scrub, stable under redelivery") {
+    import spark.implicits._
+    // same deterministic PII injection the batch oracle uses (fixture
+    // text carries no PII of its own — injection IS the test fixture)
+    val injected = docs.select(col("doc_id"), expr(
+      """concat(text, ' contact user', CAST(doc_id % 1000 AS STRING),
+        | '@mail-', CAST(doc_id % 7 AS STRING), '.example from 10.',
+        | CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING),
+        | ' call ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+        | lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-',
+        | lpad(CAST(doc_id % 10000 AS STRING), 4, '0'))"""
+        .stripMargin.replaceAll("\n\\s*", "")).as("text"))
+    val rows = injected.as[(Long, String)].collect()
+    val got = drive(rows)(CurationGates.piiScrub)
+    val expected = CurationGates.piiScrub(injected)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq.drop(1)).toMap
+    assert(got == expected)
+    // every doc carries injected PII and the gate says so
+    assert(expected.values.forall(_(3) == true))
+    // re-running the gate over its own scrubbed output finds nothing —
+    // redacted text is clean, not just counted
+    val rescrub = CurationGates.piiScrub(CurationGates.piiScrub(injected)
+      .select(col("doc_id"), col("scrubbed").as("text"))).collect()
+    assert(rescrub.forall(!_.getAs[Boolean]("had_pii")),
+      "scrubbed text still matches a PII pattern")
+    // per-source rollup of gate outputs equals the BATCH OPERATOR's
+    // report (q18_pii_scrub — shared CurationRules, this pins it)
+    val srcOf = docs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val lenOf = rows.map { case (id, t) => id -> t.length }.toMap
+    val gateAgg = got.toSeq.groupBy { case (id, _) => srcOf(id) }
+      .map { case (src, m) =>
+        src -> Seq[Long](m.size,
+          m.map(_._2(0).asInstanceOf[Int].toLong).sum,
+          m.map(_._2(1).asInstanceOf[Int].toLong).sum,
+          m.map(_._2(2).asInstanceOf[Int].toLong).sum,
+          m.map { case (id, v) =>
+            (lenOf(id) - v(4).asInstanceOf[String].length).toLong }.sum)
+      }
+    val report = graft.operators.TextQueries.q18PiiScrub
+      .build(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) -> (1 to 5).map(r.getLong(_)).toSeq).toMap
+    assert(gateAgg == report)
+  }
+
   test("DSIR gate scores identically to the batch model, stable under redelivery") {
     import spark.implicits._
     // static model trained offline on the full corpus, target = 'de'
