@@ -1090,6 +1090,115 @@ object TextQueries {
         .orderBy(col("n").desc, col("pair")).limit(15)
   }
 
+  // ---- iterated BPE trainer: k deterministic merge rounds (the
+  //      operator q18_bpe_pairs is step one of). The corpus collapses
+  //      ONCE to a (word-encoding, count) vocab — the standard BPE
+  //      trainer shape: at 100 TB the corpus pass is a single
+  //      word-count shuffle and every merge round after it runs on the
+  //      bounded vocab (distinct words of a language corpus), linear
+  //      in vocab tokens and map-side combinable. Per round: adjacent
+  //      symbol pairs ride one Generate off the vocab, the argmax pair
+  //      is a TakeOrdered(1) driver collect (the KMeansModel pattern —
+  //      a 1-row model, never data), and the merge applies as a pure
+  //      codegen'd fold per word, no join, no window. Tie-break is
+  //      (count DESC, pair ASC) on both engines — bit-deterministic.
+  //
+  //      Encoding: a word's symbol list rides ONE string, symbols
+  //      joined by the unit separator U+001F (words containing the separator are excluded
+  //      from the vocab on both sides — it cannot occur in text split
+  //      on spaces, but the filter makes the precondition checked, not
+  //      assumed). Greedy left-to-right merge as a string fold: state
+  //      is the already-merged prefix; if the state's LAST symbol is
+  //      `a` (exact-symbol check via the separator boundary) and the
+  //      next symbol is `b`, append `b` directly (the last symbol
+  //      becomes a||b — and can never re-match `a` in the same round,
+  //      which is exactly greedy non-overlapping BPE); otherwise
+  //      append separator + symbol. A struct-typed list_reduce
+  //      accumulator was tried first and hit a DuckDB 1.0 cross-row
+  //      corruption bug — the VARCHAR fold is bug-free on both engines
+  //      and pins canonical greedy semantics ('aaaaa' + (a,a) →
+  //      [aa, aa, a]), verified against a pure-Python trainer. ----
+  private[operators] val BpeMergeRounds = 8
+  private val BpeSep = "\u001f"
+
+  private def bpeOracleSql(k: Int): String = {
+    val sep = "chr(31)"
+    val v0 =
+      s"""v0 AS (
+         |  SELECT enc, count(*) AS c FROM (
+         |    SELECT array_to_string(list_transform(range(1, length(word)+1), i -> word[i]), $sep) AS enc
+         |    FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |    WHERE length(word) >= 1 AND NOT contains(word, $sep)) u
+         |  GROUP BY enc)""".stripMargin
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT sy[i] AS a, sy[i+1] AS b, CAST(sum(c) AS BIGINT) AS n
+         |  FROM (SELECT string_split(enc, $sep) AS sy, c FROM v${r - 1}) w,
+         |       unnest(range(1, len(sy))) t(i)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT a, b, n FROM p$r ORDER BY n DESC, a, b LIMIT 1),
+         |v$r AS (
+         |  SELECT list_reduce(string_split(enc, $sep),
+         |    (st, x) -> CASE WHEN x = t$r.b AND (st = t$r.a OR ends_with(st, $sep || t$r.a))
+         |      THEN st || t$r.b
+         |      ELSE st || $sep || x END) AS enc, c
+         |  FROM v${r - 1}, t$r)""".stripMargin
+    }
+    val union = (1 to k)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS step, a, b, n FROM t$r")
+      .mkString("\nUNION ALL ")
+    (v0 +: rounds).mkString("WITH ", ",\n", "") +
+      s"\nSELECT * FROM (\n$union) u ORDER BY step"
+  }
+
+  val q18BpeMerges: QueryDef = QueryDef(
+    "q18_bpe_merges", bpeOracleSql(BpeMergeRounds)) { (spark, dir) =>
+    // corpus → vocab: the ONLY corpus-wide pass, one shuffle on the
+    // encoded word; localCheckpoint so the k rounds iterate on the
+    // materialized vocab, never back to the scan
+    var vocab = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains(BpeSep))
+      .select(array_join(
+        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+        BpeSep).as("enc"))
+      .groupBy(col("enc")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to BpeMergeRounds) {
+      // sequence(0, -1) counts DOWN (same guard as q18_bpe_pairs), so
+      // 1-symbol words must filter out before the pair transform
+      val top = vocab
+        .select(col("c"), split(col("enc"), BpeSep).as("sy"))
+        .where(size(col("sy")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(0, size(sy) - 2), i -> struct(sy[i] AS a, sy[i+1] AS b))"))
+          .as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step.toLong, a, b, n))
+      // apply the merge as a codegen'd fold (init "" = the pre-first-
+      // element state; a, b are nonempty so neither branch can fire on
+      // it) and re-materialize — each round's plan stays flat
+      vocab = vocab
+        .withColumn("enc", aggregate(
+          split(col("enc"), BpeSep),
+          lit(""),
+          (st, x) =>
+            when(x === lit(b) && (st === lit(a) || st.endsWith(lit(BpeSep + a))),
+              concat(st, lit(b)))
+              .otherwise(when(st === lit(""), x)
+                .otherwise(concat(st, lit(BpeSep), x)))))
+        .localCheckpoint()
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    merges.toSeq.toDF("step", "a", "b", "n").orderBy(col("step"))
+  }
+
   // ---- deterministic weighted sampling: keep each doc with
   //      probability ∝ its token weight (longer/higher-quality docs
   //      oversampled), targeting K ≈ 100 expected survivors — the
@@ -1205,5 +1314,6 @@ object TextQueries {
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
     q18DomainMix, q18HeavyHitters,
-    q18UnigramLp, q18Upsample, q18BpePairs, q18WeightedSample, q18PiiScrub)
+    q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18WeightedSample,
+    q18PiiScrub)
 }

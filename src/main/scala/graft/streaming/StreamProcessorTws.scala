@@ -18,7 +18,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   *    declarative `TTLConfig` instead of hand-rolled timeout wrangling;
   *  - RocksDB-backed state with changelog checkpointing — the 100 TB
   *    path, where per-stream state must spill off-heap and restore
-  *    incrementally on failover.
+  *    incrementally on failover;
+  *  - state-schema evolution: with
+  *    `spark.sql.streaming.stateStore.encodingFormat=avro` set when
+  *    the checkpoint is FIRST written, a field can be ADDED to
+  *    [[BufferState]] across a restart (declare it `Option[...]` so
+  *    avro has a null default for rows written by the old schema;
+  *    never remove or retype fields). Proven by the StreamingSpec
+  *    evolution case on RocksDB changelog checkpoints.
   */
 class SpanStatefulProcessor[A](
     handle: (String, Seq[InputEvent]) => A,

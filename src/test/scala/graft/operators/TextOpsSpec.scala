@@ -131,6 +131,50 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("q18_bpe_merges matches a direct greedy BPE trainer, incl. odd identical runs") {
+    // corpus engineered so a merged symbol participates in a LATER
+    // merge (multi-char 'a' side) and an odd identical run exercises
+    // greedy non-overlap: 'aaaaa' + (a,a) must yield [aa, aa, a]
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    import spark.implicits._
+    val texts = Seq(
+      (1L, "aaaaa ababab banana", "en", "s0"),
+      (2L, "banana bandana aaaaa", "en", "s0"),
+      (3L, "ababab ananas banana banana", "de", "s1"))
+    texts.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q18_bpe_merges")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+
+    // direct trainer: vocab of (symbol list, count), k greedy rounds
+    var vocab: Map[Vector[String], Long] = texts
+      .flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, o) => w.map(_.toString).toVector -> o.size.toLong }
+    def applyMerge(sy: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sy.length) {
+        if (i + 1 < sy.length && sy(i) == a && sy(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += sy(i); i += 1 }
+      }
+      out.result()
+    }
+    val expected = (1 to TextQueries.BpeMergeRounds).map { step =>
+      val pairs = vocab.toSeq.flatMap { case (sy, c) =>
+        sy.sliding(2).filter(_.size == 2).map(p => (p(0), p(1)) -> c)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((a, b), n) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+      vocab = vocab.toSeq.map { case (sy, c) => (applyMerge(sy, a, b), c) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      (step.toLong, a, b, n)
+    }
+    assert(got == expected)
+    // the engineered corpus really does exercise a multi-char-symbol merge
+    assert(expected.exists { case (_, a, b, _) => a.length > 1 || b.length > 1 })
+  }
+
   test("q18_substring_dedup removes chunk-straddling passages line_dedup cannot") {
     val G = 15
     val passage = (1 to 20).map(i => s"p$i") // 20-word repeated passage

@@ -802,4 +802,118 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after1.toSeq == (1L to 100L))
     assert(after2.toSeq == after1.toSeq, "redelivered ids must not re-admit")
   }
+
+  test("Tws state-schema evolution: a field added to value state restores from a v1 RocksDB changelog checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    // Avro state encoding is the evolution-capable format — it must be
+    // chosen when the checkpoint is FIRST written (the format is
+    // recorded in the state metadata; UnsafeRow-encoded state cannot
+    // evolve). This test IS the upgrade recipe for BufferState: encode
+    // as avro from day one, add fields as Option[...] (avro needs a
+    // null default for restored rows), never remove or retype.
+    spark.conf.set("spark.sql.streaming.stateStore.encodingFormat", "avro")
+    try {
+      val cp = tmp("cp-tws-evolve")
+      val input = MemoryStream[(String, Long)]
+      val delivered = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+
+      def run(v2: Boolean) = {
+        val ds = input.toDS()
+        val out =
+          if (v2) ds.groupByKey(_._1).transformWithState(new TallyProcessorV2,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          else ds.groupByKey(_._1).transformWithState(new TallyProcessorV1,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        out.writeStream
+          .outputMode("append").option("checkpointLocation", cp)
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Long, Boolean)],
+                           _: Long) =>
+            val rows = batch.collect()
+            delivered.synchronized { delivered ++= rows }
+            ()
+          }
+          .start()
+      }
+
+      // phase 1: v1 state (total only) accumulates and checkpoints
+      val q1 = run(v2 = false)
+      input.addData(("k", 1L), ("k", 2L), ("j", 10L))
+      q1.processAllAvailable()
+      q1.stop()
+
+      // phase 2: v2 processor (adds maxSeen: Option[Long]) restores the
+      // SAME checkpoint — evolution means v1 rows come back with the
+      // new field null, totals intact
+      val q2 = run(v2 = true)
+      input.addData(("k", 4L), ("j", 1L))
+      q2.processAllAvailable()
+      q2.stop()
+
+      val rows = delivered.synchronized { delivered.toSet }
+      // phase-1 emissions (v1 has no maxSeen → restoredWithoutMax=true by construction)
+      assert(rows.contains(("k", 3L, true)) && rows.contains(("j", 10L, true)))
+      // phase-2: totals CONTINUED from restored v1 state (7 = 3 + 4,
+      // 11 = 10 + 1), and the added field restored as None
+      assert(rows.contains(("k", 7L, true)) && rows.contains(("j", 11L, true)),
+        s"v1 totals must survive the schema change; got $rows")
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.encodingFormat")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
+
+/** v1 value state for the evolution test: running total only. */
+case class TallyV1(total: Long)
+/** v2: same field plus an ADDED Option field (avro null default). */
+case class TallyV2(total: Long, maxSeen: Option[Long])
+
+/** Emits (key, totalAfterBatch, maxSeenWasEmptyBeforeBatch). */
+class TallyProcessorV1
+  extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long, Boolean)] {
+  @transient private var tally: org.apache.spark.sql.streaming.ValueState[TallyV1] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    tally = getHandle.getValueState[TallyV1]("tally",
+      org.apache.spark.sql.Encoders.product[TallyV1],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Boolean)] = {
+    val prev = if (tally.exists()) tally.get() else TallyV1(0L)
+    val next = TallyV1(prev.total + rows.map(_._2).sum)
+    tally.update(next)
+    Iterator((key, next.total, true))
+  }
+}
+
+class TallyProcessorV2
+  extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long), (String, Long, Boolean)] {
+  @transient private var tally: org.apache.spark.sql.streaming.ValueState[TallyV2] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    tally = getHandle.getValueState[TallyV2]("tally",
+      org.apache.spark.sql.Encoders.product[TallyV2],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(String, Long, Boolean)] = {
+    val prev = if (tally.exists()) tally.get() else TallyV2(0L, None)
+    val vals = rows.map(_._2).toVector
+    val next = TallyV2(prev.total + vals.sum,
+      Some(math.max(prev.maxSeen.getOrElse(Long.MinValue), vals.max)))
+    tally.update(next)
+    Iterator((key, next.total, prev.maxSeen.isEmpty))
+  }
 }
