@@ -67,14 +67,29 @@ object Bench {
     // build separately — a cold run's headline otherwise silently
     // carries the one-off copy cost (~7 s at sf0.1) that a warm run
     // doesn't pay, and a reader can't tell the two apart
+    // failure isolation (round-9 lesson: a broken `events` fixture in
+    // this untimed preamble crashed the whole run → rc=1, zero bench
+    // evidence for the round). Preamble/warmup failures are recorded
+    // under "_preamble:*" keys and the run continues: the per-query
+    // loop catches its own errors, so one broken table degrades the
+    // bench to partial data instead of erasing it.
+    val preambleErrors = collection.mutable.LinkedHashMap.empty[String, String]
     val copy0 = System.nanoTime()
     for (t <- Seq("documents", "embeddings", "events", "lineitem"))
-      graft.operators.ScaleOps.wideRead(spark, sfDir, t)
+      try graft.operators.ScaleOps.wideRead(spark, sfDir, t)
+      catch { case e: Throwable =>
+        preambleErrors(s"_preamble:$t") = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+      }
     val copyBuildSecs = (System.nanoTime() - copy0) / 1e9
 
     // warmup: touch every table + exercise codegen/shuffle once
-    SparkEntry.queries.get("q06_stream_hwm").foreach(f => f(spark, sfDir).count())
-    SparkEntry.queries.get("q12_agg").foreach(f => f(spark, sfDir).count())
+    for (w <- Seq("q06_stream_hwm", "q12_agg"))
+      SparkEntry.queries.get(w).foreach { f =>
+        try f(spark, sfDir).count()
+        catch { case e: Throwable =>
+          preambleErrors(s"_warmup:$w") = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        }
+      }
 
     // optional comma-separated filter for local iteration and the
     // SCALING.md study; the driver never sets it (its runs cover all)
@@ -158,7 +173,8 @@ object Bench {
     def qmap(render: Double => String, only: Option[Set[String]]) = medians
       .collect { case (k, v) if only.forall(_.contains(k)) => s""""$k":${render(v)}""" }
       .mkString("{", ",", "}")
-    val errs = errors.map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
+    val errs = (preambleErrors ++ errors)
+      .map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
     val guard = guardFails.map { case (k, r) => s""""$k":${jnum(r)}""" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v > 0 => v }.sum
     def line(render: Double => String, only: Option[Set[String]]) =

@@ -91,7 +91,7 @@ object CurationRules {
     val tgtB = dtf.where(col("lang") === targetLang)
       .groupBy(col("b")).agg(sum(col("tf")).as("ct"))
     val tot = rawB.agg(sum(col("cr")).cast("long").as("nr"))
-      .crossJoin(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt")))
+      .crossJoin(broadcast(tgtB.agg(coalesce(sum(col("ct")), lit(0L)).cast("long").as("nt"))))
     rawB.join(tgtB, Seq("b"), "left").crossJoin(broadcast(tot))
       .select(col("b"),
         (expr("CAST(round(1000000 * ln(CAST(nr + 256 AS DOUBLE) / (cr + 1))) AS BIGINT)") -

@@ -75,17 +75,37 @@ object Envelope {
 
   /** Read one of the driver test tables.
     *
-    * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects; we read nanos as long and convert to a
-    * microsecond timestamp (lossless on this data — all values are
-    * micro-aligned; sub-micro nanos would truncate).
+    * `events.ts` has been written two different ways across fixture
+    * generations: parquet TIMESTAMP(NANOS) — which Spark's vectorized
+    * reader only accepts as a raw long — and plain micros
+    * TIMESTAMP(_NTZ). Branch on the ACTUAL column type so either
+    * generation loads into the identical envelope: `ts` always a
+    * (UTC-instant) TimestampType, `ts_ns` always the full-precision
+    * nanosecond long that `fromEvents` uses as its arrival-order
+    * tie-break. All engine entry points pin
+    * `spark.sql.session.timeZone=UTC`, so the NTZ→instant cast reads
+    * the stored wall-clock as UTC — the same instants the old
+    * nanos-as-long path produced. Regression: FixtureSchemaSpec writes
+    * one fixture of each generation and asserts identical envelopes.
     */
   def readTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      df.schema("ts").dataType match {
+        case LongType => // nanos-as-long fixture generation
+          df.withColumn("ts_ns", col("ts"))
+            .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _: TimestampNTZType =>
+          val tsUtc = col("ts").cast(TimestampType)
+          df.withColumn("ts_ns", unix_micros(tsUtc) * lit(1000L))
+            .withColumn("ts", tsUtc)
+        case _: TimestampType =>
+          df.withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        case other =>
+          throw new IllegalStateException(
+            s"events.ts: unsupported fixture type $other (expected long nanos or timestamp)")
+      }
+    } else df
   }
 }

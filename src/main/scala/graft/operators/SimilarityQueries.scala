@@ -1085,16 +1085,26 @@ object SimilarityQueries {
       else (r.getLong(0), r.getLong(1), r.getLong(2))
     }
 
+    val spark = sym.sparkSession
     val maxRounds = 30 // O(log² n): 30 doubles past any realistic graph
     var cur = sym
+    // cache hygiene: each round's flatCheckpoint leaves a dead cached
+    // copy of the previous round's edge set; free it once the new
+    // round is materialized. `sym` and the FINAL round stay cached —
+    // both feed the returned (lazy) frame, and a truncated-lineage
+    // checkpoint cannot be recomputed after unpersist.
+    var curIds = Set.empty[Int]
     var curSum = checksum(cur)
     var converged = false
     var iter = 0
     while (!converged && iter < maxRounds) {
-      val next = flatCheckpoint(starRound(starRound(cur, large = true), large = false))
+      val (next, nextIds) = graft.core.CacheHygiene.withNewPersisted(spark)(
+        flatCheckpoint(starRound(starRound(cur, large = true), large = false)))
       val nextSum = checksum(next)
       converged = nextSum == curSum
+      graft.core.CacheHygiene.unpersist(spark, curIds)
       cur = next
+      curIds = nextIds
       curSum = nextSum
       iter += 1
     }

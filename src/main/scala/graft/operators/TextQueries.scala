@@ -1156,14 +1156,19 @@ object TextQueries {
     // corpus → vocab: the ONLY corpus-wide pass, one shuffle on the
     // encoded word; localCheckpoint so the k rounds iterate on the
     // materialized vocab, never back to the scan
-    var vocab = docs(spark, dir)
-      .select(explode(split(col("text"), " ")).as("word"))
-      .where(length(col("word")) >= 1 && !col("word").contains(BpeSep))
-      .select(array_join(
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-        BpeSep).as("enc"))
-      .groupBy(col("enc")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    // each round frees the previous round's checkpoint once the new
+    // one is materialized, so k rounds (× bench reps) hold one vocab
+    // copy, not k (graft.core.CacheHygiene)
+    var (vocab, vocabIds) = graft.core.CacheHygiene.withNewPersisted(spark) {
+      docs(spark, dir)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(length(col("word")) >= 1 && !col("word").contains(BpeSep))
+        .select(array_join(
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+          BpeSep).as("enc"))
+        .groupBy(col("enc")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+    }
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to BpeMergeRounds) {
       // sequence(0, -1) counts DOWN (same guard as q18_bpe_pairs), so
@@ -1192,8 +1197,15 @@ object TextQueries {
               concat(st, lit(b)))
               .otherwise(when(st === lit(""), x)
                 .otherwise(concat(st, lit(BpeSep), x)))))
-        .localCheckpoint()
+      val (next, nextIds) =
+        graft.core.CacheHygiene.withNewPersisted(spark)(vocab.localCheckpoint())
+      graft.core.CacheHygiene.unpersist(spark, vocabIds)
+      vocab = next
+      vocabIds = nextIds
     }
+    // the merge table is driver-held; the last vocab is not part of
+    // the returned frame, so its cache can go too
+    graft.core.CacheHygiene.unpersist(spark, vocabIds)
     val spark2 = spark
     import spark2.implicits._
     merges.toSeq.toDF("step", "a", "b", "n").orderBy(col("step"))
