@@ -1187,7 +1187,7 @@ object TextQueries {
       merges += ((step.toLong, a, b, n))
       // apply the merge as a codegen'd fold (init "" = the pre-first-
       // element state; a, b are nonempty so neither branch can fire on
-      // it) and re-materialize — each round's plan stays flat
+      // it)
       vocab = vocab
         .withColumn("enc", aggregate(
           split(col("enc"), BpeSep),
@@ -1197,6 +1197,18 @@ object TextQueries {
               concat(st, lit(b)))
               .otherwise(when(st === lit(""), x)
                 .otherwise(concat(st, lit(BpeSep), x)))))
+      // ...and re-materialize, so each round's count job reads the
+      // cached fold output instead of re-running stacked folds.
+      // Round-10 measurements pinned this cadence: checkpointing every
+      // SECOND round (count job carries one un-checkpointed fold) was
+      // a wash at sf0.1 (1.73 → 1.77 s) and an 18% LOSS at 30×
+      // (2.26 → 2.68 s) — the fold recompute lands inside the widest
+      // stage (explode + groupBy), where it costs more than the saved
+      // narrow materialization. Also settled: batching MULTIPLE merges
+      // per count round (the round-8 stretch idea) is oracle-UNSAFE,
+      // not just risky — applying (a,b) creates pairs (x,ab)/(ab,y)
+      // whose counts can reach n₁ and so outrank the pre-computed
+      // runner-up; the per-round recount IS greedy BPE's semantics.
       val (next, nextIds) =
         graft.core.CacheHygiene.withNewPersisted(spark)(vocab.localCheckpoint())
       graft.core.CacheHygiene.unpersist(spark, vocabIds)
