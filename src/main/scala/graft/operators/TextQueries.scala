@@ -1151,8 +1151,13 @@ object TextQueries {
       s"\nSELECT * FROM (\n$union) u ORDER BY step"
   }
 
-  val q18BpeMerges: QueryDef = QueryDef(
-    "q18_bpe_merges", bpeOracleSql(BpeMergeRounds)) { (spark, dir) =>
+  /** Train `BpeMergeRounds` greedy BPE merges on the corpus; returns
+    * (step, a, b, n) in application order. Shared by q18_bpe_merges
+    * (which reports the table) and q18_bpe_encode (which applies it).
+    */
+  private def trainBpeMerges(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, String, String, Long)] = {
     // corpus → vocab: the ONLY corpus-wide pass, one shuffle on the
     // encoded word; localCheckpoint so the k rounds iterate on the
     // materialized vocab, never back to the scan
@@ -1218,9 +1223,102 @@ object TextQueries {
     // the merge table is driver-held; the last vocab is not part of
     // the returned frame, so its cache can go too
     graft.core.CacheHygiene.unpersist(spark, vocabIds)
+    merges.toSeq
+  }
+
+  val q18BpeMerges: QueryDef = QueryDef(
+    "q18_bpe_merges", bpeOracleSql(BpeMergeRounds)) { (spark, dir) =>
     val spark2 = spark
     import spark2.implicits._
-    merges.toSeq.toDF("step", "a", "b", "n").orderBy(col("step"))
+    trainBpeMerges(spark, dir).toDF("step", "a", "b", "n").orderBy(col("step"))
+  }
+
+  /** One greedy left-to-right merge application as the codegen'd
+    * string fold (identical branch structure to the training fold —
+    * see q18BpeMerges' encoding notes above). */
+  private def applyMerge(enc: org.apache.spark.sql.Column, a: String, b: String) =
+    aggregate(
+      split(enc, BpeSep),
+      lit(""),
+      (st, x) =>
+        when(x === lit(b) && (st === lit(a) || st.endsWith(lit(BpeSep + a))),
+          concat(st, lit(b)))
+          .otherwise(when(st === lit(""), x)
+            .otherwise(concat(st, lit(BpeSep), x))))
+
+  private def bpeEncodeOracleSql(k: Int): String = {
+    val sep = "chr(31)"
+    // reuse bpeOracleSql's v0/p/t/v CTE chain (the trained merge table
+    // lives in t1..tk), then thread the ORIGINAL word through a
+    // parallel fold chain e0..ek and roll token counts up per doc
+    val prefix = bpeOracleSql(k).split("\nSELECT \\* FROM")(0)
+    val encodes = (1 to k).map { r =>
+      s"""e$r AS (
+         |  SELECT word, list_reduce(string_split(enc, $sep),
+         |    (st, x) -> CASE WHEN x = t$r.b AND (st = t$r.a OR ends_with(st, $sep || t$r.a))
+         |      THEN st || t$r.b
+         |      ELSE st || $sep || x END) AS enc
+         |  FROM e${r - 1}, t$r)""".stripMargin
+    }
+    val e0 =
+      s"""e0 AS (
+         |  SELECT DISTINCT word,
+         |    array_to_string(list_transform(range(1, length(word)+1), i -> word[i]), $sep) AS enc
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         |  WHERE length(word) >= 1 AND NOT contains(word, $sep))""".stripMargin
+    s"""$prefix,
+       |$e0,
+       |${encodes.mkString(",\n")},
+       |nt AS (SELECT word, len(string_split(enc, $sep)) AS n_tok,
+       |              length(word) AS n_ch
+       |       FROM e$k),
+       |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |       FROM documents WHERE doc_id % 25 = 0)
+       |SELECT dw.doc_id,
+       |       count(*) AS n_words,
+       |       CAST(sum(nt.n_tok) AS BIGINT) AS n_tokens,
+       |       CAST(sum(nt.n_ch) AS BIGINT) AS n_chars
+       |FROM dw JOIN nt ON dw.word = nt.word
+       |GROUP BY dw.doc_id ORDER BY dw.doc_id""".stripMargin
+  }
+
+  // ---- BPE tokenizer APPLICATION — the per-document cost of the
+  //      vocab q18_bpe_merges trains: encode every word under the k
+  //      learned merges and report sampled per-doc word/token/char
+  //      counts (n_chars/n_tokens is the compression the tokenizer
+  //      buys). Scale shape: the fold chain runs over the DISTINCT
+  //      word vocab (sublinear in the corpus), and documents join
+  //      that table on the word — a plain shuffle join, because at
+  //      100 TB the distinct-word table of noisy web text is NOT
+  //      broadcastable (AQE still broadcasts it at local SFs where it
+  //      is). The doc-side sample filter pushes to the scan; the dw
+  //      join input never carries unsampled docs. ----
+  val q18BpeEncode: QueryDef = QueryDef(
+    "q18_bpe_encode", bpeEncodeOracleSql(BpeMergeRounds)) { (spark, dir) =>
+    val merges = trainBpeMerges(spark, dir)
+    val wordsOf = (d: DataFrame) => d
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains(BpeSep))
+    // distinct-word vocab → initial char encoding → k stacked folds
+    // (narrow codegen'd maps, one pass, no per-round materialization —
+    // unlike training there is no count job between folds)
+    val nt = merges.foldLeft(
+        wordsOf(docs(spark, dir)).select(col("word")).distinct()
+          .withColumn("enc", array_join(
+            expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            BpeSep))) { case (df, (_, a, b, _)) =>
+        df.withColumn("enc", applyMerge(col("enc"), a, b))
+      }
+      .select(col("word"), size(split(col("enc"), BpeSep)).as("n_tok"),
+        length(col("word")).as("n_ch"))
+    wordsOf(docs(spark, dir))
+      .where(col("doc_id") % 25 === 0)
+      .join(nt, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("n_ch")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
   }
 
   // ---- deterministic weighted sampling: keep each doc with
@@ -1338,6 +1436,7 @@ object TextQueries {
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
     q18DomainMix, q18HeavyHitters,
-    q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18WeightedSample,
+    q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
+    q18WeightedSample,
     q18PiiScrub)
 }
