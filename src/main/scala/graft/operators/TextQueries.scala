@@ -1119,7 +1119,7 @@ object TextQueries {
   //      and pins canonical greedy semantics ('aaaaa' + (a,a) →
   //      [aa, aa, a]), verified against a pure-Python trainer. ----
   private[operators] val BpeMergeRounds = 8
-  private val BpeSep = "\u001f"
+  private[graft] val BpeSep = "\u001f"
 
   private def bpeOracleSql(k: Int): String = {
     val sep = "chr(31)"
@@ -1155,7 +1155,7 @@ object TextQueries {
     * (step, a, b, n) in application order. Shared by q18_bpe_merges
     * (which reports the table) and q18_bpe_encode (which applies it).
     */
-  private def trainBpeMerges(
+  private[graft] def trainBpeMerges(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, String, String, Long)] = {
     // corpus → vocab: the ONLY corpus-wide pass, one shuffle on the
@@ -1236,7 +1236,7 @@ object TextQueries {
   /** One greedy left-to-right merge application as the codegen'd
     * string fold (identical branch structure to the training fold —
     * see q18BpeMerges' encoding notes above). */
-  private def applyMerge(enc: org.apache.spark.sql.Column, a: String, b: String) =
+  private[graft] def applyMerge(enc: org.apache.spark.sql.Column, a: String, b: String) =
     aggregate(
       split(enc, BpeSep),
       lit(""),

@@ -86,6 +86,42 @@ object CurationGates {
       .select(col("doc_id"), col("score"),
         coalesce(col("score") >= col("t"), lit(false)).as("keep"))
 
+  /** The tokenizer gate: (doc_id, n_words, n_tokens, n_chars) per
+    * incoming document under a trained BPE merge table — the
+    * stream-side twin of the batch q18_bpe_encode operator. `merges`
+    * is the k-row (a, b) artifact from
+    * [[graft.operators.TextQueries.trainBpeMerges]], trained offline
+    * on the corpus and compiled HERE into k stacked codegen'd string
+    * folds (a literal-embedded artifact like the DSIR delta model,
+    * except it needs no broadcast join at all — the merge table rides
+    * the expression tree).
+    *
+    * Unlike the batch operator (which folds over the corpus-wide
+    * DISTINCT-word vocab and joins), the gate folds per word
+    * OCCURRENCE: a micro-batch has no corpus vocab to amortize
+    * against, and the occurrence-level fold keeps the gate
+    * shuffle-free until the per-doc rollup — one exchange per batch,
+    * no state, redelivery-identical by construction. Token counts are
+    * identical either way (the fold is a pure per-word function);
+    * CurationGatesSpec pins the gate against the batch query across
+    * batch splits and redelivery. */
+  def bpeTokenize(incoming: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    import graft.operators.TextQueries.{applyMerge, BpeSep}
+    val enc0 = array_join(
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+      BpeSep)
+    val encK = merges.foldLeft(enc0) { case (e, (a, b)) => applyMerge(e, a, b) }
+    incoming
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1 && !col("word").contains(BpeSep))
+      .select(col("doc_id"), length(col("word")).as("n_ch"),
+        size(split(encK, BpeSep)).as("n_tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("n_ch")).cast("long").as("n_chars"))
+  }
+
   /** The PII gate: (doc_id, n_email, n_ip, n_phone, had_pii, scrubbed)
     * per incoming document — the stream-side twin of the batch
     * q18_pii_scrub operator, redacting email/IPv4/phone (fixed mask

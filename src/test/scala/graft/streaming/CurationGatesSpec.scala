@@ -219,4 +219,34 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
           s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
       }
   }
+
+  test("BPE tokenize gate matches the batch encode, stable under redelivery") {
+    import spark.implicits._
+    // static artifact: merges trained offline on the full corpus —
+    // same trainer the batch q18_bpe_merges/q18_bpe_encode use
+    val merges = graft.operators.TextQueries
+      .trainBpeMerges(spark, "/root/testdata/sf0.001")
+      .map { case (_, a, b, _) => (a, b) }
+    assert(merges.size == 8)
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(b => CurationGates.bpeTokenize(b, merges))
+    // every doc tokenized, counts discriminate, merges actually fired
+    // (n_tokens < n_chars means at least one pair merged somewhere)
+    assert(got.size == rows.length)
+    assert(got.values.map(_(1)).toSet.size > 1)
+    assert(got.values.map(_(1).asInstanceOf[Long]).sum <
+      got.values.map(_(2).asInstanceOf[Long]).sum)
+    // gate counts must equal the BATCH OPERATOR's sampled rows
+    // (q18_bpe_encode — occurrence-level fold vs vocab-fold + join)
+    val batch = graft.operators.TextQueries.q18BpeEncode
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      assert(got(r.getAs[Long]("doc_id")) ==
+        Seq(r.getAs[Long]("n_words"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_chars")),
+        s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
+    }
+  }
 }
