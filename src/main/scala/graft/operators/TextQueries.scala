@@ -857,8 +857,10 @@ object TextQueries {
       .select(col("doc_id"), col("p"),
         col("z.ws").as("word"), col("z.dgs").as("dg"))
     val gramRows = rows.where(col("dg").isNotNull)
-    // two stacked hash aggs (all-long buffers; second reuses the dg
-    // exchange): corpus-wide first occurrence of each gram sequence
+    // two stacked hash aggs (all-long buffers; the second shuffles the
+    // already-aggregated (dg, doc_id) rows again on dg — hash on
+    // (dg, doc_id) cannot serve a dg-keyed agg, see PLANS_r10.md):
+    // corpus-wide first occurrence of each gram sequence
     val dup = gramRows
       .groupBy(col("dg"), col("doc_id"))
       .agg(min(col("p")).as("mp"), count(lit(1)).as("cnt"))
