@@ -322,6 +322,74 @@ object TextQueries {
       .orderBy(col("asset_id"), col("frame_no"))
   }
 
+  // ---- image near-dup: the dedup family extended to the IMAGE
+  //      modality. Every asset is REALLY decoded (the same ImageIO
+  //      path q18_multimodal proves out), its decoded features
+  //      (width, height, dominant color) become the signature, and
+  //      candidate pairs come from an LSH-style equi-bucket — exact
+  //      dimensions + the color quantized to 2 bits per channel — with
+  //      an exact L1 color distance confirming inside the bucket.
+  //      Banded semantics like minhash-LSH: a near-pair straddling a
+  //      quantization boundary is missed by design (that is what
+  //      banding means), the |block|² blowup is guarded
+  //      (ScaleOps.guardBlockSize, same contract as the embedding
+  //      blocks), and only pair enumeration ever happens — never an
+  //      asset self-join. The oracle predicts the decoded features
+  //      from the content-hash formula WITHOUT seeing bytes (the
+  //      q18_multimodal trick), so the hash-match proves decode →
+  //      bucket → pair parity end-to-end. At 100 TB: decode is
+  //      per-partition streaming work, the bucket groupBy is one
+  //      shuffle of 5-int signatures (not pixels), and pairs are
+  //      bucket-local. ----
+  val q18ImageDedup: QueryDef = QueryDef(
+    "q18_image_dedup",
+    """WITH hx AS (SELECT '0123456789abcdef' AS hd),
+      |f AS (
+      |  SELECT doc_id AS asset_id,
+      |         ((strpos(hd, substr(h, 1, 1)) - 1) % 8 + 1) * 4 AS w,
+      |         ((strpos(hd, substr(h, 2, 1)) - 1) % 8 + 1) * 4 AS ht,
+      |         (strpos(hd, substr(h, 3, 1)) - 1) * 16 + (strpos(hd, substr(h, 4, 1)) - 1) AS r,
+      |         (strpos(hd, substr(h, 5, 1)) - 1) * 16 + (strpos(hd, substr(h, 6, 1)) - 1) AS g,
+      |         (strpos(hd, substr(h, 7, 1)) - 1) * 16 + (strpos(hd, substr(h, 8, 1)) - 1) AS b
+      |  FROM (SELECT doc_id, md5(text) AS h FROM documents), hx)
+      |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |       CAST(abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b) AS BIGINT) AS dist
+      |FROM f a JOIN f b
+      |  ON a.w = b.w AND a.ht = b.ht
+      | AND a.r // 64 = b.r // 64 AND a.g // 64 = b.g // 64 AND a.b // 64 = b.b // 64
+      | AND a.asset_id < b.asset_id
+      |WHERE abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b) <= 96
+      |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val raw = docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[RawAsset]
+    val feats = raw.mapPartitions(_.map(decodeAsset)).toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        shiftright(col("px_rgb"), 16).as("r"),
+        shiftright(col("px_rgb"), 8).bitwiseAND(lit(255L)).as("g"),
+        col("px_rgb").bitwiseAND(lit(255L)).as("b"))
+      .withColumn("bkt", concat_ws(":",
+        col("width"), col("height"),
+        shiftright(col("r"), 6), shiftright(col("g"), 6), shiftright(col("b"), 6)))
+    ScaleOps.guardBlockSize(feats, "bkt", "q18_image_dedup")
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(
+        col("asset_id"), col("r"), col("g"), col("b")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs,
+          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
+          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
+          |                        abs(x.r - y.r) + abs(x.g - y.g) + abs(x.b - y.b) AS dist))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
+        col("p.dist").cast("long").as("dist"))
+      .where(col("dist") <= 96)
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
   // ---- deterministic hash sampling: reproducible ~20% corpus subsets
   //      keyed on md5(doc_id) buckets — unlike rng-seeded sampleBy, the
   //      SAME documents are selected on any engine, any partitioning,
@@ -1434,7 +1502,7 @@ object TextQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample,
+    q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample, q18ImageDedup,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
     q18DomainMix, q18HeavyHitters,
