@@ -341,6 +341,22 @@ object TextQueries {
   //      per-partition streaming work, the bucket groupBy is one
   //      shuffle of 5-int signatures (not pixels), and pairs are
   //      bucket-local. ----
+  /** Decoded image signature frame: (asset_id, width, height, r, g, b,
+    * bkt) from a (asset_id, kind, bytes) asset frame — real ImageIO
+    * decode, bucket = exact dims + 2-bit-quantized color. Shared by
+    * q18_image_dedup and the streaming ImageDupStream twin. */
+  private[graft] def imageFeatures(assets: DataFrame): DataFrame =
+    assets.as[RawAsset](org.apache.spark.sql.Encoders.product[RawAsset])
+      .mapPartitions(_.map(decodeAsset))(
+        org.apache.spark.sql.Encoders.product[DecodedAsset]).toDF()
+      .select(col("asset_id"), col("width"), col("height"),
+        shiftright(col("px_rgb"), 16).as("r"),
+        shiftright(col("px_rgb"), 8).bitwiseAND(lit(255L)).as("g"),
+        col("px_rgb").bitwiseAND(lit(255L)).as("b"))
+      .withColumn("bkt", concat_ws(":",
+        col("width"), col("height"),
+        shiftright(col("r"), 6), shiftright(col("g"), 6), shiftright(col("b"), 6)))
+
   val q18ImageDedup: QueryDef = QueryDef(
     "q18_image_dedup",
     """WITH hx AS (SELECT '0123456789abcdef' AS hd),
@@ -360,19 +376,9 @@ object TextQueries {
       | AND a.asset_id < b.asset_id
       |WHERE abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b) <= 96
       |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val raw = docs(spark, dir)
+    val feats = imageFeatures(docs(spark, dir)
       .select(col("doc_id").as("asset_id"), col("source").as("kind"),
-        col("text").cast("binary").as("bytes"))
-      .as[RawAsset]
-    val feats = raw.mapPartitions(_.map(decodeAsset)).toDF()
-      .select(col("asset_id"), col("width"), col("height"),
-        shiftright(col("px_rgb"), 16).as("r"),
-        shiftright(col("px_rgb"), 8).bitwiseAND(lit(255L)).as("g"),
-        col("px_rgb").bitwiseAND(lit(255L)).as("b"))
-      .withColumn("bkt", concat_ws(":",
-        col("width"), col("height"),
-        shiftright(col("r"), 6), shiftright(col("g"), 6), shiftright(col("b"), 6)))
+        col("text").cast("binary").as("bytes")))
     ScaleOps.guardBlockSize(feats, "bkt", "q18_image_dedup")
       .groupBy(col("bkt"))
       .agg(sort_array(collect_list(struct(

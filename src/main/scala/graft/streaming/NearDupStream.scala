@@ -60,16 +60,18 @@ object NearDupStream {
     }
   }
 
-  /** Process one micro-batch: returns the kept (doc_id, text) frame
-    * and persists kept docs + their buckets. Exposed for direct batch
-    * use and tests; `start` wires it into foreachBatch. */
-  def processBatch(batch: DataFrame, batchId: Long,
+  /** Process one micro-batch under an arbitrary signature function
+    * (docs → (doc_id, band, bucket)): the whole drop/persist/marker
+    * protocol is signature-agnostic, so modality twins (ImageDupStream)
+    * reuse it verbatim with their own bucketing. */
+  private[streaming] def processBatchWith(signature: DataFrame => DataFrame)(
+      batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String): Unit = {
     val spark = batch.sparkSession
     val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
     if (Files.exists(marker)) return // redelivered batch: no-op
     val docs = batch.select(col("doc_id"), col("text"))
-    val bands = bucketIndex(docs).localCheckpoint() // one LSH pass per batch
+    val bands = signature(docs).localCheckpoint() // one signature pass per batch
     val seen = readIndex(spark, indexDir, batchId)
     // drop if any bucket is in the corpus index, or holds a smaller
     // doc_id within this batch (deterministic under any partitioning)
@@ -91,14 +93,61 @@ object NearDupStream {
     Files.createFile(marker)
   }
 
-  /** Start the streaming near-dup filter over a (doc_id, text) stream. */
-  def start(docs: DataFrame, checkpointDir: String,
+  /** Minhash-LSH batch processing (the original surface). Exposed for
+    * direct batch use and tests; `start` wires it into foreachBatch. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String): Unit =
+    processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir)
+
+  private[streaming] def startWith(signature: DataFrame => DataFrame)(
+      docs: DataFrame, checkpointDir: String,
       indexDir: String, keptDir: String): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processBatch(batch.toDF(), batchId, indexDir, keptDir)
+        processBatchWith(signature)(batch.toDF(), batchId, indexDir, keptDir)
       }
       .start()
+
+  /** Start the streaming near-dup filter over a (doc_id, text) stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String): StreamingQuery =
+    startWith(bucketIndex)(docs, checkpointDir, indexDir, keptDir)
+}
+
+/** The image-modality twin of [[NearDupStream]]: each micro-batch's
+  * assets are REALLY decoded (the q18_image_dedup ImageIO path) and
+  * dropped if their (dims, 2-bit-color) bucket collides with the
+  * ever-growing persisted index — streaming near-dup for images, on
+  * the exact batch protocol NearDupStream proves out (parquet bucket
+  * index, batch-scoped overwrite subdirs, marker-file idempotency).
+  * Single band: the image signature is one bucket per asset, so "any
+  * band collides" degenerates to "the bucket collides". Pessimistic
+  * in-batch ties (bucket-min survives) and no L1 confirm stage — the
+  * stream gate is the candidate filter; borderline pairs that need
+  * the exact distance go to the batch q18_image_dedup operator, the
+  * same division of labor as NearDupStream vs the batch CC resolver.
+  */
+object ImageDupStream {
+
+  /** (doc_id, band, bucket) from real image decode of a
+    * (doc_id, text) frame (bytes = utf-8 of text, the multimodal
+    * fixture convention). */
+  private def imageBuckets(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.imageFeatures(
+      docs.select(col("doc_id").as("asset_id"), lit("img").as("kind"),
+        col("text").cast("binary").as("bytes")))
+      .select(col("asset_id").as("doc_id"), lit(0).as("band"),
+        col("bkt").as("bucket"))
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String): Unit =
+    NearDupStream.processBatchWith(imageBuckets)(batch, batchId, indexDir, keptDir)
+
+  /** Start the streaming image near-dup filter over a (doc_id, text)
+    * asset stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String): StreamingQuery =
+    NearDupStream.startWith(imageBuckets)(docs, checkpointDir, indexDir, keptDir)
 }
