@@ -396,6 +396,169 @@ object TextQueries {
       .orderBy(col("asset_a"), col("asset_b"))
   }
 
+  // ---- audio modality: the third media type next to PNG (image) and
+  //      multi-frame GIF (video). The ingest fixture renders a REAL
+  //      RIFF/WAVE file (16-bit PCM mono, 16 kHz) whose length, pitch
+  //      and gain derive from the content hash; the decode side runs
+  //      the JDK's actual WAV parser (javax.sound.sampled) and computes
+  //      the classic audio features a curation pipeline wants — sample
+  //      count, duration, peak amplitude, zero-crossing count — by
+  //      scanning the decoded PCM. The oracle predicts every feature
+  //      from the hash formula WITHOUT seeing bytes, so the encoder →
+  //      decoder → feature-scan round trip is what the hash-match
+  //      checks (same contract as the ImageIO queries above). ----
+
+  /** Decoded audio features a real pipeline extracts per asset. */
+  final case class DecodedAudio(
+      asset_id: Long, n_bytes: Long, sample_rate: Int, n_samples: Long,
+      duration_ms: Long, peak: Long, zero_crossings: Long)
+
+  /** Deterministic audio-ingest fixture: a square wave of
+    * `(n0+1)*400` samples, half-period `(n1%8+2)*4` samples, amplitude
+    * `(n2+1)*2000` (n_i = i-th content-hash nibble), written through
+    * the JDK WAV encoder. Square waves make every feature exactly
+    * predictable: peak == amplitude, zero crossings ==
+    * (n-1) div halfPeriod. */
+  private def wavFor(hex: String): Array[Byte] = {
+    val n = (Integer.parseInt(hex.substring(0, 1), 16) + 1) * 400
+    val hp = (Integer.parseInt(hex.substring(1, 2), 16) % 8 + 2) * 4
+    val amp = (Integer.parseInt(hex.substring(2, 3), 16) + 1) * 2000
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = if ((i / hp) % 2 == 0) amp else -amp
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real WAV decode + feature scan: the JDK parser reads the RIFF
+    * header (format, frame length), then peak and zero-crossing count
+    * come from scanning the decoded 16-bit PCM — exactly the work a
+    * production feature extractor does per asset. */
+  private def decodeAudio(a: RawAsset): DecodedAudio = {
+    val wav = wavFor(md5Hex(a.bytes))
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val n = ais.getFrameLength.toInt
+    val sr = ais.getFormat.getSampleRate.toInt
+    val pcm = ais.readAllBytes()
+    ais.close()
+    var peak = 0L
+    var crossings = 0L
+    var prev = 0
+    var i = 0
+    while (i < n) {
+      val v = (pcm(2 * i + 1).toInt << 8) | (pcm(2 * i) & 0xff)
+      val a0 = if (v < 0) -v.toLong else v.toLong
+      if (a0 > peak) peak = a0
+      if (i > 0 && ((v < 0) != (prev < 0))) crossings += 1
+      prev = v
+      i += 1
+    }
+    DecodedAudio(a.asset_id, wav.length.toLong, sr, n.toLong,
+      n.toLong * 1000L / sr, peak, crossings)
+  }
+
+  val q18AudioFeatures: QueryDef = QueryDef(
+    "q18_audio_features",
+    """WITH hx AS (SELECT '0123456789abcdef' AS hd),
+      |f AS (
+      |  SELECT doc_id AS asset_id,
+      |         strpos(hd, substr(h, 1, 1)) * 400 AS n_samples,
+      |         ((strpos(hd, substr(h, 2, 1)) - 1) % 8 + 2) * 4 AS hp,
+      |         strpos(hd, substr(h, 3, 1)) * 2000 AS amp
+      |  FROM (SELECT doc_id, md5(text) AS h FROM documents), hx)
+      |SELECT asset_id,
+      |       CAST(44 + 2 * n_samples AS BIGINT) AS n_bytes,
+      |       16000 AS sample_rate,
+      |       CAST(n_samples AS BIGINT) AS n_samples,
+      |       CAST(n_samples // 16 AS BIGINT) AS duration_ms,
+      |       CAST(amp AS BIGINT) AS peak,
+      |       CAST((n_samples - 1) // hp AS BIGINT) AS zero_crossings
+      |FROM f
+      |ORDER BY asset_id""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source").as("kind"),
+        col("text").cast("binary").as("bytes"))
+      .as[RawAsset]
+      .mapPartitions(_.map(decodeAudio))
+      .toDF()
+      .orderBy(col("asset_id"))
+  }
+
+  /** Decoded audio signature frame for near-dup: bucket = exact
+    * (n_samples, zero_crossings) — same length, same pitch — plus the
+    * peak quantized to 8192-wide gain cells. Shared with the streaming
+    * twin. */
+  private[graft] def audioFeatures(assets: DataFrame): DataFrame =
+    assets.as[RawAsset](org.apache.spark.sql.Encoders.product[RawAsset])
+      .mapPartitions(_.map(decodeAudio))(
+        org.apache.spark.sql.Encoders.product[DecodedAudio]).toDF()
+      .select(col("asset_id"), col("n_samples"), col("zero_crossings"),
+        col("peak"))
+      .withColumn("bkt", concat_ws(":",
+        col("n_samples"), col("zero_crossings"),
+        (col("peak") / 8192).cast("long")))
+
+  // ---- audio near-dup: the dedup family extended to the AUDIO
+  //      modality — "same recording at a different gain". Candidates
+  //      come from an LSH-style equi-bucket on the decoded signature
+  //      (exact sample count + zero-crossing count, peak quantized to
+  //      2-bit gain cells); an exact gain-delta check confirms inside
+  //      the bucket. Banded semantics: a pair straddling a gain-cell
+  //      boundary is missed by design; the |block|² blowup is guarded
+  //      (ScaleOps.guardBlockSize) and only bucket-local pairs are ever
+  //      enumerated — never an asset self-join. At 100 TB the decode is
+  //      per-partition streaming work and the bucket shuffle carries
+  //      4-long signatures, not PCM. ----
+  val q18AudioDedup: QueryDef = QueryDef(
+    "q18_audio_dedup",
+    """WITH hx AS (SELECT '0123456789abcdef' AS hd),
+      |f AS (
+      |  SELECT doc_id AS asset_id,
+      |         strpos(hd, substr(h, 1, 1)) * 400 AS n_samples,
+      |         ((strpos(hd, substr(h, 2, 1)) - 1) % 8 + 2) * 4 AS hp,
+      |         strpos(hd, substr(h, 3, 1)) * 2000 AS amp
+      |  FROM (SELECT doc_id, md5(text) AS h FROM documents), hx)
+      |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |       CAST(abs(a.amp - b.amp) AS BIGINT) AS gain_delta
+      |FROM f a JOIN f b
+      |  ON a.n_samples = b.n_samples
+      | AND (a.n_samples - 1) // a.hp = (b.n_samples - 1) // b.hp
+      | AND a.amp // 8192 = b.amp // 8192
+      | AND a.asset_id < b.asset_id
+      |WHERE abs(a.amp - b.amp) <= 4000
+      |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
+    val feats = audioFeatures(docs(spark, dir)
+      .select(col("doc_id").as("asset_id"), col("source").as("kind"),
+        col("text").cast("binary").as("bytes")))
+    ScaleOps.guardBlockSize(feats, "bkt", "q18_audio_dedup")
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(
+        col("asset_id"), col("peak")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs,
+          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
+          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
+          |                        abs(x.peak - y.peak) AS gain_delta))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
+        col("p.gain_delta").cast("long").as("gain_delta"))
+      .where(col("gain_delta") <= 4000)
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
   // ---- deterministic hash sampling: reproducible ~20% corpus subsets
   //      keyed on md5(doc_id) buckets — unlike rng-seeded sampleBy, the
   //      SAME documents are selected on any engine, any partitioning,
@@ -1509,6 +1672,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample, q18ImageDedup,
+    q18AudioFeatures, q18AudioDedup,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
     q18DomainMix, q18HeavyHitters,

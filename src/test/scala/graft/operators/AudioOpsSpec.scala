@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks for the audio-modality operators: the registered
+  * queries (same code path as Verify/Bench) run the REAL JDK WAV
+  * encode → decode → PCM feature scan; the spec recomputes the
+  * expected features straight from the content-hash formula — so any
+  * divergence in the codec round trip (header layout, endianness,
+  * sign handling, crossing count) fails the comparison. */
+class AudioOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-audio-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  // enough docs that the 512-ish bucket space yields real dup pairs
+  private val corpus: Seq[(Long, String, String, String)] =
+    (1L to 400L).map(i => (i, s"audio fixture doc $i with words " +
+      (1 to (i % 7 + 3).toInt).map(j => s"w$j").mkString(" "), "en", s"s${i % 3}"))
+
+  private def writeCorpus(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("audioops").toString
+    import spark.implicits._
+    corpus.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** The fixture formula, independent of the WAV path. */
+  private def sig(text: String): (Long, Long, Long, Long) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = (Integer.parseInt(hex.substring(0, 1), 16) + 1) * 400L
+    val hp = (Integer.parseInt(hex.substring(1, 2), 16) % 8 + 2) * 4L
+    val amp = (Integer.parseInt(hex.substring(2, 3), 16) + 1) * 2000L
+    (n, hp, amp, (n - 1) / hp)
+  }
+
+  test("q18_audio_features: WAV round trip reproduces the hash-predicted features") {
+    val dir = writeCorpus()
+    val got = TextQueries.q18AudioFeatures.build(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got.size == corpus.size)
+    corpus.foreach { case (id, text, _, _) =>
+      val (n, _, amp, z) = sig(text)
+      assert(got(id) == ((44 + 2 * n, 16000, n, n / 16, amp, z)),
+        s"doc $id features diverged")
+    }
+  }
+
+  test("q18_audio_dedup matches a brute-force O(n²) pair scan") {
+    val dir = writeCorpus()
+    val sigs = corpus.map { case (id, text, _, _) => id -> sig(text) }
+    val expected = (for {
+      (a, (na, _, ampA, za)) <- sigs
+      (b, (nb, _, ampB, zb)) <- sigs
+      if a < b && na == nb && za == zb &&
+        ampA / 8192 == ampB / 8192 && math.abs(ampA - ampB) <= 4000
+    } yield (a, b, math.abs(ampA - ampB))).sorted
+    val got = TextQueries.q18AudioDedup.build(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(expected.nonEmpty, "test corpus produced no dup pairs — weak test")
+    assert(got == expected)
+  }
+}
