@@ -151,3 +151,35 @@ object ImageDupStream {
       indexDir: String, keptDir: String): StreamingQuery =
     NearDupStream.startWith(imageBuckets)(docs, checkpointDir, indexDir, keptDir)
 }
+
+/** The audio-modality twin of [[NearDupStream]]: each micro-batch's
+  * assets are REALLY decoded (the q18_audio_dedup WAV path — JDK
+  * parser + PCM feature scan) and dropped if their
+  * (n_samples, zero_crossings, gain-cell) bucket collides with the
+  * ever-growing persisted index. Same single-band degeneration,
+  * pessimistic in-batch ties, and batch-operator division of labor as
+  * ImageDupStream: the stream gate filters candidates, the exact
+  * gain-delta confirm lives in batch q18_audio_dedup.
+  */
+object AudioDupStream {
+
+  /** (doc_id, band, bucket) from real WAV decode of a (doc_id, text)
+    * frame (bytes = utf-8 of text, the multimodal fixture
+    * convention). */
+  private def audioBuckets(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.audioFeatures(
+      docs.select(col("doc_id").as("asset_id"), lit("wav").as("kind"),
+        col("text").cast("binary").as("bytes")))
+      .select(col("asset_id").as("doc_id"), lit(0).as("band"),
+        col("bkt").as("bucket"))
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String): Unit =
+    NearDupStream.processBatchWith(audioBuckets)(batch, batchId, indexDir, keptDir)
+
+  /** Start the streaming audio near-dup filter over a (doc_id, text)
+    * asset stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String): StreamingQuery =
+    NearDupStream.startWith(audioBuckets)(docs, checkpointDir, indexDir, keptDir)
+}
