@@ -1395,9 +1395,60 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- quality-aware survivor resolution: the near-dup collapse rule
+  //      production pipelines actually want — when two documents LSH-
+  //      collide, KEEP THE BETTER ONE (here: the longer text; ties keep
+  //      the smaller doc_id), not blindly the lowest id. Greedy and
+  //      pairwise-deterministic: a doc drops if ANY candidate neighbor
+  //      beats it, so the survivor set is order-independent under any
+  //      partitioning. Reuses the session band index (one LSH pipeline
+  //      per corpus, shared with sig/pairs/CC/PageRank); the loser set
+  //      is ∝ duplicate density, so the resolve join is carried by the
+  //      planner's own broadcast-vs-shuffle estimate — no hint. ----
+  val q18ResolveQuality: QueryDef = QueryDef(
+    "q18_resolve_quality",
+    s"""WITH $minhashSql,
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |sc AS (SELECT doc_id, length(text) AS sc FROM documents),
+       |losers AS (
+       |  SELECT DISTINCT CASE WHEN la.sc > lb.sc THEN p.doc_b
+       |                       WHEN lb.sc > la.sc THEN p.doc_a
+       |                       ELSE p.doc_b END AS doc_id
+       |  FROM pairs p JOIN sc la ON p.doc_a = la.doc_id
+       |               JOIN sc lb ON p.doc_b = lb.doc_id)
+       |SELECT d.source, count(*) AS n_total,
+       |       count(l.doc_id) AS n_dropped,
+       |       CAST(sum(CASE WHEN l.doc_id IS NULL THEN length(d.text) END)
+       |            AS BIGINT) AS kept_chars
+       |FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+       |GROUP BY d.source
+       |ORDER BY d.source""".stripMargin) { (spark, dir) =>
+    val d = docs(spark, dir)
+    val sc = d.select(col("doc_id"), length(col("text")).as("sc"))
+    val pairs = bucketPairs(bandIndex(spark, dir, dupes = false))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val losers = pairs
+      .join(sc.select(col("doc_id").as("doc_a"), col("sc").as("sc_a")), Seq("doc_a"))
+      .join(sc.select(col("doc_id").as("doc_b"), col("sc").as("sc_b")), Seq("doc_b"))
+      .select(when(col("sc_a") > col("sc_b"), col("doc_b"))
+        .when(col("sc_b") > col("sc_a"), col("doc_a"))
+        .otherwise(col("doc_b")).as("loser_id"))
+      .distinct()
+    d.join(losers, col("doc_id") === col("loser_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        count(col("loser_id")).as("n_dropped"),
+        sum(when(col("loser_id").isNull, length(col("text"))))
+          .cast("long").as("kept_chars"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
-    q18DedupResolve, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
+    q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim)
 }
