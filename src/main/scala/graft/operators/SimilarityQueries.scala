@@ -973,11 +973,16 @@ object SimilarityQueries {
   //      propagation over the edge set — labels only decrease, each
   //      round is one shuffle join + a map-side-combinable min, and
   //      convergence (sum of labels stable) is a driver-checked
-  //      aggregate, never collected data. Duplicate clusters have tiny
-  //      diameter, so this converges in 2-4 rounds; for long-chain
-  //      graphs the same loop upgrades to alternating large/small-star
-  //      contraction without changing the result. Oracle: DuckDB
-  //      recursive CTE computing min reachable label. ----
+  //      aggregate, never collected data. Edge generation is per-bucket
+  //      STARS (bucket-min — member): connectivity-equivalent to the
+  //      all-pairs bucket clique but linear in bucket size, so the LSH
+  //      candidate graph never materializes a |B|² pair set here at
+  //      all. Duplicate clusters arrive already star-shaped and settle
+  //      in the first contraction round; for long-chain graphs the
+  //      alternating large/small-star loop handles the general case
+  //      without changing the result. Oracle: DuckDB recursive CTE
+  //      computing min reachable label over the PAIR graph — equal
+  //      components by the clique/star equivalence. ----
   val q18CcDedup: QueryDef = QueryDef(
     "q18_cc_dedup",
     s"""WITH RECURSIVE $withDupesSql,
@@ -1012,8 +1017,22 @@ object SimilarityQueries {
        |FROM comp
        |GROUP BY component
        |ORDER BY component""".stripMargin) { (spark, dir) =>
-    val edges = bucketPairs(bandIndex(spark, dir, dupes = true))
-      .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+    // Bucket-STAR edges, not bucket-pair edges (round-11): all-pairs
+    // edges inside a bucket and star edges (bucket-min — member) have
+    // IDENTICAL connectivity — a bucket is one clique either way, and
+    // the node set (docs sharing any bucket of size ≥ 2) is the same —
+    // but the star generator emits Σ|B| edges instead of Σ|B|², so no
+    // quadratic candidate volume exists to guard, and the contraction
+    // starts from per-bucket stars (duplicate clusters converge in the
+    // first round instead of 2-4). The oracle's recursive CTE walks
+    // the pair graph; components are provably equal.
+    val bands = bandIndex(spark, dir, dupes = true)
+    val mins = bands.groupBy(col("band"), col("bucket"))
+      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
+      .where(col("n") > 1)
+    val edges = bands.join(mins, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("a"))
+      .select(col("a"), col("doc_id").as("b")).distinct()
     componentsFromEdges(edges)
       .orderBy(col("component"))
   }

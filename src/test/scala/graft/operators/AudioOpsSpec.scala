@@ -78,4 +78,23 @@ class AudioOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.nonEmpty, "test corpus produced no dup pairs — weak test")
     assert(got == expected)
   }
+
+  test("decoded-feature caches: reps don't re-decode or grow the RDD registry") {
+    val dir = writeCorpus()
+    def live = spark.sparkContext.getPersistentRDDs.keySet
+    // first pass populates the per-(session, corpus) feature caches
+    val r1a = TextQueries.q18AudioFeatures.build(spark, dir).count()
+    val r1b = TextQueries.q18AudioDedup.build(spark, dir).count()
+    val r1c = TextQueries.q18ImageDedup.build(spark, dir).count()
+    val afterFirst = live
+    // repeat reps (the bench shape): results identical, and the cached
+    // decoded frames are REUSED — zero new persistent RDDs
+    for (_ <- 1 to 2) {
+      assert(TextQueries.q18AudioFeatures.build(spark, dir).count() == r1a)
+      assert(TextQueries.q18AudioDedup.build(spark, dir).count() == r1b)
+      assert(TextQueries.q18ImageDedup.build(spark, dir).count() == r1c)
+    }
+    assert(live == afterFirst,
+      s"feature caches grew across reps: ${live -- afterFirst}")
+  }
 }
