@@ -1022,17 +1022,30 @@ object SimilarityQueries {
     // IDENTICAL connectivity — a bucket is one clique either way, and
     // the node set (docs sharing any bucket of size ≥ 2) is the same —
     // but the star generator emits Σ|B| edges instead of Σ|B|², so no
-    // quadratic candidate volume exists to guard, and the contraction
-    // starts from per-bucket stars (duplicate clusters converge in the
-    // first round instead of 2-4). The oracle's recursive CTE walks
-    // the pair graph; components are provably equal.
+    // quadratic candidate volume exists to guard. Plain stars DOUBLE
+    // the graph diameter vs cliques (two docs in sibling buckets are 4
+    // hops apart instead of 2), which the min-guard caught as 2× more
+    // contraction rounds at 10× — so each doc also links its own
+    // buckets' minima together (≤ bands-1 extra edges per doc, still
+    // linear): the shortcut restores clique-like diameter and the
+    // components are unchanged (every added edge connects nodes
+    // already connected through the doc itself). The oracle's
+    // recursive CTE walks the pair graph; components are provably
+    // equal.
     val bands = bandIndex(spark, dir, dupes = true)
     val mins = bands.groupBy(col("band"), col("bucket"))
-      .agg(min(col("doc_id")).as("a"), count(lit(1)).as("n"))
+      .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
       .where(col("n") > 1)
-    val edges = bands.join(mins, Seq("band", "bucket"))
-      .where(col("doc_id") =!= col("a"))
-      .select(col("a"), col("doc_id").as("b")).distinct()
+    val withMin = bands.join(mins, Seq("band", "bucket"))
+    val starEdges = withMin
+      .where(col("doc_id") =!= col("m"))
+      .select(col("m").as("a"), col("doc_id").as("b"))
+    val minLinks = withMin
+      .groupBy(col("doc_id"))
+      .agg(min(col("m")).as("a"), collect_set(col("m")).as("ms"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a") =!= col("b"))
+    val edges = starEdges.union(minLinks).distinct()
     componentsFromEdges(edges)
       .orderBy(col("component"))
   }
