@@ -63,10 +63,24 @@ object NearDupStream {
   /** Process one micro-batch under an arbitrary signature function
     * (docs → (doc_id, band, bucket)): the whole drop/persist/marker
     * protocol is signature-agnostic, so modality twins (ImageDupStream)
-    * reuse it verbatim with their own bucketing. */
+    * reuse it verbatim with their own bucketing.
+    *
+    * The gate is a lossy CANDIDATE FILTER, not a candidate generator:
+    * a bucket collision drops the doc without the exact confirm the
+    * batch operators run (gain-delta for audio, edit/containment for
+    * text), so a collision the confirm would REJECT is still dropped.
+    * With `quarantineDir` set, every dropped doc lands in
+    * `$quarantineDir/batch=N` with its id and a drop reason
+    * (`corpus_index` = collided with the persisted index,
+    * `batch_min` = lost an in-batch bucket tie), so the batch
+    * resolver can re-run the exact confirm over quarantined docs and
+    * re-admit false positives — nothing is silently destroyed. The
+    * subdir is batch-scoped-overwrite like kept/index, so crash-redo
+    * idempotency covers it too. */
   private[streaming] def processBatchWith(signature: DataFrame => DataFrame)(
       batch: DataFrame, batchId: Long,
-      indexDir: String, keptDir: String): Unit = {
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
     if (Files.exists(marker)) return // redelivered batch: no-op
@@ -86,6 +100,16 @@ object NearDupStream {
     val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
     // batch-scoped subdirs make a redone batch overwrite, not double
     kept.write.mode(SaveMode.Overwrite).parquet(s"$keptDir/batch=$batchId")
+    quarantineDir.foreach { qd =>
+      // index collisions outrank in-batch ties when both apply: the
+      // corpus side is the one the exact confirm must consult
+      docs.join(dropped, Seq("doc_id"), "left_semi")
+        .join(inIndex.select(col("doc_id"), lit("corpus_index").as("reason")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("reason"), lit("batch_min")).as("reason"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
+    }
     bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("band"), col("bucket")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
@@ -96,24 +120,29 @@ object NearDupStream {
   /** Minhash-LSH batch processing (the original surface). Exposed for
     * direct batch use and tests; `start` wires it into foreachBatch. */
   def processBatch(batch: DataFrame, batchId: Long,
-      indexDir: String, keptDir: String): Unit =
-    processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   private[streaming] def startWith(signature: DataFrame => DataFrame)(
       docs: DataFrame, checkpointDir: String,
-      indexDir: String, keptDir: String): StreamingQuery =
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processBatchWith(signature)(batch.toDF(), batchId, indexDir, keptDir)
+        processBatchWith(signature)(batch.toDF(), batchId, indexDir, keptDir, quarantineDir)
       }
       .start()
 
-  /** Start the streaming near-dup filter over a (doc_id, text) stream. */
+  /** Start the streaming near-dup filter over a (doc_id, text) stream.
+    * With `quarantineDir`, dropped docs are recorded with their drop
+    * reason instead of silently excluded (see [[processBatchWith]]). */
   def start(docs: DataFrame, checkpointDir: String,
-      indexDir: String, keptDir: String): StreamingQuery =
-    startWith(bucketIndex)(docs, checkpointDir, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    startWith(bucketIndex)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
 
 /** The image-modality twin of [[NearDupStream]]: each micro-batch's
@@ -142,14 +171,17 @@ object ImageDupStream {
         col("bkt").as("bucket"))
 
   def processBatch(batch: DataFrame, batchId: Long,
-      indexDir: String, keptDir: String): Unit =
-    NearDupStream.processBatchWith(imageBuckets)(batch, batchId, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(imageBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming image near-dup filter over a (doc_id, text)
-    * asset stream. */
+    * asset stream. With `quarantineDir`, dropped assets are recorded
+    * with their drop reason for batch-side exact re-confirmation. */
   def start(docs: DataFrame, checkpointDir: String,
-      indexDir: String, keptDir: String): StreamingQuery =
-    NearDupStream.startWith(imageBuckets)(docs, checkpointDir, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(imageBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
 
 /** The audio-modality twin of [[NearDupStream]]: each micro-batch's
@@ -174,12 +206,17 @@ object AudioDupStream {
         col("bkt").as("bucket"))
 
   def processBatch(batch: DataFrame, batchId: Long,
-      indexDir: String, keptDir: String): Unit =
-    NearDupStream.processBatchWith(audioBuckets)(batch, batchId, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(audioBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming audio near-dup filter over a (doc_id, text)
-    * asset stream. */
+    * asset stream. With `quarantineDir`, dropped assets are recorded
+    * with their drop reason — assets in the same gain cell whose
+    * delta the batch q18_audio_dedup confirm would REJECT are
+    * re-admittable from quarantine instead of silently lost. */
   def start(docs: DataFrame, checkpointDir: String,
-      indexDir: String, keptDir: String): StreamingQuery =
-    NearDupStream.startWith(audioBuckets)(docs, checkpointDir, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(audioBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }

@@ -467,12 +467,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val indexDir = tmp("nd-index"); val keptDir = tmp("nd-kept")
+    val quarDir = tmp("nd-quar")
     val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
 
     val input = MemoryStream[(Long, String)]
     val q = NearDupStream.start(input.toDS().toDF("doc_id", "text"),
-      tmp("cp-neardup"), indexDir, keptDir)
+      tmp("cp-neardup"), indexDir, keptDir, Some(quarDir))
     input.addData(originals.toIndexedSeq); q.processAllAvailable()
     val keptBatch1 = spark.read.parquet(keptDir).count()
     // batch 2: exact copies under new ids — identical shingles, same
@@ -497,15 +498,30 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet
     assert(kept1 == originals.map(_._1).toSet -- shouldDrop)
 
+    // quarantine accounts for every gated doc: nothing is silently
+    // destroyed. Batch 1 drops are in-batch bucket ties; batch 2
+    // drops all collided with the persisted corpus index.
+    val quar0 = spark.read.parquet(s"$quarDir/batch=0")
+      .select(col("doc_id"), col("reason")).as[(Long, String)].collect()
+    assert(quar0.map(_._1).toSet == shouldDrop)
+    assert(quar0.forall(_._2 == "batch_min"))
+    val quar1 = spark.read.parquet(s"$quarDir/batch=1")
+      .select(col("doc_id"), col("reason")).as[(Long, String)].collect()
+    assert(quar1.map(_._1).toSet == originals.map(_._1 + 1000000L).toSet)
+    assert(quar1.forall(_._2 == "corpus_index"))
+
     // crash-redo probe: re-running a committed batch is a no-op, and a
-    // batch whose marker is missing redoes idempotently (overwrite)
+    // batch whose marker is missing redoes idempotently (overwrite) —
+    // the quarantine subdir included
     val batch1Df = originals.toSeq.toDF("doc_id", "text")
-    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir) // marker exists
+    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir, Some(quarDir)) // marker exists
     assert(spark.read.parquet(s"$keptDir/batch=0").count() == kept1.size.toLong)
     java.nio.file.Files.delete(java.nio.file.Paths.get(s"$indexDir/_batches/batch-0"))
-    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir) // full redo
+    NearDupStream.processBatch(batch1Df, 0L, indexDir, keptDir, Some(quarDir)) // full redo
     assert(spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
       .as[Long].collect().toSet == kept1)
+    assert(spark.read.parquet(s"$quarDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet == shouldDrop)
   }
 
   test("ImageDupStream: decoded-bucket index drops image near-dups across batches, idempotent redo") {
@@ -560,12 +576,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
     val indexDir = tmp("wav-index"); val keptDir = tmp("wav-kept")
+    val quarDir = tmp("wav-quar")
     val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
       .select(col("doc_id"), col("text")).as[(Long, String)].collect()
 
     val input = MemoryStream[(Long, String)]
     val q = AudioDupStream.start(input.toDS().toDF("doc_id", "text"),
-      tmp("cp-wavdup"), indexDir, keptDir)
+      tmp("cp-wavdup"), indexDir, keptDir, Some(quarDir))
     input.addData(originals.toIndexedSeq); q.processAllAvailable()
     val keptBatch1 = spark.read.parquet(keptDir).count()
     // batch 2: identical bytes under new ids — identical decoded
@@ -592,6 +609,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept1 == originals.map(_._1).toSet -- shouldDrop)
     // the fixture must actually exercise the drop path
     assert(shouldDrop.nonEmpty && kept1.nonEmpty)
+
+    // the gate is lossy (no gain-delta confirm) but not destructive:
+    // the quarantine holds exactly the gated assets with their drop
+    // reason, so the batch resolver can re-run the exact confirm on
+    // (quarantined × kept) within a bucket and re-admit pairs the
+    // confirm rejects — nothing the stream drops is unrecoverable
+    val quar0 = spark.read.parquet(s"$quarDir/batch=0")
+      .select(col("doc_id"), col("reason")).as[(Long, String)].collect()
+    assert(quar0.map(_._1).toSet == shouldDrop)
+    assert(quar0.forall(_._2 == "batch_min"))
 
     // crash-redo probe: committed batch no-ops; marker-less batch
     // redoes idempotently
