@@ -1,0 +1,284 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lease-based change-feed processing over a partitioned feed — the
+  * Spark-native form of the reference's CosmosStoreSource /
+  * ChangeFeedProcessor
+  * (src/Propulsion.CosmosStore/ChangeFeedProcessor.fs:7-81,
+  * CosmosStoreSource.fs:8-63, FeedObserver.fs:26,121-176).
+  *
+  * The reference delegates the distributed-coordination half to the
+  * Cosmos SDK's ChangeFeedProcessorBuilder: a LEASE container holds one
+  * lease per token range, competing processor INSTANCES acquire
+  * expired/unowned leases and steal for even distribution, a handler
+  * receives batches with a MANUAL checkpoint callback (continuation
+  * token only advances when called → at-least-once), and a
+  * ChangeFeedEstimator reports per-range remaining work. Those
+  * semantics are re-expressed here against any shared filesystem:
+  *
+  *  - monitored feed = a parquet table carrying a token-range column
+  *    (`rangeCol`, hash-assigned — [[ChangeFeed.withRanges]]) and a
+  *    monotonically-increasing position (`posCol`); each poll is a
+  *    pruned, pushed-down scan `range = r AND pos > continuation` —
+  *    never a full-feed read;
+  *  - lease = one file per range in a [[LeaseStore]] holding
+  *    (owner, fence, expiresAt, continuation); every mutation is a
+  *    FENCED compare-and-swap keyed on (owner, fence) — the moral
+  *    equivalent of Cosmos' etag-conditional lease writes. A production
+  *    deployment swaps the atomic-rename file CAS for a conditional
+  *    PUT on an object store or a transactional table; the protocol is
+  *    unchanged;
+  *  - balancing: each instance bounds itself to
+  *    ceil(ranges / live-owners) leases, acquiring free ones first and
+  *    then stealing from owners holding more than their share — the
+  *    SDK's even-distribution rule
+  *    (ChangeFeedProcessor.fs:42-44 WithLeaseConfiguration). A stolen
+  *    or expired lease keeps its continuation, so ownership moves
+  *    without losing position;
+  *  - fencing: an instance discovers it lost a lease when the CAS
+  *    fails (fence moved on) and silently drops the range — a stale
+  *    owner can never overwrite the new owner's checkpoint, which is
+  *    exactly what the etag gives the reference;
+  *  - manual checkpointing: the handler gets
+  *    (ChangeFeedContext, batch, checkpoint); not calling checkpoint
+  *    redelivers the page on the next poll
+  *    (GetChangeFeedProcessorBuilderWithManualCheckpoint,
+  *    ChangeFeedProcessor.fs:20-29);
+  *  - `startFromTail` mirrors the reference's startFromTail vs
+  *    WithStartTime(MinValue) choice (ChangeFeedProcessor.fs:46);
+  *  - graceful `stop()` expires this instance's leases immediately so
+  *    peers take over on their next acquire pass (StopAsync →
+  *    lease release notifications, ChangeFeedProcessor.fs:76-78).
+  *
+  * Scale: lease traffic is O(nRanges) tiny files per poll (Cosmos
+  * physical partitions — tens, not thousands) and feed reads are
+  * per-range pruned scans executed by the cluster; the driver only ever
+  * sees per-range scalar aggregates (page max position / row count),
+  * the same shape as the reference's per-range continuation headers.
+  */
+object ChangeFeed {
+
+  /** Assign token ranges by key hash: the analogue of Cosmos' fixed
+    * hash-partitioned token-range space. Deterministic for a given
+    * key column and range count, so re-deriving the frame never moves
+    * a document between ranges. */
+  def withRanges(df: DataFrame, keyCol: String, nRanges: Int,
+      rangeCol: String = "range_id"): DataFrame =
+    df.withColumn(rangeCol, pmod(xxhash64(col(keyCol)), lit(nRanges)).cast("int"))
+}
+
+/** Per-range lease record: `fence` is a monotonic write counter (the
+  * etag analogue — every successful mutation bumps it), `continuation`
+  * the checkpointed feed position (reference: the ContinuationToken
+  * epoch, ChangeFeedProcessor.fs:24-25). */
+final case class LeaseState(rangeId: Int, owner: String, fence: Long,
+    expiresAtMs: Long, continuation: Long)
+
+/** Batch context handed to the handler — group/range/epoch mirror the
+  * reference's ChangeFeedContext (FeedObserver.fs:26). */
+final case class ChangeFeedContext(group: String, rangeId: Int, epoch: Long,
+    items: Long)
+
+/** One lease file per range; all mutations go through a fenced CAS
+  * (read → compare (owner, fence) → write temp → atomic rename).
+  * On a local/shared POSIX filesystem the rename is atomic; the
+  * read-compare-rename window is the documented local-FS caveat vs a
+  * true conditional write — the fence still detects every lost race
+  * after the fact (the loser's next CAS fails), so safety degrades to
+  * at-least-once, never to lost checkpoints. */
+final class LeaseStore(dir: String) {
+  Files.createDirectories(Paths.get(dir))
+
+  private def path(rangeId: Int): Path = Paths.get(dir, s"lease-$rangeId")
+
+  def read(rangeId: Int): Option[LeaseState] = {
+    val p = path(rangeId)
+    if (!Files.exists(p)) None
+    else {
+      val kv = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.map(_.split("=", 2))
+        .collect { case Array(k, v) => k -> v }.toMap
+      Some(LeaseState(rangeId, kv("owner"), kv("fence").toLong,
+        kv("expires").toLong, kv("continuation").toLong))
+    }
+  }
+
+  def readAll(nRanges: Int): Vector[Option[LeaseState]] =
+    (0 until nRanges).toVector.map(read)
+
+  /** Fenced CAS: succeeds only if the stored (owner, fence) still
+    * matches `expected` (None = no lease file yet). */
+  def tryWrite(expected: Option[LeaseState], next: LeaseState): Boolean = {
+    val cur = read(next.rangeId)
+    if (cur.map(l => (l.owner, l.fence)) != expected.map(l => (l.owner, l.fence))) false
+    else {
+      val tmp = Files.createTempFile(Paths.get(dir), s".lease-${next.rangeId}-", ".tmp")
+      Files.write(tmp,
+        s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\ncontinuation=${next.continuation}\n"
+          .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, path(next.rangeId), StandardCopyOption.ATOMIC_MOVE,
+        StandardCopyOption.REPLACE_EXISTING)
+      true
+    }
+  }
+}
+
+/** One processor INSTANCE (reference: leaseOwnerId / WithInstanceName,
+  * ChangeFeedProcessor.fs:45). Drive with repeated [[pollOnce]] (the
+  * host's poll loop — feedPollInterval in the reference); the clock is
+  * injected so tests exercise TTL expiry deterministically. */
+final class ChangeFeedProcessor(
+    spark: SparkSession,
+    feedDir: String, rangeCol: String, posCol: String, nRanges: Int,
+    leases: LeaseStore, group: String, ownerId: String,
+    leaseTtlMs: Long, maxItems: Int,
+    handler: (ChangeFeedContext, DataFrame, () => Unit) => Unit,
+    clock: () => Long,
+    startFromTail: Boolean = false) {
+
+  // rangeId -> the fence value we hold; losing a CAS (or seeing the
+  // fence moved) drops the entry — fencing makes stale ownership
+  // self-correcting
+  private var ownedFences = Map.empty[Int, Long]
+
+  def owned: Set[Int] = ownedFences.keySet
+
+  private def feed: DataFrame = spark.read.parquet(feedDir)
+
+  // startFromTail snapshot, taken once at instance start (reference:
+  // startFromTail → no WithStartTime; MessageDbSource.fs:79-81 is the
+  // same per-tranche max-position read). Driver sees nRanges scalars.
+  private lazy val tailPositions: Map[Int, Long] =
+    if (!startFromTail) Map.empty
+    else feed.groupBy(col(rangeCol)).agg(max(col(posCol)).as("mx"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  private def initialContinuation(rangeId: Int): Long =
+    tailPositions.getOrElse(rangeId, -1L)
+
+  /** Lease maintenance pass: drop fenced-off ranges, renew held
+    * leases, acquire free ones up to the fair share, then steal from
+    * surplus owners — the SDK's acquire/renew/steal cycle compressed
+    * into one deterministic pass per poll. */
+  private def maintainLeases(): Unit = {
+    val now = clock()
+    val before = leases.readAll(nRanges)
+    // detect losses: the fence moved on (stolen / expired and retaken)
+    ownedFences = ownedFences.filter { case (r, f) =>
+      before(r).exists(l => l.owner == ownerId && l.fence == f)
+    }
+    // renew what we still hold
+    for ((r, f) <- ownedFences) {
+      val cur = before(r).get
+      val next = cur.copy(fence = f + 1, expiresAtMs = now + leaseTtlMs)
+      if (leases.tryWrite(Some(cur), next)) ownedFences += r -> next.fence
+      else ownedFences -= r
+    }
+    val all = leases.readAll(nRanges)
+    val live = all.flatten.filter(_.expiresAtMs > now)
+    val owners = live.map(_.owner).toSet + ownerId
+    val fairShare = math.ceil(nRanges.toDouble / owners.size).toInt
+    // acquire unowned / expired ranges (continuation preserved)
+    var i = 0
+    while (ownedFences.size < fairShare && i < nRanges) {
+      if (!ownedFences.contains(i)) {
+        val cur = all(i)
+        if (cur.forall(_.expiresAtMs <= now)) {
+          val next = LeaseState(i, ownerId, cur.map(_.fence + 1).getOrElse(1L),
+            now + leaseTtlMs, cur.map(_.continuation).getOrElse(initialContinuation(i)))
+          if (leases.tryWrite(cur, next)) ownedFences += i -> next.fence
+        }
+      }
+      i += 1
+    }
+    // steal from owners above their share (even distribution; the
+    // victim's next renew CAS fails and it drops the range)
+    if (ownedFences.size < fairShare) {
+      val surplus = live.filter(_.owner != ownerId)
+        .groupBy(_.owner).valuesIterator
+        .flatMap(ls => ls.sortBy(_.rangeId).drop(fairShare))
+        .toVector.sortBy(_.rangeId)
+      for (l <- surplus if ownedFences.size < fairShare) {
+        val next = l.copy(owner = ownerId, fence = l.fence + 1,
+          expiresAtMs = now + leaseTtlMs)
+        if (leases.tryWrite(Some(l), next)) ownedFences += l.rangeId -> next.fence
+      }
+    }
+  }
+
+  /** One poll: maintain leases, then for each owned range read the
+    * next page past the checkpointed continuation and hand it to the
+    * handler with its manual-checkpoint callback. */
+  def pollOnce(): Unit = {
+    maintainLeases()
+    for (r <- ownedFences.keySet.toVector.sorted) {
+      val cont = leases.read(r)
+        .filter(l => l.owner == ownerId && ownedFences.get(r).contains(l.fence))
+        .map(_.continuation).getOrElse(-1L)
+      val page = feed
+        .where(col(rangeCol) === lit(r) && col(posCol) > lit(cont))
+        .orderBy(col(posCol)).limit(maxItems)
+      val head = page.agg(max(col(posCol)).as("mx"), count(lit(1)).as("n")).first()
+      if (!head.isNullAt(0)) {
+        val epoch = head.getLong(0)
+        val ctx = ChangeFeedContext(group, r, epoch, head.getLong(1))
+        val checkpoint: () => Unit = () => {
+          leases.read(r)
+            .filter(l => l.owner == ownerId && ownedFences.get(r).contains(l.fence))
+            .foreach { l =>
+              val next = l.copy(fence = l.fence + 1, continuation = epoch,
+                expiresAtMs = clock() + leaseTtlMs)
+              if (leases.tryWrite(Some(l), next)) ownedFences += r -> next.fence
+              else ownedFences -= r // fenced off mid-batch: new owner wins
+            }
+        }
+        handler(ctx, page, checkpoint)
+      }
+    }
+  }
+
+  /** Graceful shutdown: expire our leases NOW (continuation kept) so
+    * peers take over on their next acquire pass instead of waiting out
+    * the TTL. */
+  def stop(): Unit = {
+    for ((r, f) <- ownedFences) {
+      leases.read(r).filter(l => l.owner == ownerId && l.fence == f).foreach { l =>
+        leases.tryWrite(Some(l), l.copy(fence = f + 1, expiresAtMs = clock()))
+      }
+    }
+    ownedFences = Map.empty
+  }
+}
+
+/** Per-range remaining work = docs past the checkpointed continuation —
+  * the reference's GetChangeFeedEstimator / runEstimation
+  * (ChangeFeedProcessor.fs:52-67), as one pruned scan joined with the
+  * (broadcast, nRanges-row) lease snapshot. */
+object ChangeFeedEstimator {
+
+  /** (range_id, read_position, completed_position, gap) — gap in
+    * DOCUMENTS per range (the reference's EstimatedLag is an item
+    * count): one scan, counting rows past each range's continuation,
+    * sorted by range (the reference sorts estimator states the same
+    * way before reporting). */
+  def lag(spark: SparkSession, feedDir: String, rangeCol: String,
+      posCol: String, nRanges: Int, leases: LeaseStore): DataFrame = {
+    import spark.implicits._
+    val conts = leases.readAll(nRanges).flatten
+      .map(l => (l.rangeId, l.continuation)).toDF("r", "completed_position")
+    spark.read.parquet(feedDir)
+      .join(broadcast(conts), col(rangeCol) === col("r"), "left")
+      .groupBy(col(rangeCol).as("range_id"))
+      .agg(
+        max(col(posCol)).as("read_position"),
+        max(coalesce(col("completed_position"), lit(-1L))).as("completed_position"),
+        count(when(col(posCol) > coalesce(col("completed_position"), lit(-1L)), 1))
+          .as("gap"))
+      .orderBy(col("range_id"))
+  }
+}

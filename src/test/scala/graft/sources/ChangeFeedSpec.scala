@@ -1,0 +1,183 @@
+package graft.sources
+
+import graft.model.Envelope
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Lease-based change-feed processing (SURVEY §2.1 CosmosStoreSource:
+  * the reference wraps the Cosmos ChangeFeedProcessor — lease-balanced
+  * token ranges, manual checkpointing, lag estimation;
+  * src/Propulsion.CosmosStore/ChangeFeedProcessor.fs:7-81). The specs
+  * drive two competing instances against one lease store with an
+  * injected clock: fair-share split, fenced steal, manual-checkpoint
+  * redelivery, TTL failover with continuation handoff, and the
+  * estimator draining to zero. */
+class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-changefeed-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-cf-$tag").toString
+
+  private val N_RANGES = 4
+
+  /** events slice → a range-partitioned feed with event_id as the
+    * monotonic position. */
+  private def writeFeed(dir: String, limit: Int): Set[Long] = {
+    val feed = ChangeFeed.withRanges(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+        .orderBy(col("event_id")).limit(limit)
+        .select(col("event_id").cast("long").as("pos"),
+          col("user_id"), col("event_type")),
+      "user_id", N_RANGES)
+    feed.write.mode(SaveMode.Overwrite).partitionBy("range_id").parquet(dir)
+    import spark.implicits._
+    spark.read.parquet(dir).select("pos").as[Long].collect().toSet
+  }
+
+  /** Handler capturing processed positions per instance; checkpoints
+    * every batch unless told not to. */
+  private final class Capture(checkpointEvery: Boolean = true) {
+    val seen = collection.mutable.ArrayBuffer.empty[Long]
+    var batches = 0
+    def handler: (ChangeFeedContext, DataFrame, () => Unit) => Unit =
+      (ctx, page, checkpoint) => {
+        import spark.implicits._
+        val ps = page.select("pos").as[Long].collect()
+        assert(ps.nonEmpty && ps.max == ctx.epoch,
+          "epoch must be the page's max position")
+        seen ++= ps
+        batches += 1
+        if (checkpointEvery) checkpoint()
+      }
+  }
+
+  private def totalGap(feedDir: String, leases: LeaseStore): Long = {
+    import spark.implicits._
+    ChangeFeedEstimator.lag(spark, feedDir, "range_id", "pos", N_RANGES, leases)
+      .select("gap").as[Long].collect().sum
+  }
+
+  test("single instance drains the feed exactly once; estimator reaches zero") {
+    val feedDir = tmp("feed1"); val all = writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases1"))
+    var now = 1000L
+    val cap = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", leaseTtlMs = 60000L, maxItems = 25,
+      handler = cap.handler, clock = () => now)
+    var rounds = 0
+    while (totalGap(feedDir, leases) > 0 && rounds < 30) {
+      a.pollOnce(); now += 100; rounds += 1
+    }
+    assert(a.owned == (0 until N_RANGES).toSet, "sole instance owns every range")
+    assert(cap.seen.size == cap.seen.toSet.size, "no duplicate deliveries when every batch checkpoints")
+    assert(cap.seen.toSet == all, "every document delivered")
+    assert(totalGap(feedDir, leases) == 0L)
+    // paging actually happened (120 docs / 25 per page / 4 ranges)
+    assert(cap.batches > N_RANGES)
+  }
+
+  test("a second instance steals to an even split; fenced loser drops silently") {
+    val feedDir = tmp("feed2"); writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases2"))
+    var now = 1000L
+    val capA = new Capture(); val capB = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25, capA.handler, () => now)
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-B", 60000L, 25, capB.handler, () => now)
+    a.pollOnce() // alone: A takes all four ranges
+    assert(a.owned == (0 until N_RANGES).toSet)
+    b.pollOnce() // B sees two live owners → fair share 2 → steals 2
+    assert(b.owned.size == 2, s"B should steal to fair share, owned ${b.owned}")
+    a.pollOnce() // A's renew CAS fails on the stolen fences → drops them
+    assert(a.owned.size == 2)
+    assert((a.owned & b.owned).isEmpty, "fencing forbids shared ownership")
+    assert(a.owned ++ b.owned == (0 until N_RANGES).toSet)
+  }
+
+  test("manual checkpoint: an uncheckpointed page is redelivered; continuation survives failover") {
+    val feedDir = tmp("feed3"); val all = writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases3"))
+    var now = 1000L
+    // A checkpoints nothing: every poll redelivers the same first pages
+    val capA = new Capture(checkpointEvery = false)
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", leaseTtlMs = 5000L, maxItems = 25,
+      capA.handler, () => now)
+    a.pollOnce(); val firstPass = capA.seen.toVector
+    a.pollOnce()
+    assert(capA.seen.toVector == firstPass ++ firstPass,
+      "without checkpoint the same pages redeliver (at-least-once)")
+    assert(totalGap(feedDir, leases) == all.size.toLong, "continuations never advanced")
+
+    // now A checkpoints one round of pages, then vanishes (no renew)
+    val capA2 = new Capture()
+    val a2 = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A2", leaseTtlMs = 5000L, maxItems = 25,
+      capA2.handler, () => now)
+    a2.pollOnce()
+    val committed = capA2.seen.toSet
+    assert(committed.nonEmpty && totalGap(feedDir, leases) == (all.size - committed.size).toLong)
+
+    // TTL passes; B acquires the expired leases WITH A2's continuations
+    now += 10000L
+    val capB = new Capture()
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-B", leaseTtlMs = 5000L, maxItems = 25,
+      capB.handler, () => now)
+    var rounds = 0
+    while (totalGap(feedDir, leases) > 0 && rounds < 30) {
+      b.pollOnce(); now += 100; rounds += 1
+    }
+    assert(b.owned == (0 until N_RANGES).toSet, "expired leases all acquired")
+    assert(capB.seen.toSet == all -- committed,
+      "failover resumes from the checkpointed continuation — no loss, no re-read of committed pages")
+  }
+
+  test("graceful stop releases leases immediately and startFromTail skips the backlog") {
+    val feedDir = tmp("feed4"); val all = writeFeed(feedDir, 80)
+    val leases = new LeaseStore(tmp("leases4"))
+    var now = 1000L
+    val capA = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", leaseTtlMs = 60000L, maxItems = 100,
+      capA.handler, () => now)
+    a.pollOnce()
+    a.stop() // expires leases NOW — no TTL wait for the peer
+    assert(a.owned.isEmpty)
+    val capB = new Capture()
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-B", leaseTtlMs = 60000L, maxItems = 100,
+      capB.handler, () => now) // same clock instant: released ≠ TTL'd
+    b.pollOnce()
+    assert(b.owned == (0 until N_RANGES).toSet)
+    assert(capB.seen.isEmpty, "A checkpointed everything before stopping; B re-reads nothing")
+
+    // startFromTail: a fresh group's instance snapshots the tail and
+    // never sees the backlog
+    val tailLeases = new LeaseStore(tmp("leases4-tail"))
+    val capT = new Capture()
+    val t = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      tailLeases, "grp-tail", "instance-T", 60000L, 100, capT.handler,
+      () => now, startFromTail = true)
+    t.pollOnce()
+    assert(capT.seen.isEmpty, s"startFromTail must skip the ${all.size}-doc backlog")
+    assert(totalGap(feedDir, tailLeases) == 0L)
+  }
+}
