@@ -1082,6 +1082,39 @@ object SimilarityQueries {
     * On a multi-node cluster a long-running loop would use reliable
     * checkpoint() (localCheckpoint blocks die with their executor);
     * for this bounded loop the recompute window is seconds. */
+  /** Exact connected components of a small edge frame in one executor
+    * task: min-rooted union-find with path compression over the
+    * coalesced edges, returning (a = node, b = component min) — the
+    * same star-union shape the distributed contraction converges to,
+    * so the downstream labeling is shared. Used by
+    * [[componentsFromEdges]] below its local-finish gate; a LongMap
+    * over 2M edges is ~32 MB, comfortably one task. */
+  private[operators] def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val nodes = scala.collection.mutable.LongMap.empty[Unit]
+        it.foreach { case (a, b) =>
+          nodes(a) = (); nodes(b) = ()
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        nodes.keysIterator.map(n => (n, find(n)))
+      }
+      .toDF("a", "b")
+  }
+
   private[operators] def componentsFromEdges(edges: DataFrame): DataFrame = {
     val sym = flatCheckpoint(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
@@ -1119,6 +1152,22 @@ object SimilarityQueries {
 
     val spark = sym.sparkSession
     val maxRounds = 30 // O(log² n): 30 doubles past any realistic graph
+    // Local-finish gate: once the (already-counted) edge set fits one
+    // executor task, exact union-find in that task beats more
+    // distributed rounds — each star round is ~6 driver-sequenced
+    // shuffle stages whose fixed overhead dominates on a shrunken
+    // graph (measured: the sf0.1 LSH graph enters BELOW the gate and
+    // cc_dedup spends its time on round scheduling, not data). At
+    // corpus scale the first rounds run distributed and shrink the
+    // edge set geometrically, so the gate bounds the round count by
+    // log(E/threshold) instead of log²(n) and the convergence TAIL
+    // (the last, tiniest, slowest-converging rounds) collapses into
+    // one task. 2M edges ≈ 32 MB of LongMap — well inside an executor
+    // task; spark.graft.cc.localFinishEdges=0 forces the pure
+    // distributed loop (ConnectedComponentsSpec pins its convergence
+    // separately).
+    val localGate = spark.conf.getOption("spark.graft.cc.localFinishEdges")
+      .map(_.toLong).getOrElse(2000000L)
     var cur = sym
     // cache hygiene: each round's flatCheckpoint leaves a dead cached
     // copy of the previous round's edge set; free it once the new
@@ -1127,13 +1176,13 @@ object SimilarityQueries {
     // checkpoint cannot be recomputed after unpersist.
     var curIds = Set.empty[Int]
     var curSum = checksum(cur)
-    var converged = false
+    var converged = curSum._1 <= localGate
     var iter = 0
     while (!converged && iter < maxRounds) {
       val (next, nextIds) = graft.core.CacheHygiene.withNewPersisted(spark)(
         flatCheckpoint(starRound(starRound(cur, large = true), large = false)))
       val nextSum = checksum(next)
-      converged = nextSum == curSum
+      converged = nextSum == curSum || nextSum._1 <= localGate
       graft.core.CacheHygiene.unpersist(spark, curIds)
       cur = next
       curIds = nextIds
@@ -1142,10 +1191,20 @@ object SimilarityQueries {
     }
     require(converged,
       s"connected components did not converge in $maxRounds rounds")
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(s"[graft.cc] contraction rounds: $iter" +
+        s" localFinish=${curSum._1 <= localGate} edges=${curSum._1}")
+    // Below the gate: exact min-rooted union-find over the remaining
+    // edges in ONE task (an executor task, not a driver collect),
+    // emitting the same (node, root) star-union shape the converged
+    // loop produces. Above it: the loop's fixed point IS that union.
+    val starUnion =
+      if (curSum._1 <= localGate) SimilarityQueries.localComponents(cur)
+      else cur
     // converged edge set is a union of stars (v, root): label every
     // node from the ORIGINAL graph with its root, roots label
     // themselves
-    val lblMap = cur.groupBy(col("a").as("node")).agg(min(col("b")).as("root"))
+    val lblMap = starUnion.groupBy(col("a").as("node")).agg(min(col("b")).as("root"))
     sym.select(col("a").as("n")).distinct()
       .join(lblMap, col("n") === col("node"), "left")
       .select(col("n"), coalesce(col("root"), col("n")).as("lbl"))
