@@ -211,6 +211,15 @@ final class ChangeFeedProcessor(
     }
   }
 
+  /** The page scan for one range: with a `partitionBy(rangeCol)` feed
+    * layout the range predicate is a PARTITION filter (the directory
+    * is dropped at scan planning — the reference's per-token-range
+    * feed read), and the position predicate pushes into parquet. */
+  private[sources] def pageFor(rangeId: Int, continuation: Long): DataFrame =
+    feed
+      .where(col(rangeCol) === lit(rangeId) && col(posCol) > lit(continuation))
+      .orderBy(col(posCol)).limit(maxItems)
+
   /** One poll: maintain leases, then for each owned range read the
     * next page past the checkpointed continuation and hand it to the
     * handler with its manual-checkpoint callback. */
@@ -220,9 +229,7 @@ final class ChangeFeedProcessor(
       val cont = leases.read(r)
         .filter(l => l.owner == ownerId && ownedFences.get(r).contains(l.fence))
         .map(_.continuation).getOrElse(-1L)
-      val page = feed
-        .where(col(rangeCol) === lit(r) && col(posCol) > lit(cont))
-        .orderBy(col(posCol)).limit(maxItems)
+      val page = pageFor(r, cont)
       val head = page.agg(max(col(posCol)).as("mx"), count(lit(1)).as("n")).first()
       if (!head.isNullAt(0)) {
         val epoch = head.getLong(0)

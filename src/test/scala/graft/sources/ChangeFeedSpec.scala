@@ -150,6 +150,20 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       "failover resumes from the checkpointed continuation — no loss, no re-read of committed pages")
   }
 
+  test("the per-range page scan prunes partitions and pushes the position filter") {
+    val feedDir = tmp("feed-plan"); writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases-plan"))
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25,
+      (_, _, _) => (), () => 1000L)
+    val plan = a.pageFor(2, 10L).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*range_id[^\\]]*\\].*"),
+      s"range predicate must prune at scan planning:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(pos,10)"),
+      s"position predicate must reach parquet:\n$plan")
+  }
+
   test("graceful stop releases leases immediately and startFromTail skips the backlog") {
     val feedDir = tmp("feed4"); val all = writeFeed(feedDir, 80)
     val leases = new LeaseStore(tmp("leases4"))
