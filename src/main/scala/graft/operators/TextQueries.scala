@@ -1478,6 +1478,26 @@ object TextQueries {
         .groupBy(col("enc")).agg(count(lit(1)).as("c"))
         .localCheckpoint()
     }
+    // Local-train gate (the cc_dedup local-finish pattern applied to
+    // an iterative TRAINER): the k greedy rounds iterate on the
+    // DISTINCT-word vocab, which is Heaps'-law sublinear in the corpus
+    // — measured 20k rows at sf0.1 and ~16 driver-sequenced jobs of
+    // pure round overhead. At or below
+    // spark.graft.bpe.localTrainWords (default 1M ≈ tens of MB of
+    // symbol arrays — one executor task) all k rounds run in ONE task
+    // with byte-exact argmax tie-breaks (UTF-8 unsigned comparison =
+    // UTF8String binary order = the distributed orderBy(n desc, a, b));
+    // BpeLocalTrainSpec pins local == distributed on the real corpus.
+    // Above the gate the per-round distributed loop below runs
+    // unchanged — its count/argmax/fold rounds are the 100 TB path,
+    // and gate=0 forces it for the spec.
+    val localGate = spark.conf.getOption("spark.graft.bpe.localTrainWords")
+      .map(_.toLong).getOrElse(1000000L)
+    if (vocab.count() <= localGate) { // cached-scan count, one cheap job
+      val res = localTrainBpe(vocab)
+      graft.core.CacheHygiene.unpersist(spark, vocabIds)
+      return res
+    }
     val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     for (step <- 1 to BpeMergeRounds) {
       // sequence(0, -1) counts DOWN (same guard as q18_bpe_pairs), so
@@ -1528,6 +1548,81 @@ object TextQueries {
     // the returned frame, so its cache can go too
     graft.core.CacheHygiene.unpersist(spark, vocabIds)
     merges.toSeq
+  }
+
+  /** All `BpeMergeRounds` greedy merges in one executor task (not a
+    * driver loop): pair counts weighted by word count, argmax with the
+    * EXACT distributed tie-break (n desc, then a, then b in UTF-8
+    * unsigned byte order — what Spark's string orderBy compares), and
+    * the same left-to-right non-overlapping merge the codegen'd fold
+    * applies. Used by [[trainBpeMerges]] below its local-train gate. */
+  private def localTrainBpe(vocab: org.apache.spark.sql.DataFrame): Seq[(Long, String, String, Long)] = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    // UTF-8 unsigned lexicographic < — UTF8String.binaryCompare parity
+    def byteLt(x: String, y: String): Boolean = {
+      val bx = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val by = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < bx.length && i < by.length) {
+        val c = (bx(i) & 0xff) - (by(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      bx.length < by.length
+    }
+    vocab.select(col("enc"), col("c")).as[(String, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val words = collection.mutable.ArrayBuffer.empty[(Array[String], Long)]
+        it.foreach { case (enc, c) => words += ((enc.split(BpeSep, -1), c)) }
+        val merges = collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+        var step = 1
+        var exhausted = false
+        while (step <= BpeMergeRounds && !exhausted) {
+          val counts = collection.mutable.HashMap.empty[(String, String), Long]
+          words.foreach { case (sy, c) =>
+            var i = 0
+            while (i < sy.length - 1) {
+              val k = (sy(i), sy(i + 1))
+              counts(k) = counts.getOrElse(k, 0L) + c
+              i += 1
+            }
+          }
+          if (counts.isEmpty) exhausted = true
+          else {
+            var best: ((String, String), Long) = null
+            counts.foreach { e =>
+              if (best == null || e._2 > best._2 ||
+                (e._2 == best._2 && (byteLt(e._1._1, best._1._1) ||
+                  (e._1._1 == best._1._1 && byteLt(e._1._2, best._1._2)))))
+                best = e
+            }
+            val ((a, b), n) = best
+            merges += ((step.toLong, a, b, n))
+            // left-to-right, no re-merge of the just-created symbol —
+            // identical branch structure to applyMerge's fold
+            var w = 0
+            while (w < words.length) {
+              val (sy, c) = words(w)
+              if (sy.length >= 2) {
+                val out = collection.mutable.ArrayBuffer.empty[String]
+                sy.foreach { x =>
+                  if (out.nonEmpty && out.last == a && x == b)
+                    out(out.length - 1) = a + b
+                  else out += x
+                }
+                words(w) = (out.toArray, c)
+              }
+              w += 1
+            }
+            step += 1
+          }
+        }
+        merges.iterator
+      }
+      .collect().toSeq // BpeMergeRounds rows — the same driver-held
+                       // artifact the per-round loop produces
   }
 
   val q18BpeMerges: QueryDef = QueryDef(
