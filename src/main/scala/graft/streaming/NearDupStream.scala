@@ -145,6 +145,29 @@ object NearDupStream {
     startWith(bucketIndex)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
 
+/** The EXACT-dedup gate on the same protocol: signature = one md5
+  * bucket per doc (full-text hash), so a doc drops iff a byte-equal
+  * text was already ingested (or a smaller doc_id ties in-batch) —
+  * the streaming form of q18_dedup_exact's hash-groupBy, with the
+  * identical index/marker idempotency NearDupStream proves. The
+  * false-positive rate is md5-collision (~0), so no confirm stage and
+  * no quarantine is needed: a bucket collision IS a duplicate. */
+object ExactDupStream {
+
+  private def md5Buckets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit(0).as("band"), md5(col("text")).as("bucket"))
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String): Unit =
+    NearDupStream.processBatchWith(md5Buckets)(batch, batchId, indexDir, keptDir)
+
+  /** Start the streaming exact-dedup filter over a (doc_id, text)
+    * stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String): StreamingQuery =
+    NearDupStream.startWith(md5Buckets)(docs, checkpointDir, indexDir, keptDir)
+}
+
 /** The image-modality twin of [[NearDupStream]]: each micro-batch's
   * assets are REALLY decoded (the q18_image_dedup ImageIO path) and
   * dropped if their (dims, 2-bit-color) bucket collides with the

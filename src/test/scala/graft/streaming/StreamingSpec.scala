@@ -524,6 +524,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet == shouldDrop)
   }
 
+  test("ExactDupStream: byte-equal texts drop across batches, distinct texts always pass") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("xd-index"); val keptDir = tmp("xd-kept")
+    val input = MemoryStream[(Long, String)]
+    val q = ExactDupStream.start(input.toDS().toDF("doc_id", "text"),
+      tmp("cp-exactdup"), indexDir, keptDir)
+    // batch 0: two byte-equal texts (in-batch tie → min doc_id wins)
+    // plus distinct ones
+    input.addData(Seq((1L, "alpha beta"), (2L, "gamma"), (7L, "alpha beta")))
+    q.processAllAvailable()
+    val kept0 = spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept0 == Set(1L, 2L), s"in-batch exact tie resolves to min id: $kept0")
+    // batch 1: one seen text (drops), one new (passes); near-identical
+    // but not byte-equal text must NOT drop — exact means exact
+    input.addData(Seq((10L, "gamma"), (11L, "alpha  beta"), (12L, "delta")))
+    q.processAllAvailable()
+    val kept1 = spark.read.parquet(s"$keptDir/batch=1").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept1 == Set(11L, 12L),
+      s"seen text drops, near-identical text passes exact gate: $kept1")
+  }
+
   test("ImageDupStream: decoded-bucket index drops image near-dups across batches, idempotent redo") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
