@@ -148,6 +148,12 @@ final class ChangeFeedProcessor(
 
   def owned: Set[Int] = ownedFences.keySet
 
+  /** The fence this instance believes it holds for `rangeId` — test /
+    * observability hook; a claim is only VALID while this matches the
+    * lease store's fence. */
+  private[sources] def heldFence(rangeId: Int): Option[Long] =
+    ownedFences.get(rangeId)
+
   private def feed: DataFrame = spark.read.parquet(feedDir)
 
   // startFromTail snapshot, taken once at instance start (reference:
