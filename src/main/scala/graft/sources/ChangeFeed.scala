@@ -255,6 +255,26 @@ final class ChangeFeedProcessor(
     }
   }
 
+  /** This feed's estimator frame (range_id, read_position,
+    * completed_position, gap). */
+  def lag(): DataFrame =
+    ChangeFeedEstimator.lag(spark, feedDir, rangeCol, posCol, nRanges, leases)
+
+  /** Poll until the estimator reports zero remaining work — the
+    * reference's single-pass / catch-up drive (SinglePassFeedSource,
+    * FeedMonitor.AwaitCompletion). Only meaningful when this instance
+    * can acquire every range (no competing live instance — a range
+    * held by a live peer never drains from here); returns the polls
+    * used, throws if `maxPolls` is exhausted first. */
+  def runUntilCaughtUp(maxPolls: Int = 100): Int = {
+    import spark.implicits._
+    def gap(): Long = lag().select(col("gap")).as[Long].collect().sum
+    var polls = 0
+    while (gap() > 0 && polls < maxPolls) { pollOnce(); polls += 1 }
+    require(gap() == 0L, s"change feed not caught up after $maxPolls polls")
+    polls
+  }
+
   /** Graceful shutdown: expire our leases NOW (continuation kept) so
     * peers take over on their next acquire pass instead of waiting out
     * the TTL. */
@@ -293,5 +313,47 @@ object ChangeFeedEstimator {
         count(when(col(posCol) > coalesce(col("completed_position"), lit(-1L)), 1))
           .as("gap"))
       .orderBy(col("range_id"))
+  }
+}
+
+/** The reference's lag-estimation reporting surface
+  * (ChangeFeedProcessor.fs:52-67 runEstimation → Stats
+  * .ReportEstimation → Prometheus gauges, FeedObserver.fs:60-71): the
+  * estimator published as live Dropwizard gauges, registerable on the
+  * same MetricRegistry [[graft.streaming.MetricsExport]] ships to
+  * every configured Spark sink. One estimator scan serves all three
+  * gauges per scrape window (snapshots memoize for `minIntervalMs`,
+  * so a scrape storm cannot multiply scans — the reference throttles
+  * the same way with lagEstimationInterval). */
+final class ChangeFeedMonitor(lagFrame: () => org.apache.spark.sql.DataFrame,
+    minIntervalMs: Long = 1000L) {
+
+  @volatile private var cached: (Long, (Long, Long, Long)) = (Long.MinValue, (0L, 0L, 0L))
+
+  /** (total gap docs, max per-range gap, ranges behind). */
+  def snapshot(): (Long, Long, Long) = {
+    val now = System.nanoTime()
+    val (t, v) = cached
+    if (t != Long.MinValue && now - t < minIntervalMs * 1000000L) v
+    else {
+      val gaps = lagFrame().select(org.apache.spark.sql.functions.col("gap"))
+        .collect().map(_.getLong(0))
+      val v2 = (gaps.sum, if (gaps.isEmpty) 0L else gaps.max,
+        gaps.count(_ > 0L).toLong)
+      cached = (now, v2)
+      v2
+    }
+  }
+
+  /** Register the gauges under `prefix` (reference names: the Lag
+    * metric's gapDocs / laggingPartitions breakdown). */
+  def register(r: com.codahale.metrics.MetricRegistry, prefix: String): Unit = {
+    def gauge(name: String)(f: => Long): Unit =
+      r.register(s"$prefix.$name", new com.codahale.metrics.Gauge[Long] {
+        override def getValue: Long = f
+      })
+    gauge("changefeed_lag_docs_total")(snapshot()._1)
+    gauge("changefeed_lag_docs_max_range")(snapshot()._2)
+    gauge("changefeed_ranges_behind")(snapshot()._3)
   }
 }

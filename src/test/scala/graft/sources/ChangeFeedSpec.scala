@@ -164,6 +164,28 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"position predicate must reach parquet:\n$plan")
   }
 
+  test("monitor gauges track the drain; runUntilCaughtUp drives to zero lag") {
+    val feedDir = tmp("feed-mon"); val all = writeFeed(feedDir, 100)
+    val leases = new LeaseStore(tmp("leases-mon"))
+    var now = 1000L
+    val cap = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25, cap.handler, () => now)
+    val monitor = new ChangeFeedMonitor(() => a.lag(), minIntervalMs = 0L)
+    val registry = new com.codahale.metrics.MetricRegistry
+    monitor.register(registry, "graft")
+    def g(name: String): Long =
+      registry.getGauges.get(s"graft.$name").getValue.asInstanceOf[Long]
+    assert(g("changefeed_lag_docs_total") == all.size.toLong)
+    assert(g("changefeed_ranges_behind") > 0L)
+    assert(g("changefeed_lag_docs_max_range") > 0L)
+    val polls = a.runUntilCaughtUp(maxPolls = 30)
+    assert(polls > 1, "paging forces multiple polls") // 100 docs / 25-page / range
+    assert(cap.seen.toSet == all)
+    assert(g("changefeed_lag_docs_total") == 0L)
+    assert(g("changefeed_ranges_behind") == 0L)
+  }
+
   test("graceful stop releases leases immediately and startFromTail skips the backlog") {
     val feedDir = tmp("feed4"); val all = writeFeed(feedDir, 80)
     val leases = new LeaseStore(tmp("leases4"))
