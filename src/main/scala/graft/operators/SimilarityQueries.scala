@@ -1339,16 +1339,61 @@ object SimilarityQueries {
       val edges = bucketPairs(bandIndex(spark, dir, dupes = false))
         .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
-      def round(p: DataFrame): DataFrame =
-        sym
-          .join(p.select(col("node").as("src"), col("pr")), col("a") === col("src"))
-          .join(deg.select(col("node").as("srcd"), col("d")), col("a") === col("srcd"))
-          .select(col("b").as("node"), expr("pr div (100 * d)").as("c"))
-          .groupBy(col("node"))
-          .agg((lit(150000L) + lit(85L) * sum(col("c"))).as("pr"))
-      val it3 = round(round(round(deg.select(col("node"), lit(1000000L).as("pr")))))
+      // Local-finish gate (the cc_dedup/BPE pattern — and here the
+      // result is BIT-exact by construction, not by careful tie-break
+      // parity: every PR value is a BIGINT and each round is pure
+      // integer arithmetic (150000 + 85·Σ pr div (100·d)), and integer
+      // sums are exact and commutative, so task count cannot change a
+      // single value). Below spark.graft.pr.localEdges (default 2M sym
+      // edges — the cc gate's sizing) the three rounds run in ONE task
+      // instead of a 9-shuffle three-round plan whose codegen alone
+      // dominates a small graph; above it the distributed plan below
+      // is unchanged. PagerankLocalSpec pins local == distributed on
+      // the real corpus and on a shuffled synthetic graph.
+      val gate = spark.conf.getOption("spark.graft.pr.localEdges")
+        .map(_.toLong).getOrElse(2000000L)
+      val it3 =
+        if (sym.count() <= gate) localPagerank(sym)
+        else {
+          val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+          def round(p: DataFrame): DataFrame =
+            sym
+              .join(p.select(col("node").as("src"), col("pr")), col("a") === col("src"))
+              .join(deg.select(col("node").as("srcd"), col("d")), col("a") === col("srcd"))
+              .select(col("b").as("node"), expr("pr div (100 * d)").as("c"))
+              .groupBy(col("node"))
+              .agg((lit(150000L) + lit(85L) * sum(col("c"))).as("pr"))
+          round(round(round(deg.select(col("node"), lit(1000000L).as("pr")))))
+        }
       it3.orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
+  /** Three integer-PageRank rounds over a small symmetric edge frame
+    * in one executor task — bit-identical to the distributed rounds
+    * (all-integer arithmetic; sums are exact and commutative). Emits
+    * (node, pr) after round 3. */
+  private[operators] def localPagerank(sym: DataFrame): DataFrame = {
+    val spark = sym.sparkSession
+    import spark.implicits._
+    sym.select(col("a").cast("long"), col("b").cast("long")).as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val edges = it.toArray
+        val deg = scala.collection.mutable.LongMap.empty[Long]
+        edges.foreach { case (a, _) => deg(a) = deg.getOrElse(a, 0L) + 1L }
+        var pr = scala.collection.mutable.LongMap.empty[Long]
+        deg.keysIterator.foreach(n => pr(n) = 1000000L)
+        for (_ <- 1 to 3) {
+          val next = scala.collection.mutable.LongMap.empty[Long]
+          edges.foreach { case (a, b) =>
+            next(b) = next.getOrElse(b, 0L) + pr(a) / (100L * deg(a))
+          }
+          next.transformValues(v => 150000L + 85L * v)
+          pr = next
+        }
+        pr.iterator.map { case (n, v) => (n, v) }
+      }
+      .toDF("node", "pr")
   }
 
   // ---- edit-distance verification of LSH candidates (the exact
