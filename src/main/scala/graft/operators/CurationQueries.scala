@@ -449,14 +449,16 @@ object CurationQueries {
       |FROM contrib GROUP BY doc_id
       |ORDER BY bm25_um DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
     val terms = Seq("table", "stream", "query").map(w => s"'$w'").mkString("(", ", ", ")")
-    val tok = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    // shared doc-term matrix: dl = Σ tf per doc (== the old token
+    // count), df = rows per query term (== countDistinct(doc_id)),
+    // tf = the matrix rows themselves — all exact integer aggregates
+    val tfAll = TextQueries.termFreq(spark, dir)
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
     val corp = dl.agg(count(lit(1)).cast("long").as("n_docs"),
       sum(col("dl")).cast("long").as("tot_dl"))
-    val qtok = tok.where(expr(s"w IN $terms"))
-    val qt = qtok.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
-    val tf = qtok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val qtf = tfAll.where(expr(s"w IN $terms"))
+    val qt = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val tf = qtf.select(col("doc_id"), col("w"), col("tf"))
     tf.join(broadcast(qt), Seq("w"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(corp))

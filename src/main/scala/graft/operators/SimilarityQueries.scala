@@ -1503,9 +1503,9 @@ object SimilarityQueries {
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
     val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
-      .groupBy(col("doc_id"), col("wd")).agg(count(lit(1)).as("tf"))
+    // shared doc-term matrix (TextQueries session cache)
+    val tf = TextQueries.termFreq(spark, dir)
+      .select(col("doc_id"), col("w").as("wd"), col("tf"))
     val df = tf.groupBy(col("wd")).agg(count(lit(1)).as("df"))
     val nd = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
     val wt = tf.join(broadcast(df), Seq("wd")).crossJoin(broadcast(nd))

@@ -24,6 +24,27 @@ object TextQueries {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     ScaleOps.wideRead(spark, dir, "documents")
 
+  /** Session-scoped materialization of the doc-term matrix
+    * (doc_id, w, tf) per corpus — the bandIndex precedent applied to
+    * the OTHER expensive shared prefix: tokenize + per-doc term counts
+    * feed five operators (tf-idf, repetition, unigram surprisal,
+    * tf-idf cosine, BM25), and a production curation run computes the
+    * matrix once and feeds every scorer. Keyed by (session, dir),
+    * eager localCheckpoint (immutable inputs); derived stats (df,
+    * corpus totals, doc lengths) are exact integer aggregates of tf,
+    * so every consumer is bit-identical to its standalone form. On a
+    * cluster this is the persisted doc-term table a pipeline
+    * materializes between stages. */
+  private val termFreqCache = new SessionCache[String, DataFrame]()
+
+  private[operators] def termFreq(spark: SparkSession, dir: String): DataFrame =
+    termFreqCache.getOrElseUpdate(spark, dir) {
+      docs(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+    }
+
   // ---- language ID: marker-stopword voting (n-gram heuristic) ----
   private val enWords = Seq("the", "a", "of", "and", "to", "in", "is")
   private val esWords = Seq("el", "la", "de", "los", "que", "y", "en")
@@ -677,10 +698,10 @@ object TextQueries {
       |SELECT doc_id, term, tf, df, score_micro, rnk
       |FROM ranked WHERE rnk <= 3
       |ORDER BY doc_id, rnk""".stripMargin) { (spark, dir) =>
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val tf = toks.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-    val dfq = toks.groupBy(col("w")).agg(countDistinct(col("doc_id")).as("df"))
+    // shared doc-term matrix; df = rows per term in it (each (doc, w)
+    // appears once, so count(*) == the old countDistinct(doc_id))
+    val tf = termFreq(spark, dir)
+    val dfq = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val n = docs(spark, dir).agg(count(lit(1)).as("n"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("term"))
@@ -880,9 +901,8 @@ object TextQueries {
       |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     val byDoc = Window.partitionBy(col("doc_id"))
     val argmax = byDoc.orderBy(col("c").desc, col("w"))
-    docs(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    termFreq(spark, dir)
+      .select(col("doc_id"), col("w"), col("tf").as("c"))
       .withColumn("rn", row_number().over(argmax))
       .withColumn("n_words", sum(col("c")).over(byDoc))
       .withColumn("n_distinct", count(lit(1)).over(byDoc))
@@ -1318,14 +1338,13 @@ object TextQueries {
       |       CAST(sum(tf * sp) AS BIGINT) // CAST(sum(tf) AS BIGINT) AS avg_upm
       |FROM dtf JOIN sur USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin) {
     (spark, dir) =>
-      val tok = docs(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      // shared doc-term matrix; corpus counts = exact integer sums of tf
+      val dtf = termFreq(spark, dir)
+      val vocab = dtf.groupBy(col("w")).agg(sum(col("tf")).cast("long").as("cnt"))
       val tot = vocab.agg(sum(col("cnt")).cast("long").as("n"))
       val sur = vocab.crossJoin(broadcast(tot))
         .select(col("w"),
           expr("CAST(round(1000000 * ln(CAST(n AS DOUBLE) / cnt)) AS BIGINT)").as("sp"))
-      val dtf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
       dtf.join(broadcast(sur), Seq("w"))
         .groupBy(col("doc_id"))
         .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * sp) AS BIGINT)").as("surprisal_upm"),

@@ -34,6 +34,27 @@ class SessionCacheSpec extends AnyFunSuite {
     } finally if (!spark.sparkContext.isStopped) spark.stop()
   }
 
+  test("termFreq memoizes the doc-term matrix per (session, corpus) and is count-exact") {
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-termfreq-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      val dir = "/root/testdata/sf0.001"
+      val a = TextQueries.termFreq(spark, dir)
+      val b = TextQueries.termFreq(spark, dir)
+      assert(a eq b, "second lookup must return the memoized frame")
+      // exactness anchor: Σ tf == raw token count of the corpus
+      import org.apache.spark.sql.functions._
+      val viaTf = a.agg(sum(col("tf"))).first().getLong(0)
+      val raw = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " "))).count()
+      assert(viaTf == raw, s"tf total $viaTf != raw token count $raw")
+    } finally if (!spark.sparkContext.isStopped) spark.stop()
+  }
+
   test("concurrent lookups build once; reentrant builds on other keys don't deadlock") {
     val spark = SparkSession.builder()
       .master("local[1]")
