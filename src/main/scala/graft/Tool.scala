@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *   stats <storeDir>          # per-stream store summary (q06 shape)
   *   corpus-report <sfDir>     # curation report card (q18_corpus_report)
   *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
+  *   import-export <exportDir> <outDir> [eventsPerBatch]
+  *                             # DynamoDB S3-export → index spans
+  *                             # (reference DynamoDbExport importer)
   */
 object Tool {
 
@@ -43,6 +46,16 @@ object Tool {
       case ("corpus-report", sfDir :: Nil) =>
         operators.CurationQueries.q18CorpusReport.build(spark, sfDir)
           .show(200, truncate = false)
+      case ("import-export", exportDir :: outDir :: rest1) if rest1.size <= 1 =>
+        val perBatch = rest1.headOption.map(_.toInt).getOrElse(1000)
+        val (ready, pending) =
+          sources.DynamoExport.importSpans(
+            sources.DynamoExport.readSpans(spark, exportDir), perBatch)
+        ready.write.mode("overwrite").parquet(s"$outDir/ready")
+        pending.write.mode("overwrite").parquet(s"$outDir/pending")
+        val nReady = spark.read.parquet(s"$outDir/ready").count()
+        val nPending = spark.read.parquet(s"$outDir/pending").count()
+        println(s"imported: $nReady ready span batches, $nPending pending islands -> $outDir")
       case _ =>
         System.err.println(s"bad arguments for $cmd")
         sys.exit(2)

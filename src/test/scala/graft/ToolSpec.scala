@@ -63,4 +63,17 @@ class ToolSpec extends AnyFunSuite {
     assert(out.contains("n_docs") && out.contains("pass_permille"), out.take(500))
     assert(out.linesIterator.count(_.startsWith("|")) > 10, out.take(500))
   }
+
+  test("import-export parses a DynamoDB export and writes ready/pending span sets") {
+    val dir = Files.createTempDirectory("graft-tool-ddb")
+    val outDir = Files.createTempDirectory("graft-tool-ddb-out").toString + "/idx"
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir.toString, "data.jsonl"),
+      Seq(
+        """{"Item":{"p":{"S":"Account-a1"},"n":{"N":"3"},"c":{"L":[{"S":"E0"},{"S":"E1"},{"S":"E2"}]}}}""",
+        """{"Item":{"p":{"S":"Order-o1"},"n":{"N":"4"},"c":{"L":[{"S":"P2"},{"S":"P3"}]}}}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    val out = runTool("import-export", dir.toString, outDir, "2")
+    // A's 3 events -> 2 bounded batches ready; O's post-gap island pends
+    assert(out.contains("2 ready span batches, 1 pending islands"), out)
+  }
 }
