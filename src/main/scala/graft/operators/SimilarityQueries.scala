@@ -214,6 +214,26 @@ object SimilarityQueries {
       .select(col("doc_id"), expr(sigExpr).as("sig"), expr(bitsExpr).as("simhash"))
   }
 
+  /** (doc_id, band, bucket) simhash keys of an arbitrary
+    * (doc_id, text) frame for the STREAMING gate (SimhashDupStream):
+    * the same 2-of-4 block-pair blocking q18_simhash_pairs proves
+    * complete for hamming ≤ 2 — band = block-pair index (0..5),
+    * bucket = the pair's 16-bit effective key. A collision nominates a
+    * candidate; the exact bit_count confirm stays with the batch
+    * operator (the NearDupStream division of labor). */
+  private[graft] def simhashBuckets(d: DataFrame): DataFrame = {
+    val pairsIdx = Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+    val combos = pairsIdx.zipWithIndex.map { case ((j1, j2), c) =>
+      struct(lit(c).as("band"),
+        concat_ws(":",
+          expr(s"shiftright(sig, ${8 * j1}) & 255L"),
+          expr(s"shiftright(sig, ${8 * j2}) & 255L")).as("bucket"))
+    }
+    simhashSigs(d)
+      .select(col("doc_id"), explode(array(combos: _*)).as("k"))
+      .select(col("doc_id"), col("k.band").as("band"), col("k.bucket").as("bucket"))
+  }
+
   /** Session-scoped signature table per corpus (the bandIndex
     * rationale): the word-explode + 32-wide-sum pipeline is the shared
     * prefix of q18_simhash and BOTH sides of q18_simhash_pairs'

@@ -168,6 +168,31 @@ object ExactDupStream {
     NearDupStream.startWith(md5Buckets)(docs, checkpointDir, indexDir, keptDir)
 }
 
+/** The SIMHASH twin of [[NearDupStream]]: each micro-batch's docs are
+  * simhash-signed and dropped if any of their six 2-of-4 block-pair
+  * keys (the pigeonhole blocking q18_simhash_pairs proves complete
+  * for hamming ≤ 2) collides with the persisted index — streaming
+  * simhash near-dup on the shared protocol. The gate is a candidate
+  * filter: the exact bit_count(xor) ≤ 2 confirm lives in the batch
+  * operator, and `quarantineDir` records gated docs for it. */
+object SimhashDupStream {
+
+  private def simhashKeys(docs: DataFrame): DataFrame =
+    SimilarityQueries.simhashBuckets(docs)
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(simhashKeys)(batch, batchId, indexDir, keptDir, quarantineDir)
+
+  /** Start the streaming simhash near-dup filter over a
+    * (doc_id, text) stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(simhashKeys)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+}
+
 /** The image-modality twin of [[NearDupStream]]: each micro-batch's
   * assets are REALLY decoded (the q18_image_dedup ImageIO path) and
   * dropped if their (dims, 2-bit-color) bucket collides with the

@@ -524,6 +524,39 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet == shouldDrop)
   }
 
+  test("SimhashDupStream: block-pair collisions drop near-dups across batches, bucket-min ties in-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("sh-index"); val keptDir = tmp("sh-kept")
+    val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = SimhashDupStream.start(input.toDS().toDF("doc_id", "text"),
+      tmp("cp-shdup"), indexDir, keptDir)
+    input.addData(originals.toIndexedSeq); q.processAllAvailable()
+    // batch 2: identical texts under new ids — hamming 0, every
+    // block-pair key collides with the index
+    input.addData(originals.toIndexedSeq.map { case (id, t) => (id + 1000000L, t) })
+    q.processAllAvailable()
+    val keptBatch2 = spark.read.parquet(s"$keptDir/batch=1").count()
+    q.stop()
+    assert(keptBatch2 == 0, s"hamming-0 copies admitted: $keptBatch2")
+
+    // within batch 1, bucket-min survives per the shared signature
+    val kept1 = spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    val keys = graft.operators.SimilarityQueries.simhashBuckets(
+      originals.toSeq.toDF("doc_id", "text"))
+    val shouldDrop = keys
+      .join(keys.groupBy(col("band"), col("bucket"))
+        .agg(min(col("doc_id")).as("min_id")), Seq("band", "bucket"))
+      .where(col("doc_id") > col("min_id")).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept1 == originals.map(_._1).toSet -- shouldDrop)
+    assert(kept1.nonEmpty)
+  }
+
   test("ExactDupStream: byte-equal texts drop across batches, distinct texts always pass") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
