@@ -485,7 +485,7 @@ object SimilarityQueries {
     rows.toDF("j", "d", "sign")
   }
 
-  private def lshSig(spark: SparkSession, e: DataFrame): DataFrame =
+  private[graft] def lshSig(spark: SparkSession, e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       posexplode(graft.functions.VectorMath.quantize(col("embedding")))
         .as(Seq("d", "xq")))

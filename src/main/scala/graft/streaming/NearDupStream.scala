@@ -77,14 +77,17 @@ object NearDupStream {
     * re-admit false positives — nothing is silently destroyed. The
     * subdir is batch-scoped-overwrite like kept/index, so crash-redo
     * idempotency covers it too. */
-  private[streaming] def processBatchWith(signature: DataFrame => DataFrame)(
+  private[streaming] def processBatchWith(signature: DataFrame => DataFrame,
+      payload: Seq[String] = Seq("doc_id", "text"))(
       batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
     if (Files.exists(marker)) return // redelivered batch: no-op
-    val docs = batch.select(col("doc_id"), col("text"))
+    // payload head must be doc_id; the rest travels to kept/quarantine
+    // (text for the text/modality gates, embedding for the vector gate)
+    val docs = batch.select(payload.map(col): _*)
     val bands = signature(docs).localCheckpoint() // one signature pass per batch
     val seen = readIndex(spark, indexDir, batchId)
     // drop if any bucket is in the corpus index, or holds a smaller
@@ -106,8 +109,8 @@ object NearDupStream {
       docs.join(dropped, Seq("doc_id"), "left_semi")
         .join(inIndex.select(col("doc_id"), lit("corpus_index").as("reason")),
           Seq("doc_id"), "left")
-        .select(col("doc_id"), col("text"),
-          coalesce(col("reason"), lit("batch_min")).as("reason"))
+        .select(payload.map(col) :+
+          coalesce(col("reason"), lit("batch_min")).as("reason"): _*)
         .write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
     }
     bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
@@ -124,7 +127,8 @@ object NearDupStream {
       quarantineDir: Option[String] = None): Unit =
     processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir, quarantineDir)
 
-  private[streaming] def startWith(signature: DataFrame => DataFrame)(
+  private[streaming] def startWith(signature: DataFrame => DataFrame,
+      payload: Seq[String] = Seq("doc_id", "text"))(
       docs: DataFrame, checkpointDir: String,
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): StreamingQuery =
@@ -132,7 +136,7 @@ object NearDupStream {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        processBatchWith(signature)(batch.toDF(), batchId, indexDir, keptDir, quarantineDir)
+        processBatchWith(signature, payload)(batch.toDF(), batchId, indexDir, keptDir, quarantineDir)
       }
       .start()
 
@@ -166,6 +170,36 @@ object ExactDupStream {
   def start(docs: DataFrame, checkpointDir: String,
       indexDir: String, keptDir: String): StreamingQuery =
     NearDupStream.startWith(md5Buckets)(docs, checkpointDir, indexDir, keptDir)
+}
+
+/** The EMBEDDING twin of [[NearDupStream]]: each micro-batch's vectors
+  * are hyperplane-LSH-bucketed (the q18_ann_lsh 16-plane signature
+  * over the quantized embedding — sign bits → one bucket) and dropped
+  * on a bucket collision with the persisted index — streaming
+  * embedding-cosine near-dup on the shared protocol. Candidate
+  * filter: the exact quantized-dot cosine confirm lives in the batch
+  * q18_dedup_embed operator; `quarantineDir` records gated vectors
+  * (with their embeddings) for it. */
+object EmbedDupStream {
+
+  private def lshBuckets(d: DataFrame): DataFrame =
+    graft.operators.SimilarityQueries.lshSig(d.sparkSession,
+      d.select(col("doc_id").as("vec_id"), col("embedding")))
+      .select(col("vec_id").as("doc_id"), lit(0).as("band"), col("bucket"))
+
+  private val payload = Seq("doc_id", "embedding")
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(lshBuckets, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
+
+  /** Start the streaming embedding near-dup filter over a
+    * (doc_id, embedding) stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(lshBuckets, payload)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
 
 /** The SIMHASH twin of [[NearDupStream]]: each micro-batch's docs are

@@ -524,6 +524,33 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet == shouldDrop)
   }
 
+  test("EmbedDupStream: LSH hyperplane buckets drop duplicate vectors across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("em-index"); val keptDir = tmp("em-kept")
+    val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Double])].collect()
+
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = EmbedDupStream.start(input.toDS().toDF("doc_id", "embedding"),
+      tmp("cp-emdup"), indexDir, keptDir)
+    input.addData(originals.toIndexedSeq); q.processAllAvailable()
+    val keptBatch1 = spark.read.parquet(s"$keptDir/batch=0").count()
+    // batch 2: identical vectors under new ids — identical sign
+    // pattern on every hyperplane, every bucket collides
+    input.addData(originals.toIndexedSeq.map { case (id, v) => (id + 1000000L, v) })
+    q.processAllAvailable()
+    val keptBatch2 = spark.read.parquet(s"$keptDir/batch=1").count()
+    q.stop()
+    assert(keptBatch1 > 0)
+    assert(keptBatch2 == 0, s"identical-vector copies admitted: $keptBatch2")
+    // kept rows carry the embedding payload (the vector gate's
+    // payload generalization)
+    val cols = spark.read.parquet(s"$keptDir/batch=0").columns.toSet
+    assert(cols == Set("doc_id", "embedding"), cols.toString)
+  }
+
   test("SimhashDupStream: block-pair collisions drop near-dups across batches, bucket-min ties in-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
