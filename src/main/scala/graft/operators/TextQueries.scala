@@ -1849,6 +1849,61 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  // ---- sliding-window chunking: split every document into fixed
+  //      token windows (W=32) with stride S=24 (25% overlap) — the
+  //      context-window materialization step a RAG index or a
+  //      fixed-sequence-length training run performs before embedding
+  //      or tokenizing. Pure per-row array math (split → sequence →
+  //      explode → slice → hash), all inside whole-stage codegen, no
+  //      shuffle except the final presentation sort: at 100 TB this
+  //      is an embarrassingly parallel map whose output partitioning
+  //      is inherited from the scan. Chunk identity is the md5 of the
+  //      window text, so downstream chunk-level dedup/embedding keys
+  //      on content, not position. ----
+  val q18Chunk: QueryDef = QueryDef(
+    "q18_chunk",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//24)) AS i FROM t),
+      |s AS (SELECT doc_id, i, list_slice(ws, i*24+1, i*24+32) AS chunk FROM c)
+      |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(i*24 AS BIGINT) AS start_tok,
+      |       CAST(len(chunk) AS BIGINT) AS n_tokens,
+      |       md5(array_to_string(chunk, ' ')) AS chunk_hash
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, (size(ws)-1) div 24)")).as("i"))
+      .select(col("doc_id"),
+        col("i").cast("long").as("chunk_idx"),
+        (col("i") * 24).cast("long").as("start_tok"),
+        expr("slice(ws, i*24+1, 32)").as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  // ---- sequence-length histogram: doc counts + token mass per
+  //      64-token bucket per source — the batch-shape planning signal
+  //      (how much padding a fixed-length batcher wastes, what packing
+  //      buys). One map-side-combinable aggregate over the scan. ----
+  val q18LengthHist: QueryDef = QueryDef(
+    "q18_length_hist",
+    """WITH t AS (SELECT source, len(string_split(text, ' ')) AS n FROM documents)
+      |SELECT source, CAST(n // 64 AS BIGINT) AS bucket,
+      |       count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+      |       CAST(min(n) AS BIGINT) AS min_tokens, CAST(max(n) AS BIGINT) AS max_tokens
+      |FROM t GROUP BY source, bucket ORDER BY source, bucket""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n"))
+      .select(col("source"), expr("n div 64").cast("long").as("bucket"), col("n"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("n_tokens"),
+        min(col("n")).cast("long").as("min_tokens"),
+        max(col("n")).cast("long").as("max_tokens"))
+      .orderBy(col("source"), col("bucket"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample, q18ImageDedup,
     q18AudioFeatures, q18AudioDedup,
@@ -1857,5 +1912,5 @@ object TextQueries {
     q18DomainMix, q18HeavyHitters,
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
-    q18PiiScrub)
+    q18PiiScrub, q18Chunk, q18LengthHist)
 }

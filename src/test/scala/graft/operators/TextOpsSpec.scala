@@ -254,4 +254,44 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     assert(got == expected)
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q18_chunk matches direct W=32/S=24 sliding windows") {
+    val dir = writeCorpus()
+    val got = SparkEntry.queries("q18_chunk")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+
+    val expected = corpus.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      (0L to (ws.length - 1) / 24).map { i =>
+        val chunk = ws.slice((i * 24).toInt, math.min(i * 24 + 32, ws.length).toInt)
+        (id, i, i * 24, chunk.length.toLong, md5Hex(chunk.mkString(" ")))
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+    // doc 5 (25 words) must produce an overlapping second window of 1 token
+    assert(expected.count(_._1 == 5L) == 2 && expected.filter(_._1 == 5L).last._4 == 1L)
+  }
+
+  test("q18_length_hist matches direct 64-token bucketing") {
+    val dir = writeCorpus()
+    val got = SparkEntry.queries("q18_length_hist")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+
+    val expected = corpus
+      .map { case (_, text, _, src) => src -> text.split(" ", -1).length.toLong }
+      .groupBy { case (src, n) => (src, n / 64) }
+      .map { case ((src, b), xs) =>
+        val ns = xs.map(_._2)
+        (src, b, ns.size.toLong, ns.sum, ns.min, ns.max)
+      }.toSeq.sortBy(t => (t._1, t._2))
+    assert(got == expected)
+  }
 }
