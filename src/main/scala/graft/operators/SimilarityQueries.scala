@@ -1602,9 +1602,89 @@ object SimilarityQueries {
       .orderBy(col("source"))
   }
 
+  // ---- ANN recall evaluation: recall@3 of the IVF index vs the exact
+  //      top-3 by the SAME integer dot-product metric — the quality
+  //      gauge every production ANN deployment tracks next to its
+  //      latency numbers (routing to one coarse cell trades recall for
+  //      |cluster| work; this query prices that trade). Composes the
+  //      REGISTERED q18_ann_ivf frame against a broadcast brute pass
+  //      over the probe set, so the measured index is exactly the one
+  //      the engine serves. Integer basis points, never a float ratio;
+  //      probes with zero retained ground-truth hits still report
+  //      (left join + count, not a semi-join). ----
+  val q18AnnRecall: QueryDef = QueryDef(
+    "q18_ann_recall",
+    s"""WITH $quantSql,
+       |exact0 AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |         ${dotQSql("p.q", "c.q")} AS dot_s
+       |  FROM qn p JOIN qn c ON p.vec_id < 5 AND p.vec_id <> c.vec_id),
+       |exact AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dot_s DESC, cand_id) AS rrk
+       |    FROM exact0) e WHERE rrk <= 3),
+       |dims AS (
+       |  SELECT vec_id, label, i - 1 AS d, q[i] AS x
+       |  FROM quant, unnest(range(1, len(q) + 1)) AS t(i)),
+       |cent AS (
+       |  SELECT label, d,
+       |         CAST(round(CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+       |  FROM dims GROUP BY label, d),
+       |probe_dist AS (
+       |  SELECT p.vec_id, c.label,
+       |         CAST(sum((p.x - c.cx) * (p.x - c.cx)) AS BIGINT) AS dist2
+       |  FROM dims p JOIN cent c ON p.d = c.d
+       |  WHERE p.vec_id < 5
+       |  GROUP BY p.vec_id, c.label),
+       |routed AS (
+       |  SELECT vec_id AS probe_id, label AS probe_label FROM (
+       |    SELECT vec_id, label,
+       |           row_number() OVER (PARTITION BY vec_id ORDER BY dist2, label) AS rn
+       |    FROM probe_dist) r WHERE rn = 1),
+       |pairs AS (
+       |  SELECT r.probe_id, c.vec_id AS cand_id,
+       |         ${dotQSql("p.q", "c.q")} AS dot_s
+       |  FROM routed r
+       |  JOIN qn p ON p.vec_id = r.probe_id
+       |  JOIN qn c ON c.label = r.probe_label AND c.vec_id <> r.probe_id),
+       |ivf AS (
+       |  SELECT probe_id, cand_id FROM (
+       |    SELECT probe_id, cand_id,
+       |           row_number() OVER (PARTITION BY probe_id
+       |                              ORDER BY dot_s DESC, cand_id) AS rnk
+       |    FROM pairs) f WHERE rnk <= 3)
+       |SELECT i.probe_id, CAST(count(e.cand_id) AS BIGINT) AS n_hits,
+       |       count(*) AS n_ret,
+       |       CAST((10000 * count(e.cand_id)) // 3 AS BIGINT) AS recall_bp
+       |FROM ivf i LEFT JOIN exact e
+       |  ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
+       |GROUP BY i.probe_id ORDER BY i.probe_id""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val probes = qn.where(col("vec_id") < 5)
+      .select(col("vec_id").as("probe_id"), col("q").as("qp"))
+    val cands = qn.select(col("vec_id").as("cand_id"), col("q").as("qc"))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("dot_s").desc, col("cand_id"))
+    val exact = broadcast(probes).join(cands, col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"), dotQ("qp", "qc").as("dot_s"))
+      .withColumn("rrk", row_number().over(byProbe))
+      .where(col("rrk") <= 3)
+      .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+    q18AnnIvf.build(spark, dir)
+      .select(col("probe_id"), col("cand_id"))
+      .join(exact, Seq("probe_id", "cand_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(col("hit")).as("n_hits"), count(lit(1)).as("n_ret"))
+      .select(col("probe_id"), col("n_hits"), col("n_ret"),
+        expr("(10000 * n_hits) div 3").as("recall_bp"))
+      .orderBy(col("probe_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
-    q18Pagerank, q18EditDedup, q18TfidfSim)
+    q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall)
 }

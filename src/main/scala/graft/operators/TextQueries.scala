@@ -1883,6 +1883,46 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // ---- cross-document duplicated windows: group the q18_chunk
+  //      content hashes and keep every window seen in more than one
+  //      document — the aligned-window cousin of q18_substring_dedup
+  //      (exact duplicate docs and copied prefixes share window
+  //      alignment, so their chunks collide; mid-document straddles
+  //      are substring_dedup's job). One hash-groupBy over the chunk
+  //      map — the exact-dedup shape at chunk granularity, shuffling
+  //      16-byte hashes, never text. ----
+  val q18ChunkDedup: QueryDef = QueryDef(
+    "q18_chunk_dedup",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//24)) AS i FROM t),
+      |s AS (SELECT doc_id,
+      |             md5(array_to_string(list_slice(ws, i*24+1, i*24+32), ' ')) AS chunk_hash,
+      |             len(list_slice(ws, i*24+1, i*24+32)) AS n_tokens
+      |      FROM c)
+      |SELECT chunk_hash, CAST(min(n_tokens) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM s WHERE n_tokens >= 16
+      |GROUP BY chunk_hash HAVING count(DISTINCT doc_id) > 1
+      |ORDER BY chunk_hash""".stripMargin) { (spark, dir) =>
+    docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(expr("sequence(0, (size(ws)-1) div 24)")).as("i"))
+      .select(col("doc_id"),
+        md5(concat_ws(" ", expr("slice(ws, i*24+1, 32)")).cast("binary")).as("chunk_hash"),
+        size(expr("slice(ws, i*24+1, 32)")).as("n_tokens"))
+      // short tail windows (< half width) collide on common phrases,
+      // not copied passages — below the dedup signal floor
+      .where(col("n_tokens") >= 16)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("n_tokens")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .where(col("n_docs") > 1)
+      .orderBy(col("chunk_hash"))
+  }
+
   // ---- sequence-length histogram: doc counts + token mass per
   //      64-token bucket per source — the batch-shape planning signal
   //      (how much padding a fixed-length batcher wastes, what packing
@@ -1912,5 +1952,5 @@ object TextQueries {
     q18DomainMix, q18HeavyHitters,
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
-    q18PiiScrub, q18Chunk, q18LengthHist)
+    q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup)
 }

@@ -278,6 +278,31 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected.count(_._1 == 5L) == 2 && expected.filter(_._1 == 5L).last._4 == 1L)
   }
 
+  test("q18_chunk_dedup reports exactly the cross-document repeated windows") {
+    val dir = writeCorpus()
+    val got = SparkEntry.queries("q18_chunk_dedup")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSeq
+
+    val chunks = corpus.flatMap { case (id, text, _, _) =>
+      val ws = text.split(" ", -1)
+      (0L to (ws.length - 1) / 24).map { i =>
+        val chunk = ws.slice((i * 24).toInt, math.min(i * 24 + 32, ws.length).toInt)
+        (md5Hex(chunk.mkString(" ")), chunk.length.toLong, id)
+      }
+    }.filter(_._2 >= 16)
+    val expected = chunks.groupBy(_._1)
+      .filter { case (_, xs) => xs.map(_._3).distinct.size > 1 }
+      .map { case (h, xs) =>
+        (h, xs.map(_._2).min, xs.size.toLong, xs.map(_._3).distinct.size.toLong,
+          xs.map(_._3).min, xs.map(_._3).max)
+      }.toSeq.sortBy(_._1)
+    assert(got == expected)
+    // docs 2 and 4 are full copies: their window collides; nothing else does
+    assert(expected.map(e => (e._5, e._6)) == Seq((2L, 4L)))
+  }
+
   test("q18_length_hist matches direct 64-token bucketing") {
     val dir = writeCorpus()
     val got = SparkEntry.queries("q18_length_hist")(spark, dir)
