@@ -1,0 +1,92 @@
+#!/usr/bin/env python3
+"""Inject hot keys into a fixture dir: the skew twin of make_scale.py.
+
+Usage: python3 tools/make_skew.py <src_dir> <out_dir>
+
+Uniform replication (make_scale.py) grows data but keeps every key's
+share constant; production 100 TB corpora don't behave — one crawl
+source dominates, one power user floods the event stream, one order
+carries a runaway basket. This transform plants exactly those hot keys
+so the skew-sensitive plans (per-source prefix sums, per-user windows,
+fact joins) can be measured against their uniform twins at the same
+row count, and so the DuckDB oracle can pin correctness ON skewed
+input (Spark and the oracle read the same files, so every green row is
+a correctness-under-skew proof, not a fixture comparison):
+
+- documents: every even doc_id moves to source 'src_hot' (~50% of the
+  corpus in one source — the packing/overlap/mix hot group).
+- events: every event_id % 5 == 0 moves to user_id 42 (~20% of the
+  stream in one per-user window partition — the sessionize/funnel/
+  retention hot key).
+- lineitem: every l_orderkey % 10 == 0 moves to the smallest existing
+  l_orderkey (~10% of the fact table on one join key — the AQE
+  skew-join case).
+
+Text, embeddings, ids, and all other tables are untouched: dedup/LSH
+bucket populations keep their uniform-fixture shape, so any runtime
+delta is attributable to the planted keys alone.
+"""
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+COPY_AS_IS = ["region", "nation", "customer", "supplier", "part",
+              "orders", "embeddings"]
+
+
+def skew_documents(tbl: pa.Table) -> pa.Table:
+    hot = pc.equal(pc.bit_wise_and(tbl.column("doc_id"), 1), 0)
+    idx = tbl.schema.get_field_index("source")
+    stype = tbl.schema.field("source").type
+    src = pc.if_else(hot, pa.scalar("src_hot", type=stype), tbl.column("source"))
+    return tbl.set_column(idx, "source", src.cast(stype))
+
+
+def _mod_mask(col: pa.ChunkedArray, m: int) -> pa.Array:
+    import numpy as np
+    vals = col.combine_chunks().to_numpy(zero_copy_only=False)
+    return pa.array(np.asarray(vals) % m == 0)
+
+
+def skew_events(tbl: pa.Table) -> pa.Table:
+    hot = _mod_mask(tbl.column("event_id"), 5)
+    idx = tbl.schema.get_field_index("user_id")
+    utype = tbl.schema.field("user_id").type
+    uid = pc.if_else(hot, pa.scalar(42, type=utype), tbl.column("user_id"))
+    return tbl.set_column(idx, "user_id", uid.cast(utype))
+
+
+def skew_lineitem(tbl: pa.Table) -> pa.Table:
+    hot_key = pc.min(tbl.column("l_orderkey")).as_py()
+    hot = _mod_mask(tbl.column("l_orderkey"), 10)
+    idx = tbl.schema.get_field_index("l_orderkey")
+    ktype = tbl.schema.field("l_orderkey").type
+    key = pc.if_else(hot, pa.scalar(hot_key, type=ktype), tbl.column("l_orderkey"))
+    return tbl.set_column(idx, "l_orderkey", key.cast(ktype))
+
+
+TRANSFORMS = {
+    "documents": skew_documents,
+    "events": skew_events,
+    "lineitem": skew_lineitem,
+}
+
+
+def main(src: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for name in COPY_AS_IS:
+        t = pq.read_table(f"{src}/{name}.parquet")
+        pq.write_table(t, f"{out}/{name}.parquet", version="2.6")
+        print(f"{name}: {t.num_rows} rows (copied)")
+    for name, fn in TRANSFORMS.items():
+        t = pq.read_table(f"{src}/{name}.parquet")
+        skewed = fn(t)
+        pq.write_table(skewed, f"{out}/{name}.parquet", version="2.6")
+        print(f"{name}: {t.num_rows} rows (skewed)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
