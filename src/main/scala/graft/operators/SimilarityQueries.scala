@@ -1682,9 +1682,95 @@ object SimilarityQueries {
       .orderBy(col("probe_id"))
   }
 
+  // ---- minhash estimator quality: for every LSH candidate pair,
+  //      the signature-estimated Jaccard (matching slots / 8, basis
+  //      points) against the exact 3-gram Jaccard — the estimator
+  //      error the dedup threshold actually absorbs (an 8-hash
+  //      signature quantizes Jaccard to 1250 bp steps; this query
+  //      prices that quantization on the pairs the pipeline really
+  //      generates, the estimator twin of q18_ann_recall). Exact side
+  //      is LSH-bounded: shingle sets are semi-join-pruned to
+  //      candidate docs before the intersection join, so the confirm
+  //      cost tracks |candidates|, not |corpus|². ----
+  val q18MinhashQuality: QueryDef = QueryDef(
+    "q18_minhash_quality",
+    s"""WITH $minhashSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         (CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END
+       |        + CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END) AS n_match
+       |  FROM cand c JOIN mh ma ON ma.doc_id = c.doc_a
+       |              JOIN mh mb ON mb.doc_id = c.doc_b),
+       |ids AS (SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand),
+       |sh2 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN ids USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_n
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT e.doc_a, e.doc_b, CAST(e.n_match AS BIGINT) AS n_match,
+       |       CAST(e.n_match * 1250 AS BIGINT) AS est_bp,
+       |       CAST((10000 * coalesce(i.both_n, 0))
+       |            // (sa.sz + sb.sz - coalesce(i.both_n, 0)) AS BIGINT) AS exact_bp,
+       |       CAST(abs(e.n_match * 1250
+       |            - (10000 * coalesce(i.both_n, 0))
+       |              // (sa.sz + sb.sz - coalesce(i.both_n, 0))) AS BIGINT) AS err_bp
+       |FROM est e
+       |JOIN sizes sa ON sa.doc_id = e.doc_a
+       |JOIN sizes sb ON sb.doc_id = e.doc_b
+       |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (spark, dir) =>
+    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val mh = minhashes(docs(spark, dir))
+    val nMatch = (0 until 8)
+      .map(j => when(col(s"ha$j") === col(s"hb$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(mh.select(col("doc_id").as("doc_a") +:
+        (0 until 8).map(j => col(s"h$j").as(s"ha$j")): _*), Seq("doc_a"))
+      .join(mh.select(col("doc_id").as("doc_b") +:
+        (0 until 8).map(j => col(s"h$j").as(s"hb$j")): _*), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh2 = shingled(docs(spark, dir)).distinct()
+      .join(ids, Seq("doc_id"), "left_semi")
+    val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both_n"))
+    est
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        col("n_match").cast("long").as("n_match"),
+        (col("n_match") * 1250).cast("long").as("est_bp"),
+        expr("(10000 * coalesce(both_n, 0)) div (sz_a + sz_b - coalesce(both_n, 0))")
+          .cast("long").as("exact_bp"),
+        expr("""abs(n_match * 1250
+               |    - (10000 * coalesce(both_n, 0))
+               |      div (sz_a + sz_b - coalesce(both_n, 0)))""".stripMargin)
+          .cast("long").as("err_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
-    q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall)
+    q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality)
 }
