@@ -99,14 +99,17 @@ object SimilarityQueries {
         (1 until 8).map(j =>
           min(concat(substring(col("h"), 4 * j + 1, 4), col("h"))).as(s"h$j")): _*)
 
+  /** Band buckets from a (doc_id, h0..h7) signature frame. */
+  private def bandsOf(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"), expr(
+      """stack(4,
+        |  0, md5(concat_ws('|', h0, h1)),
+        |  1, md5(concat_ws('|', h2, h3)),
+        |  2, md5(concat_ws('|', h4, h5)),
+        |  3, md5(concat_ws('|', h6, h7))) AS (band, bucket)""".stripMargin))
+
   private[graft] def bandBuckets(d: DataFrame): DataFrame =
-    minhashes(d)
-      .select(col("doc_id"), expr(
-        """stack(4,
-          |  0, md5(concat_ws('|', h0, h1)),
-          |  1, md5(concat_ws('|', h2, h3)),
-          |  2, md5(concat_ws('|', h4, h5)),
-          |  3, md5(concat_ws('|', h6, h7))) AS (band, bucket)""".stripMargin))
+    bandsOf(minhashes(d))
 
   /** Session-scoped materialization of the LSH band index per corpus:
     * the shingle→minhash→band pipeline is the expensive shared prefix
@@ -119,10 +122,24 @@ object SimilarityQueries {
     * already maintains incrementally. */
   private val bandIndexCache = new SessionCache[(String, Boolean), DataFrame]()
 
+  /** Session-scoped minhash signature frame (doc_id, h0..h7) per
+    * corpus: the shingle pass underneath [[bandIndex]], shared so the
+    * estimator audit (q18_minhash_quality) reads the SAME signatures
+    * the band index was built from — one shingle scan per (session,
+    * corpus) however many consumers. Bands derive from this frame
+    * deterministically (the stack select), so every bandIndex
+    * consumer is bit-identical to the pre-cache form. */
+  private val minhashCache = new SessionCache[(String, Boolean), DataFrame]()
+
+  private def minhashIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
+    minhashCache.getOrElseUpdate(spark, (dir, dupes)) {
+      val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
+      minhashes(corpus).localCheckpoint()
+    }
+
   private def bandIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
     bandIndexCache.getOrElseUpdate(spark, (dir, dupes)) {
-      val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
-      bandBuckets(corpus).localCheckpoint()
+      bandsOf(minhashIndex(spark, dir, dupes)).localCheckpoint()
     }
 
   private val minhashSql =
@@ -1732,7 +1749,7 @@ object SimilarityQueries {
        |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (spark, dir) =>
     val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
       .select(col("doc_a"), col("doc_b")).distinct()
-    val mh = minhashes(docs(spark, dir))
+    val mh = minhashIndex(spark, dir, dupes = false)
     val nMatch = (0 until 8)
       .map(j => when(col(s"ha$j") === col(s"hb$j"), 1).otherwise(0))
       .reduce(_ + _)
