@@ -1709,6 +1709,30 @@ object SimilarityQueries {
   //      is LSH-bounded: shingle sets are semi-join-pruned to
   //      candidate docs before the intersection join, so the confirm
   //      cost tracks |candidates|, not |corpus|². ----
+  /** Exact 3-gram Jaccard (integer basis points) for a candidate pair
+    * frame: shingle sets are semi-join-pruned to candidate docs before
+    * the intersection join, so the confirm tracks |candidates|, not
+    * |corpus|². Pairs whose docs have no shingles (< 3 words) drop —
+    * identical to the oracle's inner size join. */
+  private def exactJaccardBp(d: DataFrame, cand: DataFrame): DataFrame = {
+    val ids = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh2 = shingled(d).distinct().join(ids, Seq("doc_id"), "left_semi")
+    val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
+      .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("both_n"))
+    cand
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        expr("(10000 * coalesce(both_n, 0)) div (sz_a + sz_b - coalesce(both_n, 0))")
+          .cast("long").as("exact_bp"))
+  }
+
   val q18MinhashQuality: QueryDef = QueryDef(
     "q18_minhash_quality",
     s"""WITH $minhashSql,
@@ -1759,29 +1783,92 @@ object SimilarityQueries {
       .join(mh.select(col("doc_id").as("doc_b") +:
         (0 until 8).map(j => col(s"h$j").as(s"hb$j")): _*), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
-    val ids = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh2 = shingled(docs(spark, dir)).distinct()
-      .join(ids, Seq("doc_id"), "left_semi")
-    val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("both_n"))
     est
-      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
-      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(exactJaccardBp(docs(spark, dir), cand), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_match").cast("long").as("n_match"),
         (col("n_match") * 1250).cast("long").as("est_bp"),
-        expr("(10000 * coalesce(both_n, 0)) div (sz_a + sz_b - coalesce(both_n, 0))")
-          .cast("long").as("exact_bp"),
-        expr("""abs(n_match * 1250
-               |    - (10000 * coalesce(both_n, 0))
-               |      div (sz_a + sz_b - coalesce(both_n, 0)))""".stripMargin)
-          .cast("long").as("err_bp"))
+        col("exact_bp"),
+        expr("abs(n_match * 1250 - exact_bp)").cast("long").as("err_bp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ---- simhash estimator quality: for every pigeonhole candidate at
+  //      hamming ≤ 2, the signature-implied similarity (the 32-bit
+  //      hyperplane estimate cos(π·h/32), a THREE-value lookup in
+  //      integer basis points — 10000/9952/9808) against the exact
+  //      3-gram Jaccard — prices the SimhashDupStream gate the way
+  //      q18_minhash_quality prices the LSH gate. Note the two scales
+  //      differ by design (angular cosine vs set Jaccard): err_bp is
+  //      the gate's systematic optimism on near-identical docs, the
+  //      number a threshold-tuner actually reads. ----
+  val q18SimhashQuality: QueryDef = QueryDef(
+    "q18_simhash_quality",
+    """WITH wrd AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |votes AS (
+      |  SELECT doc_id, bit,
+      |         sum(CASE WHEN strpos('89abcdef', substr(md5(w), bit + 1, 1)) > 0
+      |                  THEN 1 ELSE -1 END) AS v
+      |  FROM wrd, unnest(range(0, 32)) AS t(bit)
+      |  GROUP BY doc_id, bit),
+      |sigs AS (
+      |  SELECT doc_id,
+      |         CAST(sum(CASE WHEN v > 0
+      |                       THEN (CAST(1 AS BIGINT) << CAST(bit AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sig
+      |  FROM votes GROUP BY doc_id),
+      |blocks AS (
+      |  SELECT doc_id, j,
+      |         CASE j WHEN 0 THEN sig & 2047
+      |                WHEN 1 THEN (sig >> 11) & 2047
+      |                ELSE (sig >> 22) & 1023 END AS blk
+      |  FROM sigs, unnest(range(0, 3)) AS p(j)),
+      |cand0 AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM blocks a JOIN blocks b
+      |    ON a.j = b.j AND a.blk = b.blk AND a.doc_id < b.doc_id),
+      |pr AS (
+      |  SELECT doc_a, doc_b, bit_count(xor(sa.sig, sb.sig)) AS hamming
+      |  FROM cand0
+      |  JOIN sigs sa ON sa.doc_id = doc_a
+      |  JOIN sigs sb ON sb.doc_id = doc_b
+      |  WHERE bit_count(xor(sa.sig, sb.sig)) <= 2),
+      |ids AS (SELECT doc_a AS doc_id FROM pr UNION SELECT doc_b FROM pr),
+      |w2 AS (SELECT d.doc_id, string_split(d.text, ' ') AS ws
+      |       FROM documents d JOIN ids USING (doc_id)),
+      |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w2, unnest(range(1, len(ws)-1)) AS t(i)),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_n
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT pr.doc_a, pr.doc_b, CAST(pr.hamming AS BIGINT) AS hamming,
+      |       CAST(CASE pr.hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952
+      |            ELSE 9808 END AS BIGINT) AS est_bp,
+      |       CAST((10000 * coalesce(i.both_n, 0))
+      |            // (sa.sz + sb.sz - coalesce(i.both_n, 0)) AS BIGINT) AS exact_bp,
+      |       CAST(abs(CASE pr.hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952
+      |                ELSE 9808 END
+      |            - (10000 * coalesce(i.both_n, 0))
+      |              // (sa.sz + sb.sz - coalesce(i.both_n, 0))) AS BIGINT) AS err_bp
+      |FROM pr
+      |JOIN sizes sa ON sa.doc_id = pr.doc_a
+      |JOIN sizes sb ON sb.doc_id = pr.doc_b
+      |LEFT JOIN inter i ON i.doc_a = pr.doc_a AND i.doc_b = pr.doc_b
+      |ORDER BY pr.doc_a, pr.doc_b""".stripMargin) { (spark, dir) =>
+    val est = simhashPairsFromSigs(
+      simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"),
+        expr("CAST(CASE hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952 ELSE 9808 END AS BIGINT)")
+          .as("est_bp"))
+    est
+      .join(exactJaccardBp(docs(spark, dir),
+        est.select(col("doc_a"), col("doc_b"))), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("est_bp"),
+        col("exact_bp"),
+        expr("abs(est_bp - exact_bp)").cast("long").as("err_bp"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1789,5 +1876,6 @@ object SimilarityQueries {
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
-    q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality)
+    q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
+    q18SimhashQuality)
 }

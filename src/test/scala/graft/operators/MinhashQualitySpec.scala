@@ -44,4 +44,22 @@ class MinhashQualitySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(err == math.abs(est - exact))
     }
   }
+
+  test("simhash quality pair set equals the registered hamming<=2 pairs; lookup coherent") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q18_simhash_quality")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val registered = SparkEntry.queries("q18_simhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._2)).toSet == registered)
+    val lookup = Map(0L -> 10000L, 1L -> 9952L, 2L -> 9808L)
+    rows.foreach { case (a, b, h, est, exact, err) =>
+      assert(a < b && h >= 0 && h <= 2)
+      assert(est == lookup(h))
+      assert(exact >= 0 && exact <= 10000)
+      assert(err == math.abs(est - exact))
+    }
+  }
 }
