@@ -263,6 +263,22 @@ object SimilarityQueries {
       simhashSigs(docs(spark, dir)).localCheckpoint()
     }
 
+  /** The hamming ≤ 2 pair frame, materialized once per (session,
+    * corpus): q18_simhash_pairs and q18_simhash_quality both read it,
+    * and within ONE query plan a re-used reference would otherwise
+    * re-run the 6-way block-pair self-join per consumer (the
+    * estimator audit referenced it six times before this cache —
+    * PLANS_r11.md). |pairs| is duplicate-density-sized, so the
+    * checkpoint holds candidate rows, never corpus text. */
+  private val simhashPairCache = new SessionCache[String, DataFrame]()
+
+  private def simhashPairsCached(spark: SparkSession, dir: String): DataFrame =
+    simhashPairCache.getOrElseUpdate(spark, dir) {
+      simhashPairsFromSigs(
+        simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
+        .localCheckpoint()
+    }
+
   val q18Simhash: QueryDef = QueryDef(
     "q18_simhash",
     """WITH wrd AS (
@@ -324,8 +340,7 @@ object SimilarityQueries {
       |JOIN sigs sb ON sb.doc_id = doc_b
       |WHERE bit_count(xor(sa.sig, sb.sig)) <= 2
       |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    simhashPairsFromSigs(
-      simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
+    simhashPairsCached(spark, dir)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1717,7 +1732,15 @@ object SimilarityQueries {
   private def exactJaccardBp(d: DataFrame, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // One reference, three plan consumers (both intersection sides +
+    // the size aggregate): without the eager checkpoint each consumer
+    // re-runs the corpus-sized shingle scan — 4 full text scans per
+    // audit where one suffices. The checkpointed frame holds only
+    // candidate docs' shingles (|candidates|-bounded, never corpus);
+    // the abandoned block is reclaimed by the ContextCleaner once the
+    // query's plan is dropped.
     val sh2 = shingled(d).distinct().join(ids, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
@@ -1858,8 +1881,7 @@ object SimilarityQueries {
       |JOIN sizes sb ON sb.doc_id = pr.doc_b
       |LEFT JOIN inter i ON i.doc_a = pr.doc_a AND i.doc_b = pr.doc_b
       |ORDER BY pr.doc_a, pr.doc_b""".stripMargin) { (spark, dir) =>
-    val est = simhashPairsFromSigs(
-      simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
+    val est = simhashPairsCached(spark, dir)
       .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"),
         expr("CAST(CASE hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952 ELSE 9808 END AS BIGINT)")
           .as("est_bp"))
