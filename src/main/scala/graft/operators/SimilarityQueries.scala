@@ -1796,8 +1796,15 @@ object SimilarityQueries {
   /** (doc_a, doc_b, sz_a, sz_b, both_n) for a candidate pair frame:
     * shingle-set sizes plus exact intersection counts, the shared
     * exact-confirm basis for Jaccard (q18_minhash_quality /
-    * q18_simhash_quality) and containment (q18_containment). */
-  private def exactOverlap(d: DataFrame, cand: DataFrame): DataFrame = {
+    * q18_simhash_quality / q18_fuzzy_contam) and containment
+    * (q18_containment). `shRaw` is a (doc_id, shingle) frame, repeats
+    * allowed — the candidate semi-join runs BEFORE the distinct, so
+    * the dedup shuffle carries only candidate docs' shingles
+    * (|candidates|-bounded), never the corpus-wide shingle set (the
+    * pre-optimization form distinct'd the whole corpus first: one
+    * full extra shuffle per audit — SCALING.md round-11 containment
+    * note). */
+  private def exactOverlap(shRaw: DataFrame, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // One reference, three plan consumers (both intersection sides +
@@ -1807,7 +1814,7 @@ object SimilarityQueries {
     // candidate docs' shingles (|candidates|-bounded, never corpus);
     // the abandoned block is reclaimed by the ContextCleaner once the
     // query's plan is dropped.
-    val sh2 = shingled(d).distinct().join(ids, Seq("doc_id"), "left_semi")
+    val sh2 = shRaw.join(ids, Seq("doc_id"), "left_semi").distinct()
       .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -1823,8 +1830,8 @@ object SimilarityQueries {
         coalesce(col("both_n"), lit(0L)).as("both_n"))
   }
 
-  private def exactJaccardBp(d: DataFrame, cand: DataFrame): DataFrame =
-    exactOverlap(d, cand)
+  private def exactJaccardBp(shRaw: DataFrame, cand: DataFrame): DataFrame =
+    exactOverlap(shRaw, cand)
       .select(col("doc_a"), col("doc_b"),
         expr("(10000 * both_n) div (sz_a + sz_b - both_n)")
           .cast("long").as("exact_bp"))
@@ -1880,7 +1887,7 @@ object SimilarityQueries {
         (0 until 8).map(j => col(s"h$j").as(s"hb$j")): _*), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
     est
-      .join(exactJaccardBp(docs(spark, dir), cand), Seq("doc_a", "doc_b"))
+      .join(exactJaccardBp(shingled(docs(spark, dir)), cand), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_match").cast("long").as("n_match"),
         (col("n_match") * 1250).cast("long").as("est_bp"),
@@ -1959,7 +1966,7 @@ object SimilarityQueries {
         expr("CAST(CASE hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952 ELSE 9808 END AS BIGINT)")
           .as("est_bp"))
     est
-      .join(exactJaccardBp(docs(spark, dir),
+      .join(exactJaccardBp(shingled(docs(spark, dir)),
         est.select(col("doc_a"), col("doc_b"))), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("est_bp"),
         col("exact_bp"),
@@ -2023,7 +2030,12 @@ object SimilarityQueries {
       |WHERE 10000 * i.both_n // least(sa.sz, sb.sz) >= 8000
       |ORDER BY i.doc_a, i.doc_b""".stripMargin) { (spark, dir) =>
     val d = docs(spark, dir)
-    val sh = shingled(d).distinct()
+    // ONE corpus shingle scan + distinct shuffle for the whole query:
+    // the checkpointed frame feeds the DF counts, the rare-shingle
+    // pick join AND the exact confirm (the pre-checkpoint form paid
+    // the scan+distinct twice and re-derived DF from an unshared
+    // subtree — 5.5 s → ~2 s at sf0.1, SCALING.md round-11 note).
+    val sh = shingled(d).distinct().localCheckpoint()
     val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val pick = sh.join(dfq.where(col("df").between(2, 64)), Seq("shingle"))
       .withColumn("rn", row_number().over(
@@ -2036,7 +2048,7 @@ object SimilarityQueries {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    exactOverlap(d, cand)
+    exactOverlap(sh, cand)
       .withColumn("cont_bp",
         expr("(10000 * both_n) div least(sz_a, sz_b)").cast("long"))
       .where(col("cont_bp") >= 8000)
@@ -2046,10 +2058,75 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- fuzzy decontamination: train docs that NEAR-duplicate the
+  //      eval holdout (the q18_split/q18_contamination doc_id%10=3
+  //      convention), found through the SAME minhash-LSH band index
+  //      the dedup pipeline maintains. The exact 8-gram pass
+  //      (q18_contamination) catches verbatim leakage; this pass
+  //      catches the paraphrased / lightly-edited leakage an 8-gram
+  //      equality can miss, at exact 3-gram Jaccard ≥ 7000 bp.
+  //      Candidates are train×eval band-bucket collisions — the eval
+  //      side is the SMALL side in production (a benchmark suite vs
+  //      a 100 TB corpus), so AQE broadcasts it and the scan cost is
+  //      one pass over the already-materialized band index; the
+  //      bucket guard fail-fasts a degenerate eval bucket before the
+  //      collision join. Confirm is the shared exact-Jaccard helper,
+  //      |candidates|-bounded (shingles semi-join-pruned to candidate
+  //      docs). ----
+  val q18FuzzyContam: QueryDef = QueryDef(
+    "q18_fuzzy_contam",
+    s"""WITH $minhashSql,
+       |cand AS (
+       |  SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+       |  FROM bands t JOIN bands e
+       |    ON t.band = e.band AND t.bucket = e.bucket
+       |  WHERE t.doc_id % 10 <> 3 AND e.doc_id % 10 = 3),
+       |ids AS (SELECT train_doc AS doc_id FROM cand
+       |        UNION SELECT eval_doc FROM cand),
+       |sh2 AS (SELECT s.doc_id, s.shingle FROM sh s JOIN ids USING (doc_id)),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.train_doc, c.eval_doc, count(*) AS both_n
+       |  FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle
+       |  JOIN cand c ON c.train_doc = a.doc_id AND c.eval_doc = b.doc_id
+       |  GROUP BY c.train_doc, c.eval_doc)
+       |SELECT i.train_doc, i.eval_doc,
+       |       CAST((10000 * i.both_n) // (sa.sz + sb.sz - i.both_n) AS BIGINT)
+       |         AS jac_bp
+       |FROM inter i
+       |JOIN sizes sa ON sa.doc_id = i.train_doc
+       |JOIN sizes sb ON sb.doc_id = i.eval_doc
+       |WHERE (10000 * i.both_n) // (sa.sz + sb.sz - i.both_n) >= 7000
+       |ORDER BY train_doc, eval_doc""".stripMargin) { (spark, dir) =>
+    val bands = bandIndex(spark, dir, dupes = false)
+    val ev = ScaleOps.guardBlockSize(
+      bands.where(col("doc_id") % 10 === 3), "bucket", "q18_fuzzy_contam")
+    val cand = bands.where(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id").as("train_doc"), col("band"), col("bucket"))
+      .join(ev.select(col("doc_id").as("eval_doc"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("train_doc"), col("eval_doc"))
+      .distinct()
+    // the shared confirm canonicalizes on doc_a < doc_b; restore the
+    // train/eval orientation afterwards (split sides are disjoint, so
+    // train_doc == eval_doc cannot occur)
+    val canon = cand.select(
+      least(col("train_doc"), col("eval_doc")).as("doc_a"),
+      greatest(col("train_doc"), col("eval_doc")).as("doc_b"))
+      .distinct()
+    cand
+      .join(exactJaccardBp(shingled(docs(spark, dir)), canon),
+        least(col("train_doc"), col("eval_doc")) === col("doc_a") &&
+          greatest(col("train_doc"), col("eval_doc")) === col("doc_b"))
+      .where(col("exact_bp") >= 7000)
+      .select(col("train_doc"), col("eval_doc"), col("exact_bp").as("jac_bp"))
+      .orderBy(col("train_doc"), col("eval_doc"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
-    q18SimhashQuality, q18Containment, q18DupStats)
+    q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats)
 }
