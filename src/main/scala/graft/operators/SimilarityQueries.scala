@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.SetAgg
 import graft.model.Envelope
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1797,24 +1798,23 @@ object SimilarityQueries {
     * shingle-set sizes plus exact intersection counts, the shared
     * exact-confirm basis for Jaccard (q18_minhash_quality /
     * q18_simhash_quality / q18_fuzzy_contam) and containment
-    * (q18_containment). `shRaw` is a (doc_id, shingle) frame, repeats
-    * allowed — the candidate semi-join runs BEFORE the distinct, so
-    * the dedup shuffle carries only candidate docs' shingles
-    * (|candidates|-bounded), never the corpus-wide shingle set (the
-    * pre-optimization form distinct'd the whole corpus first: one
-    * full extra shuffle per audit — SCALING.md round-11 containment
-    * note). */
-  private def exactOverlap(shRaw: DataFrame, cand: DataFrame): DataFrame = {
+    * (q18_containment). `d` is the (doc_id, text) frame: candidate
+    * docs are pruned BEFORE the shingle explode (a broadcast semi-join
+    * on the tiny candidate-id set), so neither the explode nor the
+    * dedup shuffle ever carries a non-candidate row — the confirm is
+    * |candidates|-bounded end to end, never corpus-bounded (earlier
+    * forms shingled the whole corpus and pruned after: a full
+    * corpus-sized explode+distinct per audit — SCALING.md round-11
+    * containment note). */
+  private def exactOverlap(d: DataFrame, cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // One reference, three plan consumers (both intersection sides +
     // the size aggregate): without the eager checkpoint each consumer
-    // re-runs the corpus-sized shingle scan — 4 full text scans per
-    // audit where one suffices. The checkpointed frame holds only
-    // candidate docs' shingles (|candidates|-bounded, never corpus);
-    // the abandoned block is reclaimed by the ContextCleaner once the
-    // query's plan is dropped.
-    val sh2 = shRaw.join(ids, Seq("doc_id"), "left_semi").distinct()
+    // re-runs the candidate shingle derivation. The checkpointed frame
+    // holds only candidate docs' shingles; the abandoned block is
+    // reclaimed by the ContextCleaner once the query's plan is dropped.
+    val sh2 = shingled(d.join(ids, Seq("doc_id"), "left_semi")).distinct()
       .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -1830,8 +1830,8 @@ object SimilarityQueries {
         coalesce(col("both_n"), lit(0L)).as("both_n"))
   }
 
-  private def exactJaccardBp(shRaw: DataFrame, cand: DataFrame): DataFrame =
-    exactOverlap(shRaw, cand)
+  private def exactJaccardBp(d: DataFrame, cand: DataFrame): DataFrame =
+    exactOverlap(d, cand)
       .select(col("doc_a"), col("doc_b"),
         expr("(10000 * both_n) div (sz_a + sz_b - both_n)")
           .cast("long").as("exact_bp"))
@@ -1887,7 +1887,7 @@ object SimilarityQueries {
         (0 until 8).map(j => col(s"h$j").as(s"hb$j")): _*), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
     est
-      .join(exactJaccardBp(shingled(docs(spark, dir)), cand), Seq("doc_a", "doc_b"))
+      .join(exactJaccardBp(docs(spark, dir), cand), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_match").cast("long").as("n_match"),
         (col("n_match") * 1250).cast("long").as("est_bp"),
@@ -1966,7 +1966,7 @@ object SimilarityQueries {
         expr("CAST(CASE hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952 ELSE 9808 END AS BIGINT)")
           .as("est_bp"))
     est
-      .join(exactJaccardBp(shingled(docs(spark, dir)),
+      .join(exactJaccardBp(docs(spark, dir),
         est.select(col("doc_a"), col("doc_b"))), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("est_bp"),
         col("exact_bp"),
@@ -2030,25 +2030,39 @@ object SimilarityQueries {
       |WHERE 10000 * i.both_n // least(sa.sz, sb.sz) >= 8000
       |ORDER BY i.doc_a, i.doc_b""".stripMargin) { (spark, dir) =>
     val d = docs(spark, dir)
-    // ONE corpus shingle scan + distinct shuffle for the whole query:
-    // the checkpointed frame feeds the DF counts, the rare-shingle
-    // pick join AND the exact confirm (the pre-checkpoint form paid
-    // the scan+distinct twice and re-derived DF from an unshared
-    // subtree — 5.5 s → ~2 s at sf0.1, SCALING.md round-11 note).
-    val sh = shingled(d).distinct().localCheckpoint()
-    val dfq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val pick = sh.join(dfq.where(col("df").between(2, 64)), Seq("shingle"))
+    // ONE shuffle builds the whole rare-shingle index: the capped
+    // distinct-set aggregate (SetAgg.cappedDocSet, bounded state — a
+    // stop-shingle costs 64 longs and an O(1) overflow marker, never
+    // |df| memory) replaces the distinct → DF-count → join-back chain
+    // of the earlier form, which paid three corpus-wide shuffles plus
+    // a checkpoint of the full shingle frame. df ∈ [2,64] falls out as
+    // the array size; overflowed (NULL) groups ARE the df > 64
+    // exclusion. Measured 4.2 → 3.9 s at sf0.1 end-to-end — the
+    // remainder is stage-launch latency on a tiny SF, the phase sum is
+    // 2.3 s (ProfileContain); at scale the win is structural: three
+    // corpus-wide shuffles and a corpus-sized checkpoint removed
+    // (SCALING.md round-11 containment note).
+    val agg = shingled(d)
+      .groupBy(col("shingle"))
+      .agg(SetAgg.cappedDocSet(col("doc_id"), 64).as("ds"))
+      .where(col("ds").isNotNull && size(col("ds")).between(2, 64))
+    val pick = agg
+      .select(col("shingle"), size(col("ds")).cast("long").as("df"),
+        explode(col("ds")).as("doc_id"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .where(col("rn") <= 4)
       .select(col("doc_id"), col("shingle"))
+      // tiny (≤ 4 rows/doc); checkpointed so the guard's size probe and
+      // both self-join sides read it instead of re-running the index
+      .localCheckpoint()
     val guarded = ScaleOps.guardBlockSize(pick, "shingle", "q18_containment")
     val cand = guarded.select(col("doc_id").as("doc_a"), col("shingle"))
       .join(guarded.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    exactOverlap(sh, cand)
+    exactOverlap(d, cand)
       .withColumn("cont_bp",
         expr("(10000 * both_n) div least(sz_a, sz_b)").cast("long"))
       .where(col("cont_bp") >= 8000)
@@ -2115,7 +2129,7 @@ object SimilarityQueries {
       greatest(col("train_doc"), col("eval_doc")).as("doc_b"))
       .distinct()
     cand
-      .join(exactJaccardBp(shingled(docs(spark, dir)), canon),
+      .join(exactJaccardBp(docs(spark, dir), canon),
         least(col("train_doc"), col("eval_doc")) === col("doc_a") &&
           greatest(col("train_doc"), col("eval_doc")) === col("doc_b"))
       .where(col("exact_bp") >= 7000)
