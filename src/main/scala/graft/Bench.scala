@@ -32,6 +32,20 @@ import org.apache.spark.sql.SparkSession
   *    load-average sample land in BENCH_LAST.json so flags can be
   *    adjudicated from data; the best file is refreshed with new
   *    per-rep minima afterwards.
+  *  - the guard normalizes for MACHINE drift (round-11 finding: a
+  *    container reboot landed the suite on a slower host — every one
+  *    of 127 queries inflated, median per-rep-min ratio 1.68× vs best,
+  *    10 spurious flags incl. queries untouched for rounds): a
+  *    deterministic CPU probe (SplitMix64 sum, single-thread and
+  *    all-cores) runs before the timed loop, its per-boot minimum is
+  *    recorded next to the query bests (`_calib1`/`_calibN`), and the
+  *    guard divides each per-rep min by the measured slowdown vs the
+  *    fastest machine that ever set a best (never below 1.0 — a
+  *    faster machine doesn't tighten the gate). Same machine ⇒ drift
+  *    ≈ 1 ⇒ behavior unchanged; a real plan regression scales WITH
+  *    the probe and still flags. Each would-be flag then gets 2 extra
+  *    reps and is re-judged on the improved min (variance flags clear,
+  *    real regressions are slow in every rep).
   *
   * A short untimed warmup absorbs JVM/codegen startup so the per-query
   * numbers measure the plans, not JIT. AQE is on (as it would be on a
@@ -42,6 +56,46 @@ object Bench {
 
   private def jnum(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Deterministic CPU-bound probe (SplitMix64 mix-sum): cache-resident,
+    * branch-free, JIT-stable — tracks clock speed / IPC, which is what
+    * cross-boot host drift changes. Returns the sum so the JIT can't
+    * dead-code the loop. */
+  private def splitmixSum(iters: Long, seed: Long): Long = {
+    var x = seed; var s = 0L; var i = 0L
+    while (i < iters) {
+      x += 0x9E3779B97F4A7C15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      s += z ^ (z >>> 31)
+      i += 1
+    }
+    s
+  }
+
+  private val CalibIters = 150000000L
+
+  /** (single-thread secs, all-cores secs): min of 3 timed runs each,
+    * after an untimed JIT warmup. ~2 s total. */
+  private def calibrate(threads: Int): (Double, Double) = {
+    splitmixSum(CalibIters / 8, 11L) // JIT warmup, untimed
+    val single = (0 until 3).map { r =>
+      val t0 = System.nanoTime()
+      splitmixSum(CalibIters, 100 + r.toLong)
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    val multi = (0 until 3).map { r =>
+      val t0 = System.nanoTime()
+      val ts = (0 until threads).map { t =>
+        val th = new Thread(() => { splitmixSum(CalibIters, 1000L * t + r) : Unit })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }.min
+    (single, multi)
+  }
 
   /** Headline queries for the stdout line: the historically slowest /
     * most plan-interesting queries (also the SCALING.md study set).
@@ -119,6 +173,10 @@ object Bench {
     def loadAvg: Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
     val loadBefore = loadAvg
+    // CPU drift probe (see scaladoc): measured before the timed loop so
+    // the suite's own GC can't pollute it; compared against the fastest
+    // machine that ever set a best for this SF.
+    val (calib1, calibN) = calibrate(cpus.toInt)
     val wall0 = System.nanoTime()
     for (rep <- 0 until reps) {
       // deterministic per-rep shuffle: suite position rotates across
@@ -177,18 +235,50 @@ object Bench {
     // what's reported per query (the honest central estimate) — the
     // min only decides violations, and the raw per-rep times land in
     // BENCH_LAST.json so any flag can be re-adjudicated from data.
-    val guardFails = medians.collect {
-      case (n, _) if mins.getOrElse(n, -1.0) > 0 &&
-          recorded.get(n).exists(b =>
-            b > 0 && mins(n) > 2 * b && mins(n) - b > 0.3) =>
-        n -> (mins(n) / recorded(n))
+    // Machine-drift normalization: how much slower is this boot than
+    // the fastest machine that set bests? (max of the single-thread and
+    // all-cores probe ratios — queries bound by either mode inflate by
+    // their respective factor; never below 1.0.)
+    val drift = math.max(1.0, math.max(
+      recorded.get("_calib1").map(calib1 / _).getOrElse(1.0),
+      recorded.get("_calibN").map(calibN / _).getOrElse(1.0)))
+    def judge(m: Map[String, Double]): Vector[(String, Double)] =
+      medians.collect {
+        case (n, _) if m.getOrElse(n, -1.0) > 0 &&
+            recorded.get(n).exists(b =>
+              b > 0 && m(n) / drift > 2 * b && m(n) / drift - b > 0.3) =>
+          n -> (m(n) / drift / recorded(n))
+      }
+    // Second chance for would-be flags: min-of-3 has high variance on a
+    // noisy host (round-11: 3-rep mins for four queries sat 1.4-1.7×
+    // above their own 5-rep mins on the same binary and machine), so
+    // each candidate flag gets 2 extra reps and is re-judged on the
+    // improved min. A real regression survives — EVERY rep is slow — a
+    // variance flag clears. Retry reps land in the raw arrays; medians
+    // are untouched (still the honest 3-rep central estimate).
+    val minsF: Map[String, Double] = {
+      val m = collection.mutable.Map(mins.toSeq: _*)
+      for ((n, _) <- judge(mins); _ <- 0 until 2) {
+        val t0 = System.nanoTime()
+        try {
+          SparkEntry.queries(n)(spark, sfDir).count()
+          val dt = (System.nanoTime() - t0) / 1e9
+          times(n) = times(n) :+ dt
+          m(n) = math.min(m(n), dt)
+        } catch { case _: Throwable => () }
+      }
+      m.toMap
     }
+    val guardFails = judge(minsF)
     // refresh the best file with new minima (guard judges BEFORE
     // refresh); start from `recorded` so a filtered run can't drop the
-    // minima of queries it didn't execute
-    val newBest = recorded ++ mins.collect { case (n, v) if v > 0 =>
-      n -> math.min(v, recorded.getOrElse(n, Double.MaxValue))
-    }.toMap
+    // minima of queries it didn't execute. The calib probes refresh
+    // min-wise like any query: the recorded reference is always the
+    // fastest machine seen.
+    val newBest = recorded ++ (minsF ++ Map("_calib1" -> calib1, "_calibN" -> calibN))
+      .collect { case (n, v) if v > 0 =>
+        n -> math.min(v, recorded.getOrElse(n, Double.MaxValue))
+      }.toMap
     if (newBest.nonEmpty) {
       val others =
         if (!Files.exists(bestPath)) Vector.empty
@@ -212,7 +302,8 @@ object Bench {
       .map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
     val guard = guardFails.map { case (k, r) => s""""$k":${jnum(r)}""" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v > 0 => v }.sum
-    val loadJson = s""""load":{"before":${jnum(loadBefore)},"after":${jnum(loadAfter)},"cpus":$cpus}"""
+    val loadJson = s""""load":{"before":${jnum(loadBefore)},"after":${jnum(loadAfter)},"cpus":$cpus},""" +
+      s""""calib":{"single":${jnum(calib1)},"multi":${jnum(calibN)},"drift":${jnum(drift)}}"""
     // raw per-rep times (file only — ~4 KB for the full suite): the
     // evidence a guard-flag adjudication needs without a rerun
     val rawJson = names
