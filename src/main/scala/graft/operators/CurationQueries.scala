@@ -888,8 +888,67 @@ object CurationQueries {
       .orderBy(col("vec_id"))
   }
 
+  // ---- selection under a token budget: the "what actually ships"
+  //      step after every scorer has run — rank docs by quality, keep
+  //      the best prefix whose tokens fit the training budget (here
+  //      10% of corpus tokens; score = type-token ratio in basis
+  //      points, any integer scorer slots in). Semantics = one global
+  //      ORDER BY score DESC, doc_id with a running token sum — but
+  //      the IMPLEMENTATION never builds a global window: scores are
+  //      integer bp, so a ≤10001-row score histogram (one hash agg)
+  //      broadcast with its cumulative sums decides every doc except
+  //      the boundary score, and only the boundary group needs an
+  //      in-group prefix sum (one partitioned window over one score's
+  //      docs). cum_tok = broadcast prior + in-group prefix is exactly
+  //      the global running sum. At 100 TB: one token-stats scan, one
+  //      tiny agg + broadcast, one bounded window — no single-task
+  //      global sort. ----
+  val q18TokenBudget: QueryDef = QueryDef(
+    "q18_token_budget",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |         CAST(10000 * len(list_distinct(string_split(text, ' ')))
+      |              // len(string_split(text, ' ')) AS BIGINT) AS score_bp
+      |  FROM documents),
+      |b AS (SELECT CAST(sum(n_tok) AS BIGINT) // 10 AS budget FROM t),
+      |c AS (SELECT doc_id, score_bp, n_tok,
+      |             CAST(sum(n_tok) OVER (ORDER BY score_bp DESC, doc_id
+      |                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tok
+      |      FROM t)
+      |SELECT doc_id, score_bp, n_tok, cum_tok
+      |FROM c CROSS JOIN b WHERE cum_tok <= budget
+      |ORDER BY score_bp DESC, doc_id""".stripMargin) { (spark, dir) =>
+    val t = docs(spark, dir).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      expr("CAST(10000 * size(array_distinct(split(text, ' '))) AS BIGINT) div size(split(text, ' '))")
+        .as("score_bp"))
+    // score histogram: per-score token totals + the cumulative tokens
+    // of all STRICTLY BETTER scores (prior), and the budget — ≤10001
+    // rows, one window over them, broadcast back
+    // the histogram agg is the ONLY second corpus pass: the budget
+    // (10% of total tokens) derives from the ≤10001-row histogram, not
+    // from another scan
+    val hist = t.groupBy(col("score_bp")).agg(sum(col("n_tok")).as("s_tok"))
+      .localCheckpoint()
+    val byScoreDesc = Window.orderBy(col("score_bp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist
+      .withColumn("prior", coalesce(sum(col("s_tok")).over(byScoreDesc), lit(0L)))
+    val budget = hist.agg(expr("CAST(sum(s_tok) AS BIGINT) div 10").as("budget"))
+    // in-group prefix (window over ONE score's docs) + broadcast prior
+    val inGroup = Window.partitionBy(col("score_bp")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    t.join(broadcast(cum.select(col("score_bp"), col("prior"))), Seq("score_bp"))
+      .crossJoin(broadcast(budget))
+      .withColumn("cum_tok", col("prior") + sum(col("n_tok")).over(inGroup))
+      .where(col("cum_tok") <= col("budget"))
+      .select(col("doc_id"), col("score_bp"), col("n_tok"), col("cum_tok"))
+      .orderBy(col("score_bp").desc, col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
     q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode,
-    q18QualityCalib, q18PqSampled)
+    q18QualityCalib, q18PqSampled, q18TokenBudget)
 }

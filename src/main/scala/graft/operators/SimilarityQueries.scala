@@ -483,6 +483,76 @@ object SimilarityQueries {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  // ---- kNN label classification (embedding-quality eval): hold out
+  //      every 10th vector as a probe, predict its label by majority
+  //      vote of its 5 nearest train vectors (cosine; ties → lower
+  //      cand_id, vote ties → lower label), report per-label accuracy.
+  //      The number an embedding-pipeline owner watches before
+  //      trusting semantic dedup / clustering built on those vectors.
+  //      Scale: the probe side is a bounded broadcast (an eval sample,
+  //      not the corpus) against one full scan + per-probe TakeOrdered
+  //      — the same shape as q18_cosine_topk; swap in the IVF probe
+  //      join (q18_ann_ivf) when the eval set outgrows broadcast. ----
+  val q18KnnClassify: QueryDef = QueryDef(
+    "q18_knn_classify",
+    s"""WITH $quantSql,
+       |sc AS (
+       |  SELECT p.vec_id AS probe_id, p.label AS plabel,
+       |         c.vec_id AS cand_id, c.label AS clabel,
+       |         CAST(${dotQSql("p.q", "c.q")} AS DOUBLE)
+       |           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+       |  FROM qn p JOIN qn c ON p.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+       |rk AS (
+       |  SELECT probe_id, plabel, clabel,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cosine DESC, cand_id) AS rnk
+       |  FROM sc),
+       |vt AS (SELECT probe_id, plabel, clabel, count(*) AS cnt
+       |       FROM rk WHERE rnk <= 5 GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT probe_id, plabel, clabel AS pred,
+       |         row_number() OVER (PARTITION BY probe_id
+       |                            ORDER BY cnt DESC, clabel) AS rr
+       |  FROM vt)
+       |SELECT CAST(plabel AS BIGINT) AS label,
+       |       CAST(count(*) AS BIGINT) AS n_probes,
+       |       CAST(sum(CASE WHEN pred = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       |       CAST(10000 * sum(CASE WHEN pred = plabel THEN 1 ELSE 0 END)
+       |            // count(*) AS BIGINT) AS acc_bp
+       |FROM pr WHERE rr = 1
+       |GROUP BY plabel ORDER BY label""".stripMargin) { (spark, dir) =>
+    val qn = quantized(embs(spark, dir))
+    val probes = qn.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
+        col("q").as("qp"), col("n2").as("n2_p"))
+    val cands = qn.where(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("cand_id"), col("label").as("clabel"),
+        col("q").as("qc"), col("n2").as("n2_c"))
+    val cosine = dotQ("qp", "qc").cast("double") /
+      (sqrt(col("n2_p").cast("double")) * sqrt(col("n2_c").cast("double")))
+    val byProbe = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("cand_id"))
+    val votes = broadcast(probes).join(cands, lit(true))
+      .select(col("probe_id"), col("plabel"), col("cand_id"), col("clabel"),
+        cosine.as("cosine"))
+      .withColumn("rnk", row_number().over(byProbe))
+      .where(col("rnk") <= 5)
+      .groupBy(col("probe_id"), col("plabel"), col("clabel"))
+      .agg(count(lit(1)).as("cnt"))
+    val byVotes = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cnt").desc, col("clabel"))
+    votes
+      .withColumn("rr", row_number().over(byVotes))
+      .where(col("rr") === 1)
+      .groupBy(col("plabel"))
+      .agg(count(lit(1)).cast("long").as("n_probes"),
+        sum(when(col("clabel") === col("plabel"), 1L).otherwise(0L)).cast("long")
+          .as("n_correct"))
+      .select(col("plabel").cast("long").as("label"), col("n_probes"), col("n_correct"),
+        expr("(10000 * n_correct) div n_probes").as("acc_bp"))
+      .orderBy(col("label"))
+  }
+
   // ---- LSH-bucketed ANN (the scale path): 16 deterministic random
   //      hyperplanes; sign bits → bucket; search within bucket only ----
 
@@ -2142,5 +2212,6 @@ object SimilarityQueries {
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
-    q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats)
+    q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
+    q18KnnClassify)
 }

@@ -1354,6 +1354,114 @@ object TextQueries {
         .orderBy(col("doc_id"))
   }
 
+  // ---- per-source distribution drift: KL(source ‖ corpus) over the
+  //      unigram distribution, in integer micro-nats. The number a
+  //      mixing/contamination monitor watches: a source whose KL
+  //      jumps is drifting away from (or collapsing into) the pool.
+  //      Determinism discipline = unigram_lp's: ONE ln per distinct
+  //      (source, word), rounded to integer micro-nats before any
+  //      aggregate, so sums are order-independent under any
+  //      partitioning. Scale: rides the session doc-term matrix (one
+  //      token pass per session), then (source,w) and (w) aggregates —
+  //      both key-partitioned shuffles — and a w-keyed join; the
+  //      per-source rollup is a |sources|-row aggregate. No windows,
+  //      no driver loops: the 100 TB shape is two hash aggs + one
+  //      shuffle join. ----
+  val q18SourceKl: QueryDef = QueryDef(
+    "q18_source_kl",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM sw GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(tf) AS BIGINT) AS n_s FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cw),
+      |agg AS (
+      |  SELECT source, n_s,
+      |         CAST(sum(tf * CAST(round(1000000 * ln((CAST(tf AS DOUBLE) * n)
+      |                                               / (CAST(n_s AS DOUBLE) * cnt)))
+      |                            AS BIGINT)) AS BIGINT) AS kl_sum_upm
+      |  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
+      |  GROUP BY source, n_s)
+      |SELECT source, n_s AS n_tok, kl_sum_upm, kl_sum_upm // n_s AS kl_upm
+      |FROM agg ORDER BY source""".stripMargin) { (spark, dir) =>
+    // (source, w, tf) off the shared matrix: doc→source is a doc-keyed
+    // join (reuses the matrix's doc_id clustering), then two hash aggs
+    val srcOf = docs(spark, dir).select(col("doc_id"), col("source"))
+    val sw = termFreq(spark, dir).join(srcOf, Seq("doc_id"))
+      .groupBy(col("source"), col("w")).agg(sum(col("tf")).cast("long").as("tf"))
+    val cw = sw.groupBy(col("w")).agg(sum(col("tf")).cast("long").as("cnt"))
+    val ns = sw.groupBy(col("source")).agg(sum(col("tf")).cast("long").as("n_s"))
+    val tot = cw.agg(sum(col("cnt")).cast("long").as("n"))
+    val sp = expr("CAST(round(1000000 * ln((CAST(tf AS DOUBLE) * n) / (CAST(n_s AS DOUBLE) * cnt))) AS BIGINT)")
+    sw.join(cw, Seq("w"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_s"),
+        (col("tf") * sp).as("contrib"))
+      .groupBy(col("source"))
+      .agg(first(col("n_s")).as("n_tok"),
+        expr("CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS BIGINT)").as("kl_sum_upm"))
+      .select(col("source"), col("n_tok"), col("kl_sum_upm"),
+        expr("kl_sum_upm div n_tok").as("kl_upm"))
+      .orderBy(col("source"))
+  }
+
+  // ---- winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+  //      scheme): hash every 4-word shingle, slide a 5-hash window,
+  //      keep each window's minimal hash (ties → leftmost, encoded as
+  //      min over the fixed-width "hash#pos" key so both engines pick
+  //      identically). The guarantee: any shared run of ≥ 8 words
+  //      between two docs shares a fingerprint, with ~2/(w+1) of
+  //      k-grams retained — the storage-bounded local dedup signature
+  //      between exact hashing and minhash. Output is the per-doc
+  //      digest of the selected set (count + md5 of the sorted
+  //      fingerprints); the fingerprint table itself is the join key a
+  //      dedup pass would block on. Scale: pure per-doc work — one
+  //      explode and one doc-partitioned window, no corpus-wide
+  //      shuffle beyond the doc key. ----
+  val q18Winnow: QueryDef = QueryDef(
+    "q18_winnow",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |kg AS (SELECT doc_id, i AS pos,
+      |              md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]) AS h
+      |       FROM w, unnest(range(1, len(ws) - 2)) AS t(i)),
+      |km AS (SELECT doc_id, pos,
+      |              h || '#' || lpad(CAST(pos AS VARCHAR), 8, '0') AS k,
+      |              count(*) OVER (PARTITION BY doc_id) AS nk
+      |       FROM kg),
+      |sel AS (SELECT doc_id, nk, pos,
+      |               min(k) OVER (PARTITION BY doc_id ORDER BY pos
+      |                            ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS sk
+      |        FROM km),
+      |fp AS (SELECT DISTINCT doc_id, nk, substr(sk, 1, 32) AS fh
+      |       FROM sel WHERE pos <= nk - 4)
+      |SELECT doc_id, CAST(any_value(nk) AS BIGINT) AS n_kgram,
+      |       CAST(count(*) AS BIGINT) AS n_fp,
+      |       md5(array_to_string(list_sort(list(fh)), ' ')) AS fp_digest
+      |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val kg = docs(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(if(size(ws) >= 4, sequence(1, size(ws) - 3), array()),
+          |          i -> md5(cast(concat_ws(' ', slice(ws, i, 4)) as binary)))""".stripMargin))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val winFwd = byDoc.orderBy(col("pos")).rowsBetween(0, 4)
+    val sel = kg
+      .withColumn("k", concat(col("h"), lit("#"), lpad(col("pos").cast("string"), 8, "0")))
+      .withColumn("nk", count(lit(1)).over(byDoc))
+      .withColumn("sk", min(col("k")).over(winFwd))
+      .where(col("pos") <= col("nk") - 4)
+      .select(col("doc_id"), col("nk"), substring(col("sk"), 1, 32).as("fh"))
+      .distinct()
+    sel.groupBy(col("doc_id"))
+      .agg(first(col("nk")).cast("long").as("n_kgram"),
+        count(lit(1)).cast("long").as("n_fp"),
+        md5(array_join(array_sort(collect_list(col("fh"))), " ").cast("binary"))
+          .as("fp_digest"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- epoch upsampling with repetition factors: when a language
   //      (or domain) is too small for its target share, REPEAT it —
   //      rep_s = ceil(n_max/n_s) capped at 4 epochs (past ~4 repeats,
@@ -1952,5 +2060,6 @@ object TextQueries {
     q18DomainMix, q18HeavyHitters,
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
-    q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup)
+    q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
+    q18SourceKl, q18Winnow)
 }
