@@ -484,9 +484,12 @@ object SimilarityQueries {
   }
 
   // ---- kNN label classification (embedding-quality eval): hold out
-  //      every 10th vector as a probe, predict its label by majority
-  //      vote of its 5 nearest train vectors (cosine; ties → lower
-  //      cand_id, vote ties → lower label), report per-label accuracy.
+  //      every 10th vector UNDER id 2000 as a probe (a FIXED eval
+  //      sample — the id cap keeps the probe count bounded as the
+  //      corpus grows, so cost is one corpus scan per eval, never
+  //      |corpus|²/10), predict its label by majority vote of its 5
+  //      nearest train vectors (cosine; ties → lower cand_id, vote
+  //      ties → lower label), report per-label accuracy.
   //      The number an embedding-pipeline owner watches before
   //      trusting semantic dedup / clustering built on those vectors.
   //      Scale: the probe side is a bounded broadcast (an eval sample,
@@ -501,7 +504,9 @@ object SimilarityQueries {
        |         c.vec_id AS cand_id, c.label AS clabel,
        |         CAST(${dotQSql("p.q", "c.q")} AS DOUBLE)
        |           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
-       |  FROM qn p JOIN qn c ON p.vec_id % 10 = 0 AND c.vec_id % 10 <> 0),
+       |  FROM qn p JOIN qn c
+       |    ON p.vec_id % 10 = 0 AND p.vec_id < 2000
+       |   AND NOT (c.vec_id % 10 = 0 AND c.vec_id < 2000)),
        |rk AS (
        |  SELECT probe_id, plabel, clabel,
        |         row_number() OVER (PARTITION BY probe_id
@@ -522,10 +527,11 @@ object SimilarityQueries {
        |FROM pr WHERE rr = 1
        |GROUP BY plabel ORDER BY label""".stripMargin) { (spark, dir) =>
     val qn = quantized(embs(spark, dir))
-    val probes = qn.where(col("vec_id") % 10 === 0)
+    val isProbe = col("vec_id") % 10 === 0 && col("vec_id") < 2000
+    val probes = qn.where(isProbe)
       .select(col("vec_id").as("probe_id"), col("label").as("plabel"),
         col("q").as("qp"), col("n2").as("n2_p"))
-    val cands = qn.where(col("vec_id") % 10 =!= 0)
+    val cands = qn.where(!isProbe)
       .select(col("vec_id").as("cand_id"), col("label").as("clabel"),
         col("q").as("qc"), col("n2").as("n2_c"))
     val cosine = dotQ("qp", "qc").cast("double") /

@@ -1418,6 +1418,29 @@ object TextQueries {
   //      dedup pass would block on. Scale: pure per-doc work — one
   //      explode and one doc-partitioned window, no corpus-wide
   //      shuffle beyond the doc key. ----
+  /** Distinct winnowing fingerprints per doc: (doc_id, nk, fh) with
+    * nk = the doc's 4-gram count and fh the selected 32-hex hashes.
+    * Shared by the q18_winnow digest query and WinnowDupStream (the
+    * streaming gate blocks on fh collisions). */
+  private[graft] def winnowFingerprints(d: DataFrame): DataFrame = {
+    val kg = d
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        """transform(if(size(ws) >= 4, sequence(1, size(ws) - 3), array()),
+          |          i -> md5(cast(concat_ws(' ', slice(ws, i, 4)) as binary)))""".stripMargin))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val winFwd = byDoc.orderBy(col("pos")).rowsBetween(0, 4)
+    kg
+      .withColumn("k", concat(col("h"), lit("#"), lpad(col("pos").cast("string"), 8, "0")))
+      .withColumn("nk", count(lit(1)).over(byDoc))
+      .withColumn("sk", min(col("k")).over(winFwd))
+      .where(col("pos") <= col("nk") - 4)
+      .select(col("doc_id"), col("nk"), substring(col("sk"), 1, 32).as("fh"))
+      .distinct()
+  }
+
   val q18Winnow: QueryDef = QueryDef(
     "q18_winnow",
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1438,23 +1461,7 @@ object TextQueries {
       |       CAST(count(*) AS BIGINT) AS n_fp,
       |       md5(array_to_string(list_sort(list(fh)), ' ')) AS fp_digest
       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-    val kg = docs(spark, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(expr(
-        """transform(if(size(ws) >= 4, sequence(1, size(ws) - 3), array()),
-          |          i -> md5(cast(concat_ws(' ', slice(ws, i, 4)) as binary)))""".stripMargin))
-        .as(Seq("p0", "h")))
-      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-    val winFwd = byDoc.orderBy(col("pos")).rowsBetween(0, 4)
-    val sel = kg
-      .withColumn("k", concat(col("h"), lit("#"), lpad(col("pos").cast("string"), 8, "0")))
-      .withColumn("nk", count(lit(1)).over(byDoc))
-      .withColumn("sk", min(col("k")).over(winFwd))
-      .where(col("pos") <= col("nk") - 4)
-      .select(col("doc_id"), col("nk"), substring(col("sk"), 1, 32).as("fh"))
-      .distinct()
-    sel.groupBy(col("doc_id"))
+    winnowFingerprints(docs(spark, dir)).groupBy(col("doc_id"))
       .agg(first(col("nk")).cast("long").as("n_kgram"),
         count(lit(1)).cast("long").as("n_fp"),
         md5(array_join(array_sort(collect_list(col("fh"))), " ").cast("binary"))

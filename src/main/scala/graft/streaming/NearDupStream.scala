@@ -227,6 +227,38 @@ object SimhashDupStream {
     NearDupStream.startWith(simhashKeys)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
 
+/** The WINNOWING twin of [[NearDupStream]]: each micro-batch's docs
+  * are fingerprinted by the q18_winnow scheme (4-word shingle hashes,
+  * 5-hash window minima) and dropped if ANY fingerprint collides with
+  * the persisted index — the streaming gate for shared-PASSAGE
+  * ingestion, sensitive to any ≥8-word run already seen in the corpus
+  * (winnowing's guarantee), where the minhash gate needs whole-doc
+  * similarity. Aggressive BY DESIGN — one shared boilerplate line
+  * gates a doc — so this is the candidate filter for a
+  * quote/containment-heavy feed; `quarantineDir` records gated docs
+  * for the batch q18_containment confirm, which decides
+  * containment vs incidental overlap. Fingerprints are ~2/(w+1) of
+  * 4-grams, so the index stays a bounded fraction of corpus token
+  * count; the per-batch join is fingerprint-keyed, never pairwise. */
+object WinnowDupStream {
+
+  private def winnowKeys(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.winnowFingerprints(docs)
+      .select(col("doc_id"), lit(0).as("band"), col("fh").as("bucket"))
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(winnowKeys)(batch, batchId, indexDir, keptDir, quarantineDir)
+
+  /** Start the streaming winnowing-fingerprint filter over a
+    * (doc_id, text) stream. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(winnowKeys)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+}
+
 /** The image-modality twin of [[NearDupStream]]: each micro-batch's
   * assets are REALLY decoded (the q18_image_dedup ImageIO path) and
   * dropped if their (dims, 2-bit-color) bucket collides with the

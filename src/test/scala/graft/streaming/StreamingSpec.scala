@@ -609,6 +609,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"seen text drops, near-identical text passes exact gate: $kept1")
   }
 
+  test("WinnowDupStream: a shared >=8-word passage gates a doc; short docs pass; idempotent redo") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("win-index"); val keptDir = tmp("win-kept")
+    val qDir = tmp("win-quar")
+    val passage = (1 to 9).map(i => s"p$i").mkString(" ")
+    val other = (1 to 12).map(i => s"o$i").mkString(" ")
+
+    val input = MemoryStream[(Long, String)]
+    val q = WinnowDupStream.start(input.toDS().toDF("doc_id", "text"),
+      tmp("cp-windup"), indexDir, keptDir, Some(qDir))
+    // batch 0: doc 3 embeds doc 1's 9-word passage → in-batch
+    // fingerprint tie, min doc_id survives; doc 2 is disjoint
+    input.addData(Seq((1L, s"$passage alpha beta gamma delta"),
+      (2L, other), (3L, s"intro words here $passage tail words")))
+    q.processAllAvailable()
+    val kept0 = spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept0 == Set(1L, 2L), s"passage-sharing doc must gate in-batch: $kept0")
+    // batch 1: doc 10 re-ships doc 2's text (corpus-index hit), doc 11
+    // is fresh, doc 12 is sub-window (4 words → no fingerprints → passes)
+    input.addData(Seq((10L, s"prefix $other suffix"),
+      (11L, (1 to 12).map(i => s"n$i").mkString(" ")),
+      (12L, "too short to window")))
+    q.processAllAvailable()
+    val kept1 = spark.read.parquet(s"$keptDir/batch=1").select("doc_id")
+      .as[Long].collect().toSet
+    q.stop()
+    assert(kept1 == Set(11L, 12L), s"corpus passage hit gates, short doc passes: $kept1")
+    // quarantine records the reason per drop
+    val quar = spark.read.parquet(qDir).select("doc_id", "reason")
+      .as[(Long, String)].collect().toMap
+    assert(quar == Map(3L -> "batch_min", 10L -> "corpus_index"))
+
+    // crash-redo probe: committed batch no-ops; marker-less batch
+    // redoes idempotently against the same index state
+    val batch1Df = Seq((10L, s"prefix $other suffix"),
+      (11L, (1 to 12).map(i => s"n$i").mkString(" ")),
+      (12L, "too short to window")).toDF("doc_id", "text")
+    WinnowDupStream.processBatch(batch1Df, 1L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=1").select("doc_id")
+      .as[Long].collect().toSet == kept1)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$indexDir/_batches/batch-1"))
+    WinnowDupStream.processBatch(batch1Df, 1L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=1").select("doc_id")
+      .as[Long].collect().toSet == kept1)
+  }
+
   test("ImageDupStream: decoded-bucket index drops image near-dups across batches, idempotent redo") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
