@@ -204,6 +204,56 @@ object SimilarityQueries {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  // ---- triangle counts on the candidate graph: how CLIQUE-LIKE is
+  //      each doc's dup neighborhood? A duplicate cluster is a
+  //      near-clique (every member collides with every other →
+  //      triangle-dense); a chain or star of incidental bucket
+  //      collisions has few triangles. Per-doc triangle count is the
+  //      cluster-quality signal a dedup QA pass reads next to
+  //      q18_dup_stats' size histogram: high n_tri → safe transitive
+  //      collapse, low n_tri on a high-degree doc → hub artifact, send
+  //      to the exact confirm. Standard wedge-close counting: edges
+  //      (a<b) self-join on the middle node, then a semi-check of the
+  //      closing edge — cost Σ deg(mid)², bounded because every edge
+  //      comes out of a guarded LSH bucket (degree ≤ Σ of a doc's four
+  //      band-bucket sizes). Each triangle (a<b<c) is counted once per
+  //      member. ----
+  val q18Triangles: QueryDef = QueryDef(
+    "q18_triangles",
+    s"""WITH $minhashSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+       |tri AS (
+       |  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+       |  FROM cand e1
+       |  JOIN cand e2 ON e2.doc_a = e1.doc_b
+       |  JOIN cand e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+       |m AS (SELECT a AS doc_id FROM tri
+       |      UNION ALL SELECT b FROM tri
+       |      UNION ALL SELECT c FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    // one edge materialization, three plan consumers (both wedge arms
+    // + the closing check) → eager checkpoint like exactOverlap's
+    val e = bucketPairs(bandIndex(spark, dir, dupes = false))
+      .select(col("doc_a"), col("doc_b")).distinct()
+      .localCheckpoint()
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
+      .join(e.as("e3"),
+        col("e3.doc_a") === col("e1.doc_a") && col("e3.doc_b") === col("e2.doc_b"),
+        "left_semi")
+      .select(col("e1.doc_a").as("a"), col("e1.doc_b").as("b"), col("e2.doc_b").as("c"))
+    tri.select(col("a").as("doc_id"))
+      .unionAll(tri.select(col("b").as("doc_id")))
+      .unionAll(tri.select(col("c").as("doc_id")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tri"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- SimHash: 32-bit signature from word votes; bit i comes from
   //      the i-th hex digit of md5(word) (high digit → +1).
   //
@@ -2219,5 +2269,5 @@ object SimilarityQueries {
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
     q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
-    q18KnnClassify)
+    q18KnnClassify, q18Triangles)
 }

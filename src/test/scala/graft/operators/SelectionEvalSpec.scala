@@ -140,6 +140,37 @@ class SelectionEvalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((fp1 & fp2).nonEmpty)
   }
 
+  // ---- q18_triangles ----
+
+  test("triangles: a 4-doc duplicate clique yields 3 per member; chains yield none") {
+    val quad = (1 to 30).map(i => s"d$i").mkString(" ")
+    val rows = Seq(
+      (1L, quad, "en", "s0"), (2L, quad, "en", "s0"),
+      (3L, quad, "en", "s1"), (4L, quad, "en", "s1"), // K4 clique
+      (5L, (1 to 30).map(i => s"x$i").mkString(" "), "en", "s2"),
+      (6L, (1 to 30).map(i => s"y$i").mkString(" "), "en", "s2"))
+    val dir = writeDocs(rows)
+    val got = SparkEntry.queries("q18_triangles")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+
+    // brute force from the REGISTERED candidate pairs (same frame the
+    // query consumes): close every wedge
+    val pairs = SparkEntry.queries("q18_minhash_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val tris = for {
+      a <- nodes; b <- nodes if a < b && pairs((a, b))
+      c <- nodes if b < c && pairs((b, c)) && pairs((a, c))
+    } yield (a, b, c)
+    val expected = tris.flatMap(t => Seq(t._1, t._2, t._3))
+      .groupBy(identity).map { case (id, xs) => (id, xs.size.toLong) }
+      .toSeq.sorted
+    assert(got == expected)
+    // identical texts form a K4: every member closes C(3,2) = 3 triangles
+    assert(got.filter(_._1 <= 4L).map(_._2) == Seq(3L, 3L, 3L, 3L))
+    assert(!got.exists(g => g._1 == 5L || g._1 == 6L))
+  }
+
   // ---- q18_knn_classify ----
 
   test("knn_classify scores clean clusters 100% and a poisoned probe 0%") {
