@@ -931,10 +931,13 @@ object CurationQueries {
     // from another scan
     val hist = t.groupBy(col("score_bp")).agg(sum(col("n_tok")).as("s_tok"))
       .localCheckpoint()
-    val byScoreDesc = Window.orderBy(col("score_bp").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val cum = hist
-      .withColumn("prior", coalesce(sum(col("s_tok")).over(byScoreDesc), lit(0L)))
+    // "tokens at strictly better scores" = prefix-of-previous sum in
+    // (-score_bp) order, through the two-level sharded helper — even
+    // this ≤10001-row frame never rides an unpartitioned window (the
+    // PlanShapeSpec sweep bans them query-surface-wide)
+    val cum = graft.operators.ScaleOps.prefixSumOfPrevious(
+        hist.withColumn("_ord", -col("score_bp")), "_ord", "s_tok", "prior")
+      .drop("_ord")
     val budget = hist.agg(expr("CAST(sum(s_tok) AS BIGINT) div 10").as("budget"))
     // in-group prefix (window over ONE score's docs) + broadcast prior
     val inGroup = Window.partitionBy(col("score_bp")).orderBy(col("doc_id"))

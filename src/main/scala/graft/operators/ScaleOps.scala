@@ -203,6 +203,29 @@ object ScaleOps {
       .drop("_sb", "_pin", "_soff")
   }
 
+  /** Prefix-of-previous SUM over an ordered summary table — the
+    * running-total sibling of [[prefixMaxOfPrevious]], same two-level
+    * scheme (super-bucket-partitioned intra window + broadcast
+    * theta-join over per-super-bucket totals), same capacity math, NO
+    * unpartitioned window anywhere in the plan. `outCol` is 0 for the
+    * first row (empty-prefix sum). `ordCol` must be unique per row. */
+  def prefixSumOfPrevious(
+      summary: DataFrame, ordCol: String, valCol: String, outCol: String,
+      k: Int = 8192): DataFrame = {
+    val t = summary.withColumn("_sb", expr(s"$ordCol div $k"))
+    val intra = Window.partitionBy(col("_sb")).orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sb = t.groupBy(col("_sb")).agg(sum(col(valCol)).as("_sbsum"))
+    val prev = sb.select(col("_sb").as("_psb"), col("_sbsum").as("_psum"))
+    val offs = sb.join(broadcast(prev), col("_psb") < col("_sb"), "left")
+      .groupBy(col("_sb")).agg(sum(col("_psum")).as("_soff"))
+    t.withColumn("_pin", sum(col(valCol)).over(intra))
+      .join(broadcast(offs), Seq("_sb"))
+      .withColumn(outCol,
+        coalesce(col("_pin"), lit(0L)) + coalesce(col("_soff"), lit(0L)))
+      .drop("_sb", "_pin", "_soff")
+  }
+
   /** Salted skew aggregation, oracle-checked against the direct plan:
     * per event_type (only 5 distinct values = extreme skew at scale),
     * count + exact decimal sum, via 16 salt buckets. */

@@ -1854,6 +1854,95 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- WordPiece-style greedy tokenizer application: the OTHER
+  //      production tokenizer family next to BPE — encode each word by
+  //      repeatedly taking the LONGEST vocab piece that prefixes the
+  //      remaining suffix (BERT's greedy longest-match-first), with a
+  //      1-char UNK step when nothing matches. Vocab = the ≤256 most
+  //      frequent words (count ≥ 16, length ≤ 12; count-desc, word
+  //      tie-break) plus every character seen in a non-hapax word —
+  //      both BOUNDED collects (tokenizer vocab is a hyperparameter,
+  //      the same justification as the driver-resident BPE merge table
+  //      and ScaleOps.cachedCodebook). The greedy loop is a fold of
+  //      24 codegen'd CASE/IN maps (words capped at 24 chars — real
+  //      tokenizers length-cap input the same way) over the
+  //      DISTINCT-word vocab, so corpus growth only grows the one
+  //      doc-keyed rollup join — the q18_bpe_encode scale shape. The
+  //      oracle runs the identical greedy loop as a recursive CTE.
+  //      n_unk > 0 marks words containing characters the (non-hapax)
+  //      char vocab never saw — the OOV-rate a tokenizer owner
+  //      monitors. ----
+  private val WpMaxWordLen = 24
+  private val WpMaxVocab = 256
+  private val WpMinCount = 16
+  private val WpCharMinCount = 2
+
+  val q18Wordpiece: QueryDef = QueryDef(
+    "q18_wordpiece",
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tw AS (SELECT doc_id, w FROM tok WHERE len(w) BETWEEN 1 AND $WpMaxWordLen),
+       |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       |topw AS (SELECT w AS p FROM wc WHERE len(w) <= 12 AND cnt >= $WpMinCount
+       |         ORDER BY cnt DESC, w LIMIT $WpMaxVocab),
+       |chars AS (SELECT DISTINCT substr(w, i, 1) AS p
+       |          FROM wc, unnest(range(1, len(w) + 1)) t(i) WHERE cnt >= $WpCharMinCount),
+       |vocab AS (SELECT p FROM topw UNION SELECT p FROM chars),
+       |dw AS (SELECT DISTINCT w FROM tw),
+       |st AS (
+       |  SELECT w, 1 AS pos, 0 AS np, 0 AS nu FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + greatest(m, 1), np + 1,
+       |         nu + CASE WHEN m = 0 THEN 1 ELSE 0 END
+       |  FROM (SELECT w, pos, np, nu,
+       |          coalesce((SELECT max(len(v.p)) FROM vocab v
+       |                    WHERE substr(st.w, st.pos, len(v.p)) = v.p), 0) AS m
+       |        FROM st WHERE pos <= len(w)) x(w, pos, np, nu, m)),
+       |enc AS (SELECT w, np, nu FROM st WHERE pos > len(w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       CAST(sum(nu) AS BIGINT) AS n_unk
+       |FROM tw JOIN enc USING (w)
+       |WHERE doc_id % 25 = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tw = tok.where(length(col("w")).between(1, WpMaxWordLen))
+    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    // bounded vocab collects (≤256 words + the char set)
+    val topw: Seq[String] = wc
+      .where(length(col("w")) <= 12 && col("cnt") >= WpMinCount)
+      .orderBy(col("cnt").desc, col("w")).limit(WpMaxVocab)
+      .select(col("w")).collect().map(_.getString(0)).toSeq
+    val chars: Seq[String] = wc.where(col("cnt") >= WpCharMinCount)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val byLen: Map[Int, Seq[String]] = (topw ++ chars).distinct.groupBy(_.length)
+    // longest length checked FIRST (outermost CASE arm)
+    val matchLen: org.apache.spark.sql.Column = byLen.keys.toSeq.sorted.foldLeft(lit(0)) { (acc, l) =>
+      when(expr(s"substring(w, pos, $l)").isin(byLen(l): _*), lit(l)).otherwise(acc)
+    }
+    val init = tw.select(col("w")).distinct()
+      .withColumn("pos", lit(1)).withColumn("np", lit(0)).withColumn("nu", lit(0))
+    val enc = (1 to WpMaxWordLen).foldLeft(init) { (df, _) =>
+      df.withColumn("m",
+          when(col("pos") <= length(col("w")), matchLen).otherwise(lit(-1)))
+        .withColumn("np", when(col("m") >= 0, col("np") + 1).otherwise(col("np")))
+        .withColumn("nu", when(col("m") === 0, col("nu") + 1).otherwise(col("nu")))
+        .withColumn("pos", when(col("m") >= 0,
+          col("pos") + greatest(col("m"), lit(1))).otherwise(col("pos")))
+        .drop("m")
+    }
+    tw.where(col("doc_id") % 25 === 0)
+      .join(enc.select(col("w"), col("np"), col("nu")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("np")).cast("long").as("n_pieces"),
+        sum(col("nu")).cast("long").as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- deterministic weighted sampling: keep each doc with
   //      probability ∝ its token weight (longer/higher-quality docs
   //      oversampled), targeting K ≈ 100 expected survivors — the
@@ -2068,5 +2157,5 @@ object TextQueries {
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
     q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
-    q18SourceKl, q18Winnow)
+    q18SourceKl, q18Winnow, q18Wordpiece)
 }

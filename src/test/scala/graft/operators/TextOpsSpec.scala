@@ -319,4 +319,53 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }.toSeq.sortBy(t => (t._1, t._2))
     assert(got == expected)
   }
+
+  test("q18_wordpiece matches a direct greedy longest-match-first encoder") {
+    // probe filter is doc_id % 25 == 0; word vocab needs count >= 16,
+    // char vocab needs word count >= 2 — engineer all three: "hello"
+    // repeated 16x lands in the word vocab, "he" (cnt 2) feeds chars
+    // h/e, and "qz" appears once so q/z stay OUT of the char vocab
+    // (every occurrence of q or z must count as UNK).
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wp").toString
+    val wp = Seq(
+      (0L, (Seq.fill(16)("hello") ++ Seq("he", "he", "qz")).mkString(" ")),
+      (25L, "hellohe heqz hello"),
+      (7L, "hello hello")) // non-probe doc: feeds counts, not output
+    wp.toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("s0"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/documents.parquet")
+
+    val got = SparkEntry.queries("q18_wordpiece")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+
+    // direct vocab: words cnt>=16 len<=12 (top 256) + chars of words cnt>=2
+    val wc = wp.flatMap(_._2.split(" ")).groupBy(identity).view.mapValues(_.size).toMap
+    val topw = wc.filter { case (w, c) => w.length <= 12 && c >= 16 }.keys.toSet
+    val chars = wc.filter(_._2 >= 2).keys.flatMap(_.map(_.toString)).toSet
+    val vocab = topw ++ chars
+    def encode(w: String): (Long, Long) = { // (pieces, unks)
+      var pos = 0; var np = 0L; var nu = 0L
+      while (pos < w.length) {
+        val m = (1 to (w.length - pos)).filter(l => vocab(w.substring(pos, pos + l)))
+          .sorted.lastOption.getOrElse(0)
+        np += 1; if (m == 0) nu += 1
+        pos += math.max(m, 1)
+      }
+      (np, nu)
+    }
+    val expected = wp.filter(_._1 % 25 == 0).map { case (id, text) =>
+      val ws = text.split(" ").filter(w => w.nonEmpty && w.length <= 24)
+      val enc = ws.map(encode)
+      (id, ws.length.toLong, enc.map(_._1).sum, enc.map(_._2).sum)
+    }.sortBy(_._1)
+    assert(got == expected)
+    // the engineered UNKs are real: q/z chars outside the vocab
+    assert(expected.map(_._4).sum > 0)
+    // and hello is one piece, not 5 chars: doc 7 excluded, doc 0 has
+    // 16 hellos + 2 he + qz = 19 words
+    assert(expected.head._2 == 19L)
+  }
 }
