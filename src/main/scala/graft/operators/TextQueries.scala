@@ -1872,7 +1872,7 @@ object TextQueries {
   //      n_unk > 0 marks words containing characters the (non-hapax)
   //      char vocab never saw — the OOV-rate a tokenizer owner
   //      monitors. ----
-  private val WpMaxWordLen = 24
+  private[graft] val WpMaxWordLen = 24
   private val WpMaxVocab = 256
   private val WpMinCount = 16
   private val WpCharMinCount = 2
@@ -1908,8 +1908,26 @@ object TextQueries {
     val tok = docs(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
     val tw = tok.where(length(col("w")).between(1, WpMaxWordLen))
-    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
-    // bounded vocab collects (≤256 words + the char set)
+    val enc = wordpieceFold(tw.select(col("w")).distinct(),
+      trainWordpieceVocab(spark, dir))
+    tw.where(col("doc_id") % 25 === 0)
+      .join(enc.select(col("w"), col("np"), col("nu")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("np")).cast("long").as("n_pieces"),
+        sum(col("nu")).cast("long").as("n_unk"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The bounded WordPiece vocab artifact (≤256 most frequent words +
+    * every char of a non-hapax word — see q18_wordpiece's comment): a
+    * production gate trains it once offline, like the BPE merge table.
+    * One checkpointed word-count frame feeds both bounded collects. */
+  private[graft] def trainWordpieceVocab(spark: SparkSession, dir: String): Seq[String] = {
+    val wc = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val topw: Seq[String] = wc
       .where(length(col("w")) <= 12 && col("cnt") >= WpMinCount)
       .orderBy(col("cnt").desc, col("w")).limit(WpMaxVocab)
@@ -1918,14 +1936,26 @@ object TextQueries {
       .select(explode(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")).as("p"))
       .distinct().collect().map(_.getString(0)).toSeq
-    val byLen: Map[Int, Seq[String]] = (topw ++ chars).distinct.groupBy(_.length)
+    (topw ++ chars).distinct
+  }
+
+  /** Greedy longest-match-first WordPiece encode as a fold of
+    * [[WpMaxWordLen]] codegen'd longest-prefix CASE maps: appends
+    * (np, nu) = (pieces, UNK steps) to any frame with a `w` column.
+    * Shared verbatim by the batch q18_wordpiece (folding the
+    * DISTINCT-word vocab) and the streaming
+    * CurationGates.wordpieceTokenize (folding word occurrences — a
+    * micro-batch has no corpus vocab to amortize against), so
+    * stream/batch twin drift is impossible by construction. */
+  private[graft] def wordpieceFold(withW: DataFrame, vocab: Seq[String]): DataFrame = {
+    val byLen: Map[Int, Seq[String]] = vocab.distinct.groupBy(_.length)
     // longest length checked FIRST (outermost CASE arm)
     val matchLen: org.apache.spark.sql.Column = byLen.keys.toSeq.sorted.foldLeft(lit(0)) { (acc, l) =>
       when(expr(s"substring(w, pos, $l)").isin(byLen(l): _*), lit(l)).otherwise(acc)
     }
-    val init = tw.select(col("w")).distinct()
+    val init = withW
       .withColumn("pos", lit(1)).withColumn("np", lit(0)).withColumn("nu", lit(0))
-    val enc = (1 to WpMaxWordLen).foldLeft(init) { (df, _) =>
+    (1 to WpMaxWordLen).foldLeft(init) { (df, _) =>
       df.withColumn("m",
           when(col("pos") <= length(col("w")), matchLen).otherwise(lit(-1)))
         .withColumn("np", when(col("m") >= 0, col("np") + 1).otherwise(col("np")))
@@ -1933,14 +1963,54 @@ object TextQueries {
         .withColumn("pos", when(col("m") >= 0,
           col("pos") + greatest(col("m"), lit(1))).otherwise(col("pos")))
         .drop("m")
-    }
-    tw.where(col("doc_id") % 25 === 0)
-      .join(enc.select(col("w"), col("np"), col("nu")), Seq("w"))
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_words"),
-        sum(col("np")).cast("long").as("n_pieces"),
-        sum(col("nu")).cast("long").as("n_unk"))
-      .orderBy(col("doc_id"))
+    }.drop("pos")
+  }
+
+  // ---- vocabulary coverage sweep: what fraction of corpus token
+  //      OCCURRENCES does a top-k vocabulary cover, for the k values
+  //      a tokenizer owner actually sweeps (64/256/1024/4096)? The
+  //      curve is the Heaps/Zipf health check run before committing a
+  //      vocab size — flat growth past k means bigger vocabs buy
+  //      nothing. ONE corpus pass builds the word-count frame
+  //      (checkpointed: the top-k probe and the total-token aggregate
+  //      both read it, never the corpus twice); the top-4096 slice is
+  //      a TakeOrdered (no global sort, no window) into a BOUNDED
+  //      driver collect — the same vocab-hyperparameter-artifact
+  //      justification as the BPE merge table and the wordpiece
+  //      vocab. Integer basis points, ties broken (count desc, word)
+  //      on both engines. ----
+  private val VocabKs = Seq(64, 256, 1024, 4096)
+
+  val q18VocabCoverage: QueryDef = QueryDef(
+    "q18_vocab_coverage",
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |t AS (SELECT w FROM tok WHERE len(w) >= 1),
+       |wc AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM t),
+       |ranked AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, w) AS rnk FROM wc),
+       |ks AS (SELECT unnest([${VocabKs.mkString(", ")}]) AS k)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |       CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT) AS covered_tok,
+       |       max(total) AS total_tok,
+       |       CAST(10000 * CAST(sum(CASE WHEN rnk <= k THEN cnt ELSE 0 END) AS BIGINT)
+       |            // max(total) AS BIGINT) AS coverage_bp
+       |FROM ranked CROSS JOIN ks CROSS JOIN tot
+       |GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val tok = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .where(length(col("w")) >= 1)
+    val wc = tok.groupBy(col("w")).agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val top: Array[(Long, String)] = wc
+      .orderBy(col("cnt").desc, col("w")).limit(VocabKs.max)
+      .select(col("cnt"), col("w")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy { case (c, w) => (-c, w) }
+    val total = wc.agg(sum(col("cnt")).cast("long")).first().getLong(0)
+    VocabKs.map { k =>
+      val cov = top.take(k).map(_._1).sum
+      (k.toLong, cov, total, 10000L * cov / total)
+    }.toDF("k", "covered_tok", "total_tok", "coverage_bp").orderBy(col("k"))
   }
 
   // ---- deterministic weighted sampling: keep each doc with
@@ -2157,5 +2227,5 @@ object TextQueries {
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
     q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
-    q18SourceKl, q18Winnow, q18Wordpiece)
+    q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage)
 }

@@ -122,6 +122,29 @@ object CurationGates {
         sum(col("n_ch")).cast("long").as("n_chars"))
   }
 
+  /** The WordPiece gate: (doc_id, n_words, n_pieces, n_unk) per
+    * incoming document — the stream-side twin of the batch
+    * q18_wordpiece encoder. `vocab` is the static trained artifact
+    * (TextQueries.trainWordpieceVocab, or any piece list); the greedy
+    * longest-match-first fold is the SAME wordpieceFold object the
+    * batch query runs, applied per word OCCURRENCE for the same
+    * reason bpeTokenize folds occurrences: a micro-batch has no
+    * corpus vocab to amortize against, and the occurrence-level fold
+    * keeps the gate shuffle-free until the per-doc rollup — one
+    * exchange per batch, no state, redelivery-identical by
+    * construction. n_unk > 0 is the live OOV alarm a tokenizer owner
+    * watches on an ingest stream. */
+  def wordpieceTokenize(incoming: DataFrame, vocab: Seq[String]): DataFrame = {
+    import graft.operators.TextQueries.{wordpieceFold, WpMaxWordLen}
+    wordpieceFold(
+      incoming.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, WpMaxWordLen)), vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("np")).cast("long").as("n_pieces"),
+        sum(col("nu")).cast("long").as("n_unk"))
+  }
+
   /** The PII gate: (doc_id, n_email, n_ip, n_phone, had_pii, scrubbed)
     * per incoming document — the stream-side twin of the batch
     * q18_pii_scrub operator, redacting email/IPv4/phone (fixed mask

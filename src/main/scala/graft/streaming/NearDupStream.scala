@@ -127,6 +127,65 @@ object NearDupStream {
       quarantineDir: Option[String] = None): Unit =
     processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir, quarantineDir)
 
+  /** Compact the persisted bucket index: a weeks-long ingestion leaves
+    * one `batch=N` parquet directory per micro-batch — thousands of
+    * tiny partitions whose listing cost alone dominates the per-batch
+    * index scan long before 100 TB. This maintenance op folds every
+    * COMPLETED batch partition (and any prior consolidated partition)
+    * into one fresh `batch=<negative id>` partition of distinct
+    * (band, bucket) rows. Works unchanged for every gate on the shared
+    * protocol (text/exact/embed/simhash/image/audio/winnow — the index
+    * schema is always (band, bucket)).
+    *
+    * Safety argument, hinging on the marker protocol:
+    *  - only MARKED batches are folded: a marked batch can never be
+    *    redelivered (processBatchWith short-circuits on the marker),
+    *    so folding it can never violate the redo-must-not-see-its-own
+    *    -buckets exclusion. An UNMARKED partition (crash between index
+    *    write and marker) is left in place for its redo to overwrite.
+    *  - the consolidated output goes to a FRESH negative id (micro-
+    *    batch ids are ≥ 0, so `batch =!= excludeBatchId` never prunes
+    *    it), written BEFORE any source partition is deleted: a crash
+    *    mid-write leaves a partial distinct subset next to intact
+    *    sources (duplicate (band, bucket) rows are harmless under the
+    *    gate's semi-join), and a crash mid-delete leaves a superset —
+    *    either way the next compaction folds the debris, because ALL
+    *    negative partitions are always sources. Monotone and
+    *    idempotent; markers are kept forever (empty files — they are
+    *    the redelivery contract, not data).
+    *
+    * Run it while the gate is quiescent (between ingestion runs, like
+    * any out-of-band table compaction): a reader that planned its scan
+    * before the fold could otherwise chase deleted source files.
+    * Returns the number of partitions folded (0 = nothing to do). */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+    val p = Paths.get(indexDir)
+    if (!Files.exists(p)) return 0L
+    def ls(dir: java.nio.file.Path): Vector[java.nio.file.Path] = {
+      if (!Files.exists(dir)) return Vector.empty
+      val s = Files.list(dir)
+      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toVector }
+      finally s.close()
+    }
+    val markers: Set[Long] = ls(p.resolve("_batches"))
+      .flatMap(f => f.getFileName.toString.stripPrefix("batch-").toLongOption).toSet
+    val parts: Vector[(Long, java.nio.file.Path)] = ls(p)
+      .filter(_.getFileName.toString.startsWith("batch="))
+      .flatMap(d => d.getFileName.toString.stripPrefix("batch=").toLongOption.map(_ -> d))
+    val sources = parts.filter { case (n, _) => n < 0 || markers(n) }
+    if (sources.size <= 1) return 0L
+    val outId = math.min(sources.map(_._1).min, 0L) - 1L
+    spark.read.parquet(sources.map(_._2.toString): _*)
+      .select(col("band"), col("bucket")).distinct()
+      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$outId")
+    def rm(d: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(d)) ls(d).foreach(rm)
+      Files.delete(d)
+    }
+    sources.foreach { case (_, d) => rm(d) }
+    sources.size.toLong
+  }
+
   private[streaming] def startWith(signature: DataFrame => DataFrame,
       payload: Seq[String] = Seq("doc_id", "text"))(
       docs: DataFrame, checkpointDir: String,

@@ -249,4 +249,33 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
     }
   }
+
+  test("WordPiece gate matches the batch encode, stable under redelivery") {
+    import spark.implicits._
+    // static artifact: the vocab trained offline on the full corpus —
+    // same trainer the batch q18_wordpiece uses
+    val vocab = graft.operators.TextQueries
+      .trainWordpieceVocab(spark, "/root/testdata/sf0.001")
+    assert(vocab.nonEmpty)
+    assert(vocab.count(_.length > 1) <= 256, "word slice exceeds the cap")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(b => CurationGates.wordpieceTokenize(b, vocab))
+    // every doc tokenized; multi-char pieces actually fired somewhere
+    // (pieces < one-per-char means a vocab word matched)
+    assert(got.size == rows.length)
+    assert(got.values.map(_(1).asInstanceOf[Long]).sum <
+      rows.map(_._2.count(_ != ' ').toLong).sum)
+    // gate counts must equal the BATCH OPERATOR's sampled rows
+    // (q18_wordpiece — occurrence-level fold vs vocab-fold + join)
+    val batch = graft.operators.TextQueries.q18Wordpiece
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      assert(got(r.getAs[Long]("doc_id")) ==
+        Seq(r.getAs[Long]("n_words"), r.getAs[Long]("n_pieces"),
+          r.getAs[Long]("n_unk")),
+        s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
+    }
+  }
 }

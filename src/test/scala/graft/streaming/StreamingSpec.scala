@@ -609,6 +609,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"seen text drops, near-identical text passes exact gate: $kept1")
   }
 
+  test("compactIndex folds completed batch partitions, preserves gate behavior and crash safety") {
+    import spark.implicits._
+    val indexDir = tmp("ci-index"); val keptDir = tmp("ci-kept")
+    def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("doc_id", "text")
+    ExactDupStream.processBatch(docs(1L -> "alpha", 2L -> "beta"), 0L, indexDir, keptDir)
+    ExactDupStream.processBatch(docs(3L -> "gamma", 4L -> "alpha"), 1L, indexDir, keptDir)
+    ExactDupStream.processBatch(docs(5L -> "delta"), 2L, indexDir, keptDir)
+    val before = spark.read.parquet(indexDir)
+      .select("band", "bucket").distinct().as[(Int, String)].collect().toSet
+
+    assert(NearDupStream.compactIndex(spark, indexDir) == 3L)
+    def dataDirs: Set[String] = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch=")).toSet }
+      finally s.close()
+    }
+    // one consolidated negative partition, markers retained
+    assert(dataDirs == Set("batch=-1"), dataDirs.toString)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$indexDir/_batches/batch-2")))
+    val after = spark.read.parquet(indexDir)
+      .select("band", "bucket").distinct().as[(Int, String)].collect().toSet
+    assert(after == before, "compaction changed the bucket set")
+    // gate behavior unchanged: seen text drops, fresh passes
+    ExactDupStream.processBatch(docs(6L -> "beta", 7L -> "epsilon"), 3L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=3").select("doc_id")
+      .as[Long].collect().toSet == Set(7L))
+    // re-compaction folds the new batch in; then nothing left to fold
+    assert(NearDupStream.compactIndex(spark, indexDir) == 2L)
+    assert(NearDupStream.compactIndex(spark, indexDir) == 0L)
+    assert(dataDirs == Set("batch=-2"), dataDirs.toString)
+
+    // crash sim: an index partition WITHOUT its marker (crash between
+    // index write and marker) must never be folded — its redo owns it
+    docs(8L -> "zeta").select(lit(0).as("band"), md5(col("text")).as("bucket"))
+      .write.parquet(s"$indexDir/batch=9")
+    assert(NearDupStream.compactIndex(spark, indexDir) == 0L)
+    assert(dataDirs == Set("batch=-2", "batch=9"))
+    // the redo overwrites the orphan (and must not see its own
+    // half-written buckets: zeta is admitted, not self-dropped)
+    ExactDupStream.processBatch(docs(8L -> "zeta"), 9L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=9").select("doc_id")
+      .as[Long].collect().toSet == Set(8L))
+    // now marked → foldable; the gate still remembers everything
+    assert(NearDupStream.compactIndex(spark, indexDir) == 2L)
+    ExactDupStream.processBatch(docs(9L -> "zeta", 10L -> "eta"), 10L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=10").select("doc_id")
+      .as[Long].collect().toSet == Set(10L))
+  }
+
   test("WinnowDupStream: a shared >=8-word passage gates a doc; short docs pass; idempotent redo") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
