@@ -426,6 +426,125 @@ object TextQueries {
       .orderBy(col("asset_a"), col("asset_b"))
   }
 
+  // ---- video near-dup: the dedup family extended to the VIDEO
+  //      modality. The ingest fixture's multi-frame GIF (gifFor — the
+  //      same container q18_multimodal counts frames in) is REALLY
+  //      decoded: ImageIO's GIF reader walks the stream, counts
+  //      frames, and reads the first and middle frames' pixels back
+  //      (a probe measured the JDK GIF writer round-tripping solid
+  //      frame colors exactly — each frame's palette holds its one
+  //      color). The signature is the production shape — sampled-
+  //      frame features, never all frames: bucket on (n_frames,
+  //      2-bit-quantized first-frame color), confirm with the exact
+  //      L1 color distance over BOTH sampled frames (≤ 192). Same
+  //      contract as image/audio: fixed fixture bucket space (the
+  //      honest n²/|cells| caveat, SCALING.md r10 addendum 2),
+  //      guardBlockSize fail-fast, pair enumeration strictly
+  //      bucket-local, decode per-partition streaming work memoized
+  //      per (session, corpus) via SessionCache. The oracle predicts
+  //      frame colors from the hash formula WITHOUT seeing bytes, so
+  //      the hash-match proves encode → demux → frame-read → bucket →
+  //      pair parity end-to-end. ----
+
+  /** Sampled-frame video signature: frame count plus first/middle
+    * frame colors, all read back from the GIF container. */
+  final case class VideoSig(asset_id: Long, n_frames: Long, c0: Long, cm: Long)
+
+  private def decodeVideo(a: RawAsset): VideoSig = {
+    val hex = md5Hex(a.bytes)
+    val gif = gifFor(hex, (a.bytes.length / 1024 + 1).toInt)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    try {
+      reader.setInput(iis, false)
+      val n = reader.getNumImages(true)
+      val c0 = reader.read(0).getRGB(0, 0) & 0xffffff
+      val cm = reader.read(n / 2).getRGB(0, 0) & 0xffffff
+      VideoSig(a.asset_id, n.toLong, c0.toLong, cm.toLong)
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }
+
+  /** Decoded video signature frame: (asset_id, n_frames, per-frame
+    * channels, bkt) from a (asset_id, kind, bytes) asset frame.
+    * Shared by q18_video_dedup and the streaming VideoDupStream twin. */
+  private[graft] def videoFeatures(assets: DataFrame): DataFrame =
+    assets.as[RawAsset](org.apache.spark.sql.Encoders.product[RawAsset])
+      .mapPartitions(_.map(decodeVideo))(
+        org.apache.spark.sql.Encoders.product[VideoSig]).toDF()
+      .select(col("asset_id"), col("n_frames"),
+        shiftright(col("c0"), 16).as("r0"),
+        shiftright(col("c0"), 8).bitwiseAND(lit(255L)).as("g0"),
+        col("c0").bitwiseAND(lit(255L)).as("b0"),
+        shiftright(col("cm"), 16).as("rm"),
+        shiftright(col("cm"), 8).bitwiseAND(lit(255L)).as("gm"),
+        col("cm").bitwiseAND(lit(255L)).as("bm"))
+      .withColumn("bkt", concat_ws(":", col("n_frames"),
+        shiftright(col("r0"), 6), shiftright(col("g0"), 6), shiftright(col("b0"), 6)))
+
+  private val videoSigCache = new SessionCache[String, DataFrame]()
+
+  private def videoSigIndex(spark: SparkSession, dir: String): DataFrame =
+    videoSigCache.getOrElseUpdate(spark, dir) {
+      videoFeatures(rawAssets(spark, dir)).localCheckpoint()
+    }
+
+  val q18VideoDedup: QueryDef = QueryDef(
+    "q18_video_dedup",
+    """WITH hx AS (SELECT '0123456789abcdef' AS hd),
+      |f AS (
+      |  SELECT doc_id AS asset_id,
+      |         nb // 1024 + 1 AS nf,
+      |         (strpos(hd, substr(h, 3, 1)) - 1) * 1048576
+      |       + (strpos(hd, substr(h, 4, 1)) - 1) * 65536
+      |       + (strpos(hd, substr(h, 5, 1)) - 1) * 4096
+      |       + (strpos(hd, substr(h, 6, 1)) - 1) * 256
+      |       + (strpos(hd, substr(h, 7, 1)) - 1) * 16
+      |       + (strpos(hd, substr(h, 8, 1)) - 1) AS base
+      |  FROM (SELECT doc_id, md5(text) AS h,
+      |               octet_length(encode(text)) AS nb FROM documents), hx),
+      |g AS (
+      |  SELECT asset_id, nf, base AS c0,
+      |         (base + (nf // 2) * 7919) % 16777216 AS cm
+      |  FROM f),
+      |h2 AS (
+      |  SELECT asset_id, nf,
+      |         c0 // 65536 AS r0, (c0 // 256) % 256 AS g0, c0 % 256 AS b0,
+      |         cm // 65536 AS rm, (cm // 256) % 256 AS gm, cm % 256 AS bm
+      |  FROM g)
+      |SELECT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |       CAST(abs(a.r0 - b.r0) + abs(a.g0 - b.g0) + abs(a.b0 - b.b0)
+      |          + abs(a.rm - b.rm) + abs(a.gm - b.gm) + abs(a.bm - b.bm) AS BIGINT) AS dist
+      |FROM h2 a JOIN h2 b
+      |  ON a.nf = b.nf AND a.r0 // 64 = b.r0 // 64
+      | AND a.g0 // 64 = b.g0 // 64 AND a.b0 // 64 = b.b0 // 64
+      | AND a.asset_id < b.asset_id
+      |WHERE abs(a.r0 - b.r0) + abs(a.g0 - b.g0) + abs(a.b0 - b.b0)
+      |    + abs(a.rm - b.rm) + abs(a.gm - b.gm) + abs(a.bm - b.bm) <= 192
+      |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
+    val feats = videoSigIndex(spark, dir)
+    ScaleOps.guardBlockSize(feats, "bkt", "q18_video_dedup")
+      .groupBy(col("bkt"))
+      .agg(sort_array(collect_list(struct(
+        col("asset_id"), col("r0"), col("g0"), col("b0"),
+        col("rm"), col("gm"), col("bm")))).as("xs"))
+      .where(size(col("xs")) > 1)
+      .select(explode(expr(
+        """flatten(transform(xs,
+          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
+          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
+          |                        abs(x.r0 - y.r0) + abs(x.g0 - y.g0) + abs(x.b0 - y.b0)
+          |                      + abs(x.rm - y.rm) + abs(x.gm - y.gm) + abs(x.bm - y.bm) AS dist))))
+          |""".stripMargin)).as("p"))
+      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
+        col("p.dist").cast("long").as("dist"))
+      .where(col("dist") <= 192)
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
   // ---- audio modality: the third media type next to PNG (image) and
   //      multi-frame GIF (video). The ingest fixture renders a REAL
   //      RIFF/WAVE file (16-bit PCM mono, 16 kHz) whose length, pitch
@@ -2220,7 +2339,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample, q18ImageDedup,
-    q18AudioFeatures, q18AudioDedup,
+    q18AudioFeatures, q18AudioDedup, q18VideoDedup,
     q18Sample, q18Tfidf, q18Split, q18Contamination, q18Pack, q18Repetition,
     q18Rebalance, q18PrepPipeline, q18LineDedup, q18SubstringDedup,
     q18DomainMix, q18HeavyHitters,

@@ -393,3 +393,40 @@ object AudioDupStream {
       quarantineDir: Option[String] = None): StreamingQuery =
     NearDupStream.startWith(audioBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
 }
+
+/** The video-modality twin of [[NearDupStream]]: each micro-batch's
+  * assets are REALLY demuxed (the q18_video_dedup GIF path — JDK
+  * ImageIO frame reader over the multi-frame container) and dropped if
+  * their (n_frames, 2-bit first-frame color) bucket collides with the
+  * ever-growing persisted index. Same single-band degeneration,
+  * pessimistic in-batch ties, and batch-operator division of labor as
+  * Image/AudioDupStream: the stream gate filters candidates, the exact
+  * two-frame L1 confirm lives in batch q18_video_dedup.
+  */
+object VideoDupStream {
+
+  /** (doc_id, band, bucket) from real GIF demux of a (doc_id, text)
+    * frame (bytes = utf-8 of text, the multimodal fixture
+    * convention). */
+  private def videoBuckets(docs: DataFrame): DataFrame =
+    graft.operators.TextQueries.videoFeatures(
+      docs.select(col("doc_id").as("asset_id"), lit("gif").as("kind"),
+        col("text").cast("binary").as("bytes")))
+      .select(col("asset_id").as("doc_id"), lit(0).as("band"),
+        col("bkt").as("bucket"))
+
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): Unit =
+    NearDupStream.processBatchWith(videoBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
+
+  /** Start the streaming video near-dup filter over a (doc_id, text)
+    * asset stream. With `quarantineDir`, dropped assets are recorded
+    * with their drop reason — same-bucket assets whose two-frame L1
+    * distance the batch q18_video_dedup confirm would REJECT are
+    * re-admittable from quarantine instead of silently lost. */
+  def start(docs: DataFrame, checkpointDir: String,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String] = None): StreamingQuery =
+    NearDupStream.startWith(videoBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+}

@@ -817,6 +817,64 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet == kept1)
   }
 
+  test("VideoDupStream: demuxed-bucket index drops video near-dups across batches, idempotent redo") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val indexDir = tmp("vid-index"); val keptDir = tmp("vid-kept")
+    val quarDir = tmp("vid-quar")
+    val originals = Envelope.readTable(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+
+    val input = MemoryStream[(Long, String)]
+    val q = VideoDupStream.start(input.toDS().toDF("doc_id", "text"),
+      tmp("cp-viddup"), indexDir, keptDir, Some(quarDir))
+    input.addData(originals.toIndexedSeq); q.processAllAvailable()
+    val keptBatch1 = spark.read.parquet(keptDir).count()
+    // batch 2: identical bytes under new ids — identical demuxed
+    // signatures, every asset must collide with the index
+    input.addData(originals.toIndexedSeq.map { case (id, t) => (id + 1000000L, t) })
+    q.processAllAvailable()
+    val keptBatch2 = spark.read.parquet(s"$keptDir/batch=1").count()
+    q.stop()
+    assert(keptBatch1 > 0)
+    assert(keptBatch2 == 0, s"identical-signature videos admitted: $keptBatch2")
+
+    // within batch 1, bucket-min survives — recompute the expected
+    // keep set from the BATCH operator's shared signature frame
+    val kept1 = spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet
+    val feats = graft.operators.TextQueries.videoFeatures(
+      originals.toSeq.toDF("doc_id", "text")
+        .select(col("doc_id").as("asset_id"), lit("gif").as("kind"),
+          col("text").cast("binary").as("bytes")))
+    val shouldDrop = feats
+      .join(feats.groupBy(col("bkt")).agg(min(col("asset_id")).as("min_id")), Seq("bkt"))
+      .where(col("asset_id") > col("min_id")).select("asset_id")
+      .as[Long].collect().toSet
+    assert(kept1 == originals.map(_._1).toSet -- shouldDrop)
+    // the fixture must actually exercise the drop path
+    assert(shouldDrop.nonEmpty && kept1.nonEmpty)
+
+    // the gate is lossy (no two-frame L1 confirm) but not destructive:
+    // quarantine holds exactly the gated assets with their drop reason
+    // so batch q18_video_dedup can re-run the exact confirm and
+    // re-admit pairs it rejects — nothing the stream drops is lost
+    val quar0 = spark.read.parquet(s"$quarDir/batch=0")
+      .select(col("doc_id"), col("reason")).as[(Long, String)].collect()
+    assert(quar0.map(_._1).toSet == shouldDrop)
+    assert(quar0.forall(_._2 == "batch_min"))
+
+    // crash-redo probe: committed batch no-ops; marker-less batch
+    // redoes idempotently
+    val batch1Df = originals.toSeq.toDF("doc_id", "text")
+    VideoDupStream.processBatch(batch1Df, 0L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=0").count() == kept1.size.toLong)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$indexDir/_batches/batch-0"))
+    VideoDupStream.processBatch(batch1Df, 0L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=0").select("doc_id")
+      .as[Long].collect().toSet == kept1)
+  }
+
   test("StreamProcessor requireAll holds gapped streams until the gap fills") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
