@@ -1230,8 +1230,15 @@ object SimilarityQueries {
     * CacheHygiene inside componentsFromEdges. */
   private val ccClusterCache = new SessionCache[String, DataFrame]()
 
-  private def ccClustersCached(spark: SparkSession, dir: String): DataFrame =
-    ccClusterCache.getOrElseUpdate(spark, dir) {
+  /** The (node, component) map underneath [[ccClustersCached]],
+    * session-cached separately because cluster-aware CONSUMERS join
+    * through it at node grain (q18_leakage_split's root assignment)
+    * while the reports read the aggregate. Node-count-sized (only
+    * docs appearing in some ≥2 bucket), never corpus text. */
+  private val ccNodeMapCache = new SessionCache[String, DataFrame]()
+
+  private def ccNodeMapCached(spark: SparkSession, dir: String): DataFrame =
+    ccNodeMapCache.getOrElseUpdate(spark, dir) {
       val bands = bandIndex(spark, dir, dupes = true)
       val mins = bands.groupBy(col("band"), col("bucket"))
         .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
@@ -1246,7 +1253,15 @@ object SimilarityQueries {
         .select(col("a"), explode(col("ms")).as("b"))
         .where(col("a") =!= col("b"))
       val edges = starEdges.union(minLinks).distinct()
-      componentsFromEdges(edges).localCheckpoint()
+      componentMapFromEdges(edges).localCheckpoint()
+    }
+
+  private def ccClustersCached(spark: SparkSession, dir: String): DataFrame =
+    ccClusterCache.getOrElseUpdate(spark, dir) {
+      ccNodeMapCached(spark, dir)
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
+        .localCheckpoint()
     }
 
   // ---- dedup yield report: the cluster-size histogram + removal
@@ -1358,7 +1373,11 @@ object SimilarityQueries {
       .toDF("a", "b")
   }
 
-  private[operators] def componentsFromEdges(edges: DataFrame): DataFrame = {
+  /** (node, component) over the dup-candidate graph: alternating
+    * large/small-star contraction to a min-rooted star union, then a
+    * label join back over the original node set. Nodes outside any
+    * edge never appear (callers left-join and coalesce to self). */
+  private[operators] def componentMapFromEdges(edges: DataFrame): DataFrame = {
     val sym = flatCheckpoint(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
 
@@ -1450,10 +1469,17 @@ object SimilarityQueries {
     val lblMap = starUnion.groupBy(col("a").as("node")).agg(min(col("b")).as("root"))
     sym.select(col("a").as("n")).distinct()
       .join(lblMap, col("n") === col("node"), "left")
-      .select(col("n"), coalesce(col("root"), col("n")).as("lbl"))
-      .groupBy(col("lbl").as("component"))
-      .agg(count(lit(1)).as("n_members"), sum(col("n")).as("id_sum"))
+      .select(col("n").as("node"), coalesce(col("root"), col("n")).as("component"))
   }
+
+  /** The historical aggregate view of [[componentMapFromEdges]] —
+    * (component, n_members, id_sum) — kept as the convergence-spec
+    * surface (ConnectedComponentsSpec drives both the distributed
+    * loop and the local-finish path through it). */
+  private[operators] def componentsFromEdges(edges: DataFrame): DataFrame =
+    componentMapFromEdges(edges)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
 
   // ---- label-blocked kNN graph: every vector's top-2 nearest
   //      neighbors within its block — the primitive under embedding
@@ -2263,11 +2289,109 @@ object SimilarityQueries {
       .orderBy(col("train_doc"), col("eval_doc"))
   }
 
+  // ---- leakage-safe train/val/test split: the assignment rule a
+  //      pretraining pipeline applies AFTER near-dup detection — hash
+  //      the CLUSTER ROOT, not the doc id, so every member of a
+  //      near-dup cluster lands in one split and no eval document has
+  //      a train-set twin. The query reports, for BOTH policies
+  //      (cluster-root hash vs naive doc-id hash), per-split doc
+  //      counts and the number of candidate-pair endpoints whose
+  //      partner fell in a DIFFERENT split: structurally zero for the
+  //      cluster policy (same component ⇒ same root ⇒ same split) and
+  //      materially nonzero for the naive one on a duplicated corpus —
+  //      the measured contamination that motivates cluster-aware
+  //      splitting. Assignment = first hex nibble of md5 over the
+  //      root's decimal rendering (identical string in Spark and
+  //      DuckDB): ≤11 train (75%), 12–13 val, else test. Composes
+  //      three session-cached frames — band index, node→component
+  //      map, candidate pairs — so the marginal cost is three small
+  //      joins and two rollups; at corpus scale the asg join shuffles
+  //      on doc_id and the pair set stays duplicate-density-bounded
+  //      (the LSH family's standing argument). ----
+  val q18LeakageSplit: QueryDef = QueryDef(
+    "q18_leakage_split",
+    s"""WITH RECURSIVE $withDupesSql,
+       |$ccCompSql,
+       |roots AS (
+       |  SELECT i.doc_id, coalesce(c.component, i.doc_id) AS root
+       |  FROM incoming i LEFT JOIN comp c ON c.node = i.doc_id),
+       |asg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 <= 11 THEN 'train'
+       |         WHEN strpos('0123456789abcdef', substr(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 <= 13 THEN 'val'
+       |         ELSE 'test' END AS cs,
+       |    CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 11 THEN 'train'
+       |         WHEN strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 <= 13 THEN 'val'
+       |         ELSE 'test' END AS ns
+       |  FROM roots),
+       |counts AS (
+       |  SELECT policy, split, count(*) AS n_docs FROM (
+       |    SELECT 'cluster' AS policy, cs AS split FROM asg
+       |    UNION ALL SELECT 'naive', ns FROM asg) u
+       |  GROUP BY policy, split),
+       |ej AS (
+       |  SELECT aa.cs AS acs, bb.cs AS bcs, aa.ns AS ans, bb.ns AS bns
+       |  FROM e JOIN asg aa ON aa.doc_id = e.a JOIN asg bb ON bb.doc_id = e.b),
+       |crossx AS (
+       |  SELECT policy, split, sum(x) AS cross_edges FROM (
+       |    SELECT 'cluster' AS policy, acs AS split, CASE WHEN acs <> bcs THEN 1 ELSE 0 END AS x FROM ej
+       |    UNION ALL SELECT 'cluster', bcs, CASE WHEN acs <> bcs THEN 1 ELSE 0 END FROM ej
+       |    UNION ALL SELECT 'naive', ans, CASE WHEN ans <> bns THEN 1 ELSE 0 END FROM ej
+       |    UNION ALL SELECT 'naive', bns, CASE WHEN ans <> bns THEN 1 ELSE 0 END FROM ej) u
+       |  GROUP BY policy, split)
+       |SELECT c.policy, c.split, CAST(c.n_docs AS BIGINT) AS n_docs,
+       |       CAST(coalesce(x.cross_edges, 0) AS BIGINT) AS cross_edges
+       |FROM counts c LEFT JOIN crossx x ON x.policy = c.policy AND x.split = c.split
+       |ORDER BY policy, split""".stripMargin) { (spark, dir) =>
+    def splitOf(c: Column): Column = {
+      val nib = conv(substring(md5(c.cast("string").cast("binary")), 1, 1), 16, 10)
+        .cast("long")
+      when(nib <= 11, "train").when(nib <= 13, "val").otherwise(lit("test"))
+    }
+    // three consumers (count rollup + both endpoint joins) → one eager
+    // checkpoint of the tiny (doc_id, split, split) frame, the
+    // triangles precedent
+    val asg = withDupes(docs(spark, dir)).select(col("doc_id"))
+      .join(ccNodeMapCached(spark, dir), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        splitOf(coalesce(col("component"), col("doc_id"))).as("cs"),
+        splitOf(col("doc_id")).as("ns"))
+      .localCheckpoint()
+    val counts = asg.select(explode(array(
+        struct(lit("cluster").as("policy"), col("cs").as("split")),
+        struct(lit("naive").as("policy"), col("ns").as("split")))).as("k"))
+      .groupBy(col("k.policy").as("policy"), col("k.split").as("split"))
+      .agg(count(lit(1)).as("n_docs"))
+    val e = bucketPairs(bandIndex(spark, dir, dupes = true))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ej = e
+      .join(asg.select(col("doc_id").as("doc_a"), col("cs").as("acs"), col("ns").as("ans")),
+        Seq("doc_a"))
+      .join(asg.select(col("doc_id").as("doc_b"), col("cs").as("bcs"), col("ns").as("bns")),
+        Seq("doc_b"))
+    val cross = ej.select(explode(array(
+        struct(lit("cluster").as("policy"), col("acs").as("split"),
+          (col("acs") =!= col("bcs")).cast("long").as("x")),
+        struct(lit("cluster").as("policy"), col("bcs").as("split"),
+          (col("acs") =!= col("bcs")).cast("long").as("x")),
+        struct(lit("naive").as("policy"), col("ans").as("split"),
+          (col("ans") =!= col("bns")).cast("long").as("x")),
+        struct(lit("naive").as("policy"), col("bns").as("split"),
+          (col("ans") =!= col("bns")).cast("long").as("x")))).as("k"))
+      .groupBy(col("k.policy").as("policy"), col("k.split").as("split"))
+      .agg(sum(col("k.x")).as("cross_edges"))
+    counts.join(cross, Seq("policy", "split"), "left")
+      .select(col("policy"), col("split"),
+        col("n_docs").cast("long").as("n_docs"),
+        coalesce(col("cross_edges"), lit(0L)).cast("long").as("cross_edges"))
+      .orderBy(col("policy"), col("split"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
     q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
-    q18KnnClassify, q18Triangles)
+    q18KnnClassify, q18Triangles, q18LeakageSplit)
 }

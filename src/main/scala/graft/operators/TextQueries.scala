@@ -434,8 +434,15 @@ object TextQueries {
   //      (a probe measured the JDK GIF writer round-tripping solid
   //      frame colors exactly — each frame's palette holds its one
   //      color). The signature is the production shape — sampled-
-  //      frame features, never all frames: bucket on (n_frames,
-  //      2-bit-quantized first-frame color), confirm with the exact
+  //      frame features, never all frames: bucket on (n_frames, 2-bit
+  //      cells of BOTH sampled frames' colors — r11 scale fix: keying
+  //      only the first frame left ~64 effective cells (most fixture
+  //      docs are <1 KiB ⇒ nf=1) and pair volume n²/128, measured
+  //      17 s/89 s/OOM at 10×/30×/60×; putting the middle frame's
+  //      cells in the key too is what a production pHash does — more
+  //      signature bits in the blocking key — and collapses the
+  //      incidental-collision volume 64× while every true duplicate
+  //      still collides on all six cells), confirm with the exact
   //      L1 color distance over BOTH sampled frames (≤ 192). Same
   //      contract as image/audio: fixed fixture bucket space (the
   //      honest n²/|cells| caveat, SCALING.md r10 addendum 2),
@@ -483,7 +490,8 @@ object TextQueries {
         shiftright(col("cm"), 8).bitwiseAND(lit(255L)).as("gm"),
         col("cm").bitwiseAND(lit(255L)).as("bm"))
       .withColumn("bkt", concat_ws(":", col("n_frames"),
-        shiftright(col("r0"), 6), shiftright(col("g0"), 6), shiftright(col("b0"), 6)))
+        shiftright(col("r0"), 6), shiftright(col("g0"), 6), shiftright(col("b0"), 6),
+        shiftright(col("rm"), 6), shiftright(col("gm"), 6), shiftright(col("bm"), 6)))
 
   private val videoSigCache = new SessionCache[String, DataFrame]()
 
@@ -521,6 +529,8 @@ object TextQueries {
       |FROM h2 a JOIN h2 b
       |  ON a.nf = b.nf AND a.r0 // 64 = b.r0 // 64
       | AND a.g0 // 64 = b.g0 // 64 AND a.b0 // 64 = b.b0 // 64
+      | AND a.rm // 64 = b.rm // 64
+      | AND a.gm // 64 = b.gm // 64 AND a.bm // 64 = b.bm // 64
       | AND a.asset_id < b.asset_id
       |WHERE abs(a.r0 - b.r0) + abs(a.g0 - b.g0) + abs(a.b0 - b.b0)
       |    + abs(a.rm - b.rm) + abs(a.gm - b.gm) + abs(a.bm - b.bm) <= 192

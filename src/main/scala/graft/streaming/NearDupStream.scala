@@ -397,7 +397,7 @@ object AudioDupStream {
 /** The video-modality twin of [[NearDupStream]]: each micro-batch's
   * assets are REALLY demuxed (the q18_video_dedup GIF path — JDK
   * ImageIO frame reader over the multi-frame container) and dropped if
-  * their (n_frames, 2-bit first-frame color) bucket collides with the
+  * their (n_frames, 2-bit cells of both sampled frames) bucket collides with the
   * ever-growing persisted index. Same single-band degeneration,
   * pessimistic in-batch ties, and batch-operator division of labor as
   * Image/AudioDupStream: the stream gate filters candidates, the exact

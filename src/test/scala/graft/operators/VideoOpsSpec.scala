@@ -68,7 +68,8 @@ class VideoOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (r0A, g0A, b0A) = ch(c0A); (rmA, gmA, bmA) = ch(cmA)
       (r0B, g0B, b0B) = ch(c0B); (rmB, gmB, bmB) = ch(cmB)
       if a < b && nfA == nfB &&
-        r0A / 64 == r0B / 64 && g0A / 64 == g0B / 64 && b0A / 64 == b0B / 64
+        r0A / 64 == r0B / 64 && g0A / 64 == g0B / 64 && b0A / 64 == b0B / 64 &&
+        rmA / 64 == rmB / 64 && gmA / 64 == gmB / 64 && bmA / 64 == bmB / 64
       dist = math.abs(r0A - r0B) + math.abs(g0A - g0B) + math.abs(b0A - b0B) +
         math.abs(rmA - rmB) + math.abs(gmA - gmB) + math.abs(bmA - bmB)
       if dist <= 192
