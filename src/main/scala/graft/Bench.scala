@@ -236,18 +236,36 @@ object Bench {
     // min only decides violations, and the raw per-rep times land in
     // BENCH_LAST.json so any flag can be re-adjudicated from data.
     // Machine-drift normalization: how much slower is this boot than
-    // the fastest machine that set bests? (max of the single-thread and
-    // all-cores probe ratios — queries bound by either mode inflate by
-    // their respective factor; never below 1.0.)
+    // the machine that set EACH best? Every refreshed best records the
+    // calib pair in effect when it was set (`<q>:c1`/`<q>:cN` keys —
+    // round-12 fix: normalizing against the global fastest-ever calib
+    // double-discounted bests that were themselves set on a slow host,
+    // masking real regressions on slower boots). Bests predating the
+    // snapshots fall back to the global `_calibN<cpus>`-keyed floor
+    // (the multi-core probe depends on the thread count, so a
+    // different SPARK_GRAFT_CPUS run must not mix baselines) and then
+    // the legacy un-keyed `_calib1`/`_calibN`. Never below 1.0 — a
+    // faster machine doesn't tighten the gate. The probe tracks clock/
+    // IPC drift only (an I/O- or memory-bandwidth-bound shift is
+    // invisible to it — documented limitation; the second-chance reps
+    // and raw arrays are the backstop there).
+    val calibNKey = s"_calibN$cpus"
+    def driftFor(n: String): Double = {
+      val c1 = recorded.getOrElse(s"$n:c1",
+        recorded.getOrElse("_calib1", calib1))
+      val cN = recorded.getOrElse(s"$n:cN",
+        recorded.getOrElse(calibNKey, recorded.getOrElse("_calibN", calibN)))
+      math.max(1.0, math.max(calib1 / c1, calibN / cN))
+    }
     val drift = math.max(1.0, math.max(
       recorded.get("_calib1").map(calib1 / _).getOrElse(1.0),
-      recorded.get("_calibN").map(calibN / _).getOrElse(1.0)))
+      recorded.get(calibNKey).orElse(recorded.get("_calibN")).map(calibN / _).getOrElse(1.0)))
     def judge(m: Map[String, Double]): Vector[(String, Double)] =
       medians.collect {
         case (n, _) if m.getOrElse(n, -1.0) > 0 &&
             recorded.get(n).exists(b =>
-              b > 0 && m(n) / drift > 2 * b && m(n) / drift - b > 0.3) =>
-          n -> (m(n) / drift / recorded(n))
+              b > 0 && m(n) / driftFor(n) > 2 * b && m(n) / driftFor(n) - b > 0.3) =>
+          n -> (m(n) / driftFor(n) / recorded(n))
       }
     // Second chance for would-be flags: min-of-3 has high variance on a
     // noisy host (round-11: 3-rep mins for four queries sat 1.4-1.7×
@@ -272,13 +290,20 @@ object Bench {
     val guardFails = judge(minsF)
     // refresh the best file with new minima (guard judges BEFORE
     // refresh); start from `recorded` so a filtered run can't drop the
-    // minima of queries it didn't execute. The calib probes refresh
-    // min-wise like any query: the recorded reference is always the
-    // fastest machine seen.
-    val newBest = recorded ++ (minsF ++ Map("_calib1" -> calib1, "_calibN" -> calibN))
-      .collect { case (n, v) if v > 0 =>
-        n -> math.min(v, recorded.getOrElse(n, Double.MaxValue))
-      }.toMap
+    // minima of queries it didn't execute. Each IMPROVED best also
+    // snapshots this run's calib pair (`<q>:c1`/`<q>:cN`) so future
+    // drift normalization compares against the machine that actually
+    // set it. The global probes refresh min-wise (legacy fallback for
+    // pre-snapshot bests): the un-keyed/_calibN<cpus> references stay
+    // the fastest machine seen.
+    val improved: Map[String, Double] = minsF.collect {
+      case (n, v) if v > 0 && v < recorded.getOrElse(n, Double.MaxValue) => n -> v
+    }
+    val calibSnapshots: Map[String, Double] =
+      improved.keysIterator.flatMap(n => Seq(s"$n:c1" -> calib1, s"$n:cN" -> calibN)).toMap
+    val newBest = recorded ++ improved ++ calibSnapshots ++
+      Seq("_calib1" -> calib1, "_calibN" -> calibN, calibNKey -> calibN)
+        .map { case (k, v) => k -> math.min(v, recorded.getOrElse(k, Double.MaxValue)) }
     if (newBest.nonEmpty) {
       val others =
         if (!Files.exists(bestPath)) Vector.empty

@@ -45,6 +45,14 @@ object StreamFunctions {
     *
     * Empty allow-lists admit everything in that dimension; deny always
     * wins; system streams are excluded unless explicitly allowed.
+    *
+    * Entry semantics follow the reference's `isPlain` partition
+    * (StreamFilter.fs:16-22): an entry whose every char is a
+    * letter/digit/underscore is an exact VALUE (hash-set membership);
+    * any other entry is a regex PATTERN matched UNANCHORED
+    * (`Regex.IsMatch` finds anywhere — Spark `rlike` has the same
+    * find-anywhere contract), so `"^\\$"` denies system streams and
+    * `"Order.*"` admits every category with that prefix.
     */
   final case class StreamFilter(
       allowCategories: Seq[String] = Nil,
@@ -55,8 +63,17 @@ object StreamFunctions {
       denyEventTypes: Seq[String] = Nil,
       includeSystem: Boolean = false) {
 
-    private def anyOf(c: Column, vs: Seq[String]): Column =
-      vs.map(v => c === lit(v)).reduce(_ || _)
+    // StreamFilter.fs:16 — Char.IsLetterOrDigit || '_'
+    private def isPlain(s: String): Boolean =
+      s.nonEmpty && s.forall(ch => Character.isLetterOrDigit(ch) || ch == '_')
+
+    private def anyOf(c: Column, vs: Seq[String]): Column = {
+      val (values, patterns) = vs.partition(isPlain)
+      val tests =
+        (if (values.isEmpty) Nil else Seq(c.isin(values: _*))) ++
+          patterns.map(p => c.rlike(p))
+      tests.reduce(_ || _)
+    }
 
     def predicate(streamName: Column, eventType: Column): Column = {
       val cat = categoryOf(streamName)

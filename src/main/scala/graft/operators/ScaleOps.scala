@@ -164,6 +164,14 @@ object ScaleOps {
     }
   }
 
+  /** Exact integer floor-division bucket `floor(ord / k)` as a
+    * Column — pure long arithmetic (no double cast, so ords beyond
+    * 2^53 stay exact): Spark `div`/`%` truncate toward zero, so for a
+    * negative ord with a nonzero remainder the truncated quotient is
+    * one bucket too high; subtract the correction. */
+  private def floorDivBucket(ordCol: String, k: Int): Column =
+    expr(s"($ordCol div $k) - (CASE WHEN $ordCol % $k < 0 THEN 1 ELSE 0 END)")
+
   /** Prefix-of-previous MAX over an ordered summary table, with NO
     * unpartitioned window anywhere in the plan. For each row, computes
     * `outCol = max(valCol)` over all rows with a strictly smaller
@@ -184,11 +192,17 @@ object ScaleOps {
     * smaller than their data (e.g. q16_late_drop's per-bucket maxima),
     * so the underlying data bound is K·M. Add a third level by calling
     * recursively on `sb` if a summary ever outgrows that.
+    *
+    * Bucketing is FLOOR-based (exact integer floor-div, no double
+    * rounding), so a negative `ordCol` (e.g. a descending sort encoded
+    * as its negation) still yields exactly k distinct ord values per
+    * super-bucket — truncating `div` would give bucket 0 a 2k-1 span
+    * and silently halve the documented capacity bound.
     */
   def prefixMaxOfPrevious(
       summary: DataFrame, ordCol: String, valCol: String, outCol: String,
       k: Int = 8192): DataFrame = {
-    val t = summary.withColumn("_sb", expr(s"$ordCol div $k"))
+    val t = summary.withColumn("_sb", floorDivBucket(ordCol, k))
     val intra = Window.partitionBy(col("_sb")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val sb = t.groupBy(col("_sb")).agg(max(col(valCol)).as("_sbmax"))
@@ -206,13 +220,14 @@ object ScaleOps {
   /** Prefix-of-previous SUM over an ordered summary table — the
     * running-total sibling of [[prefixMaxOfPrevious]], same two-level
     * scheme (super-bucket-partitioned intra window + broadcast
-    * theta-join over per-super-bucket totals), same capacity math, NO
+    * theta-join over per-super-bucket totals), same capacity math
+    * (incl. the floor-div bucketing for negative ords), NO
     * unpartitioned window anywhere in the plan. `outCol` is 0 for the
     * first row (empty-prefix sum). `ordCol` must be unique per row. */
   def prefixSumOfPrevious(
       summary: DataFrame, ordCol: String, valCol: String, outCol: String,
       k: Int = 8192): DataFrame = {
-    val t = summary.withColumn("_sb", expr(s"$ordCol div $k"))
+    val t = summary.withColumn("_sb", floorDivBucket(ordCol, k))
     val intra = Window.partitionBy(col("_sb")).orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val sb = t.groupBy(col("_sb")).agg(sum(col(valCol)).as("_sbsum"))

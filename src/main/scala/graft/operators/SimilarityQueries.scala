@@ -2342,7 +2342,7 @@ object SimilarityQueries {
        |SELECT c.policy, c.split, CAST(c.n_docs AS BIGINT) AS n_docs,
        |       CAST(coalesce(x.cross_edges, 0) AS BIGINT) AS cross_edges
        |FROM counts c LEFT JOIN crossx x ON x.policy = c.policy AND x.split = c.split
-       |ORDER BY policy, split""".stripMargin) { (spark, dir) =>
+       |ORDER BY c.policy, c.split""".stripMargin) { (spark, dir) =>
     def splitOf(c: Column): Column = {
       val nib = conv(substring(md5(c.cast("string").cast("binary")), 1, 1), 16, 10)
         .cast("long")
@@ -2387,11 +2387,148 @@ object SimilarityQueries {
       .orderBy(col("policy"), col("split"))
   }
 
+  // ---- the full prep pipeline with the LEAKAGE-SAFE split folded
+  //      in: quality filter → exact dedup → language rebalance →
+  //      CLUSTER-ROOT train/val/test split → sequence packing, plus
+  //      the cross-split near-dup edge count as a per-(split, lang)
+  //      stage stat. This is q18_prep_pipeline with its one
+  //      production gap closed: v1 splits by doc-hash, so two
+  //      near-duplicates can land in train and test (the measured
+  //      contamination q18_leakage_split quantifies); v2 assigns by
+  //      the md5 prefix of the near-dup component ROOT (same
+  //      'cc'/'e6' ≈ 80/10/10 quantiles as v1), so same component ⇒
+  //      same root ⇒ same split and cross_edges is 0 BY CONSTRUCTION
+  //      — which the oracle verifies, along with the per-cell
+  //      doc/token/chunk counts. Composes the session-cached node→
+  //      component map and band index (three small joins and two
+  //      rollups on top of v1); every stage keeps v1's one-shuffle
+  //      shape, packing stays shardedCum (no whole-partition window),
+  //      and the edge set stays duplicate-density-bounded. ----
+  val q18PrepPipelineV2: QueryDef = QueryDef(
+    "q18_prep_pipeline_v2",
+    s"""WITH RECURSIVE $withDupesSql,
+       |$ccCompSql,
+       |feat AS (
+       |  SELECT doc_id, lang, text,
+       |         len(string_split(text, ' ')) AS n_words,
+       |         length(text) AS n_chars,
+       |         len(list_filter(string_split(text, ' '),
+       |             x -> x IN $stopList)) AS n_stop,
+       |         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+       |  FROM documents),
+       |qf AS (
+       |  SELECT doc_id, lang, text, n_words FROM feat
+       |  WHERE n_words >= 20 AND CAST(n_stop AS DOUBLE) / n_words >= 0.01
+       |    AND CAST(n_digit AS DOUBLE) / n_chars < 0.3),
+       |ex AS (
+       |  SELECT doc_id, lang, n_words FROM (
+       |    SELECT *, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+       |    FROM qf) WHERE keep),
+       |lc AS (SELECT lang, count(*) AS n FROM ex GROUP BY lang),
+       |tgt AS (SELECT min(n) AS target FROM lc),
+       |rb AS (
+       |  SELECT ex.doc_id, ex.lang, ex.n_words
+       |  FROM ex JOIN lc ON ex.lang = lc.lang CROSS JOIN tgt
+       |  WHERE ((CAST(ex.doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576) * lc.n
+       |        < CAST(tgt.target AS DECIMAL(38,0)) * 1048576),
+       |spl AS (
+       |  SELECT rb.doc_id, rb.lang, rb.n_words,
+       |         CASE WHEN substr(md5(CAST(coalesce(c.component, rb.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+       |              WHEN substr(md5(CAST(coalesce(c.component, rb.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+       |              ELSE 'test' END AS split
+       |  FROM rb LEFT JOIN comp c ON c.node = rb.doc_id),
+       |pk AS (
+       |  SELECT *,
+       |         CAST((sum(n_words) OVER (PARTITION BY split, lang ORDER BY doc_id
+       |                                  ROWS UNBOUNDED PRECEDING) - n_words) // 512
+       |              AS BIGINT) AS chunk_id
+       |  FROM spl),
+       |base AS (
+       |  SELECT split, lang, count(*) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS n_tokens,
+       |         count(DISTINCT chunk_id) AS n_chunks
+       |  FROM pk GROUP BY split, lang),
+       |ej AS (
+       |  SELECT aa.split AS asplit, aa.lang AS alang,
+       |         bb.split AS bsplit, bb.lang AS blang
+       |  FROM e JOIN spl aa ON aa.doc_id = e.a JOIN spl bb ON bb.doc_id = e.b),
+       |lk AS (
+       |  SELECT split, lang, sum(x) AS cross_edges FROM (
+       |    SELECT asplit AS split, alang AS lang,
+       |           CASE WHEN asplit <> bsplit THEN 1 ELSE 0 END AS x FROM ej
+       |    UNION ALL SELECT bsplit, blang,
+       |           CASE WHEN asplit <> bsplit THEN 1 ELSE 0 END FROM ej) u
+       |  GROUP BY split, lang)
+       |SELECT b.split, b.lang, b.n_docs, b.n_tokens, b.n_chunks,
+       |       CAST(coalesce(l.cross_edges, 0) AS BIGINT) AS cross_edges
+       |FROM base b LEFT JOIN lk l ON l.split = b.split AND l.lang = b.lang
+       |ORDER BY b.split, b.lang""".stripMargin) { (spark, dir) =>
+    val nStop = expr(
+      s"size(filter(split(text, ' '), x -> x IN $stopList))")
+    val feat = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n_words"),
+        length(col("text")).as("n_chars"), nStop.as("n_stop"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit"))
+    val qf = feat.where(col("n_words") >= 20 &&
+      col("n_stop").cast("double") / col("n_words") >= 0.01 &&
+      col("n_digit").cast("double") / col("n_chars") < 0.3)
+    val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    val ex = qf
+      .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byHash))
+      .where(col("keep"))
+      .select(col("doc_id"), col("lang"), col("n_words"))
+    val lc = ex.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val tgt = lc.agg(min(col("n")).as("target"))
+    val rb = ex
+      .join(broadcast(lc), Seq("lang"))
+      .crossJoin(broadcast(tgt))
+      .where((col("doc_id").cast("decimal(38,0)") * lit(2654435761L)
+        % lit(1048576L)) * col("n") <
+        col("target").cast("decimal(38,0)") * lit(1048576L))
+    val h = substring(
+      md5(coalesce(col("component"), col("doc_id")).cast("string").cast("binary")), 1, 2)
+    // three consumers (pack rollup + both edge-endpoint joins) → one
+    // eager checkpoint of the tiny assignment frame (the
+    // q18_leakage_split precedent)
+    val spl = rb
+      .join(ccNodeMapCached(spark, dir), col("doc_id") === col("node"), "left")
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+      .localCheckpoint()
+    val base = spl.transform(TextQueries.shardedCum(Seq("split", "lang")))
+      .select(col("split"), col("lang"), col("n_words"),
+        expr("(cum - n_words) div 512").as("chunk_id"))
+      .groupBy(col("split"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
+        countDistinct(col("chunk_id")).as("n_chunks"))
+    val e = bucketPairs(bandIndex(spark, dir, dupes = true))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ej = e
+      .join(spl.select(col("doc_id").as("doc_a"),
+        col("split").as("asplit"), col("lang").as("alang")), Seq("doc_a"))
+      .join(spl.select(col("doc_id").as("doc_b"),
+        col("split").as("bsplit"), col("lang").as("blang")), Seq("doc_b"))
+    val lk = ej.select(explode(array(
+        struct(col("asplit").as("split"), col("alang").as("lang"),
+          (col("asplit") =!= col("bsplit")).cast("long").as("x")),
+        struct(col("bsplit").as("split"), col("blang").as("lang"),
+          (col("asplit") =!= col("bsplit")).cast("long").as("x")))).as("k"))
+      .groupBy(col("k.split").as("split"), col("k.lang").as("lang"))
+      .agg(sum(col("k.x")).as("cross_edges"))
+    base.join(lk, Seq("split", "lang"), "left")
+      .select(col("split"), col("lang"), col("n_docs"), col("n_tokens"),
+        col("n_chunks"),
+        coalesce(col("cross_edges"), lit(0L)).cast("long").as("cross_edges"))
+      .orderBy(col("split"), col("lang"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
     q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
-    q18KnnClassify, q18Triangles, q18LeakageSplit)
+    q18KnnClassify, q18Triangles, q18LeakageSplit, q18PrepPipelineV2)
 }

@@ -47,6 +47,32 @@ object StreamQueries {
       .orderBy(col("stream_name"), col("idx"))
   }
 
+  // Q1b: the same scan through StreamFilter's PATTERN path
+  // (StreamFilter.fs:16-22): non-plain entries are unanchored regexes
+  // (`Regex.IsMatch` ≙ Spark `rlike` ≙ DuckDB `regexp_matches`), plain
+  // entries exact values. One pattern per dimension here — an
+  // event-type allow mixing a value with a pattern, and a stream-name
+  // pattern DENY — so the oracle exercises both partitions.
+  val q01ScanFilterRe: QueryDef = QueryDef(
+    "q01_scan_filter_re",
+    envSql +
+      """
+        |SELECT stream_name, idx, event_type, value, epoch_us(ts) AS ts_us
+        |FROM env
+        |WHERE (event_type = 'purchase' OR regexp_matches(event_type, 'cl.*k'))
+        |  AND NOT regexp_matches(stream_name, 'user-1\d')
+        |  AND stream_name NOT LIKE '$%'
+        |ORDER BY stream_name, idx""".stripMargin) { (spark, dir) =>
+    val filter = StreamFilter(
+      allowEventTypes = Seq("purchase", "cl.*k"), // value + pattern
+      denyStreams = Seq("user-1\\d"))             // pattern deny (unanchored)
+    env(spark, dir)
+      .where(filter.predicate(col("stream_name"), col("event_type")))
+      .select(col("stream_name"), col("idx"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("stream_name"), col("idx"))
+  }
+
   // Q2: category extraction (Streams.fs:61-78)
   val q02Categorize: QueryDef = QueryDef(
     "q02_categorize",
@@ -302,7 +328,7 @@ object StreamQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q01ScanFilter, q02Categorize, q03DedupeWritePos, q04GapsIslands,
+    q01ScanFilter, q01ScanFilterRe, q02Categorize, q03DedupeWritePos, q04GapsIslands,
     q05UnfoldRetention, q06StreamHwm, q07AppendOutcome, q08Prune, q09EpochIngest,
     q21IndexHydrate)
 }

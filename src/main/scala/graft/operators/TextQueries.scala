@@ -209,32 +209,69 @@ object TextQueries {
     bos.toByteArray
   }
 
+  /** The LZW image payload of one 4×4 solid-color frame whose 16
+    * pixels are all palette index 0, min code size 2 (3-bit codes,
+    * clear=4, EOI=5), a clear code before every pixel so the
+    * dictionary never grows: 33 codes × 3 bits, LSB-first = 13 bytes.
+    * CONSTANT across frames (only the palette differs), so computed
+    * once per classloader. */
+  private val gifSolidFrameLzw: Array[Byte] = {
+    val codes = (Seq(4) ++ (0 until 16).flatMap(i => if (i < 15) Seq(0, 4) else Seq(0)) :+ 5)
+    val out = new Array[Byte]((codes.length * 3 + 7) / 8)
+    var acc = 0; var nbits = 0; var o = 0
+    codes.foreach { c =>
+      acc |= c << nbits; nbits += 3
+      while (nbits >= 8) { out(o) = (acc & 0xff).toByte; o += 1; acc >>= 8; nbits -= 8 }
+    }
+    if (nbits > 0) out(o) = (acc & 0xff).toByte
+    out
+  }
+
   /** Multi-frame "video" fixture: an animated GIF with `k` real frames
-    * (4×4, per-frame color derived from the hash), written through
-    * ImageIO's sequence writer. The frame COUNT is what the decode side
-    * reads back — the video twin of the PNG width/height round trip. */
+    * (4×4, per-frame color derived from the hash), as a canonical
+    * GIF89a container synthesized directly — ONE exact-size
+    * allocation per asset, the audio modality's `wavFor` discipline.
+    * (The original ImageIO sequence-writer round trip allocated a
+    * BufferedImage + Graphics2D + palette quantization per FRAME and
+    * GC-killed the sf6.0 video scale run, the same death audio's
+    * `AudioSystem.write` path suffered at sf3.0.) Each frame carries
+    * its own 2-entry local color table with entry 0 = the frame color
+    * and all pixels index 0, so the REAL ImageIO demux on the decode
+    * side reads the color back exactly — a probe verified the JDK GIF
+    * reader round-trips these palettes bit-exactly, as it did for the
+    * writer-produced containers. The frame COUNT is what the decode
+    * side reads back — the video twin of the PNG width/height round
+    * trip. */
   private def gifFor(hex: String, k: Int): Array[Byte] = {
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
+    val lzw = gifSolidFrameLzw
+    val perFrame = 10 + 6 + 1 + 1 + lzw.length + 1
+    val gif = new Array[Byte](13 + k * perFrame + 1)
+    def u16(off: Int, v: Int): Unit = {
+      gif(off) = (v & 0xff).toByte; gif(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    // header + logical screen descriptor (4×4, no global color table)
+    "GIF89a".zipWithIndex.foreach { case (c, i) => gif(i) = c.toByte }
+    u16(6, 4); u16(8, 4); gif(10) = 0x00; gif(11) = 0; gif(12) = 0
     val base = Integer.parseInt(hex.substring(2, 8), 16)
     var i = 0
     while (i < k) {
-      val img = new java.awt.image.BufferedImage(
-        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      val g2 = img.createGraphics()
-      g2.setColor(new java.awt.Color((base + i * 7919) & 0xffffff))
-      g2.fillRect(0, 0, 4, 4)
-      g2.dispose()
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      val off = 13 + i * perFrame
+      val rgb = (base + i * 7919) & 0xffffff
+      gif(off) = 0x2c // image separator
+      u16(off + 1, 0); u16(off + 3, 0); u16(off + 5, 4); u16(off + 7, 4)
+      gif(off + 9) = 0x80.toByte // local color table, 2 entries
+      gif(off + 10) = ((rgb >> 16) & 0xff).toByte
+      gif(off + 11) = ((rgb >> 8) & 0xff).toByte
+      gif(off + 12) = (rgb & 0xff).toByte
+      // entry 1 stays 0,0,0 (array is zero-initialized)
+      gif(off + 16) = 2 // LZW min code size
+      gif(off + 17) = lzw.length.toByte // one data sub-block
+      System.arraycopy(lzw, 0, gif, off + 18, lzw.length)
+      gif(off + 18 + lzw.length) = 0 // block terminator
       i += 1
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
-    bos.toByteArray
+    gif(gif.length - 1) = 0x3b // trailer
+    gif
   }
 
   /** Real multi-frame decode: ImageIO's GIF reader counts the frames
@@ -457,31 +494,38 @@ object TextQueries {
     * frame colors, all read back from the GIF container. */
   final case class VideoSig(asset_id: Long, n_frames: Long, c0: Long, cm: Long)
 
-  private def decodeVideo(a: RawAsset): VideoSig = {
+  /** One real ImageIO GIF demux: frame count via the stream walk, then
+    * first and middle frames' pixels read back. The READER is caller-
+    * provided and reused across a whole partition (setInput discards
+    * prior state) — a per-asset `getImageReadersByFormatName` did a
+    * registry scan + allocation per row, part of the churn that killed
+    * the sf6.0 run. */
+  private def decodeVideo(a: RawAsset, reader: javax.imageio.ImageReader): VideoSig = {
     val hex = md5Hex(a.bytes)
     val gif = gifFor(hex, (a.bytes.length / 1024 + 1).toInt)
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(gif))
-    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     try {
       reader.setInput(iis, false)
       val n = reader.getNumImages(true)
       val c0 = reader.read(0).getRGB(0, 0) & 0xffffff
       val cm = reader.read(n / 2).getRGB(0, 0) & 0xffffff
       VideoSig(a.asset_id, n.toLong, c0.toLong, cm.toLong)
-    } finally {
-      reader.dispose()
-      iis.close()
-    }
+    } finally iis.close()
   }
 
   /** Decoded video signature frame: (asset_id, n_frames, per-frame
     * channels, bkt) from a (asset_id, kind, bytes) asset frame.
-    * Shared by q18_video_dedup and the streaming VideoDupStream twin. */
+    * Shared by q18_video_dedup and the streaming VideoDupStream twin.
+    * One GIF reader per PARTITION, streamed row-by-row — the
+    * per-partition batch shape (and the audio scratch-buffer
+    * discipline) a production media decoder uses. */
   private[graft] def videoFeatures(assets: DataFrame): DataFrame =
     assets.as[RawAsset](org.apache.spark.sql.Encoders.product[RawAsset])
-      .mapPartitions(_.map(decodeVideo))(
-        org.apache.spark.sql.Encoders.product[VideoSig]).toDF()
+      .mapPartitions { it =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        it.map(a => decodeVideo(a, reader))
+      }(org.apache.spark.sql.Encoders.product[VideoSig]).toDF()
       .select(col("asset_id"), col("n_frames"),
         shiftright(col("c0"), 16).as("r0"),
         shiftright(col("c0"), 8).bitwiseAND(lit(255L)).as("g0"),
@@ -942,7 +986,7 @@ object TextQueries {
     * result column `cum` is bit-identical to the global-window
     * formulation (the oracle SQL keeps that formulation; the
     * CORRECTNESS gate proves the equivalence). */
-  private def shardedCum(partCols: Seq[String], docsPerShard: Int = 1000)(
+  private[operators] def shardedCum(partCols: Seq[String], docsPerShard: Int = 1000)(
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val p = partCols.map(col)
     val t = df.withColumn("_shard", expr(s"doc_id div $docsPerShard"))
@@ -1510,7 +1554,7 @@ object TextQueries {
       |                            AS BIGINT)) AS BIGINT) AS kl_sum_upm
       |  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN tot
       |  GROUP BY source, n_s)
-      |SELECT source, n_s AS n_tok, kl_sum_upm, kl_sum_upm // n_s AS kl_upm
+      |SELECT source, n_s AS n_tok, kl_sum_upm, greatest(0, kl_sum_upm) // n_s AS kl_upm
       |FROM agg ORDER BY source""".stripMargin) { (spark, dir) =>
     // (source, w, tf) off the shared matrix: doc→source is a doc-keyed
     // join (reuses the matrix's doc_id clustering), then two hash aggs
@@ -1530,7 +1574,12 @@ object TextQueries {
       .agg(first(col("n_s")).as("n_tok"),
         expr("CAST(sum(CAST(contrib AS DECIMAL(38,0))) AS BIGINT)").as("kl_sum_upm"))
       .select(col("source"), col("n_tok"), col("kl_sum_upm"),
-        expr("kl_sum_upm div n_tok").as("kl_upm"))
+        // KL is non-negative in exact math, but per-(source,word)
+        // micro-nat rounding can push the integer sum slightly below
+        // zero for a source ~identical to the pool mix — and there
+        // DuckDB `//` floors while Spark `div` truncates. Clamp the
+        // dividend on BOTH sides so the engines agree.
+        expr("greatest(0L, kl_sum_upm) div n_tok").as("kl_upm"))
       .orderBy(col("source"))
   }
 

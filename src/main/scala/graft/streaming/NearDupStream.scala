@@ -83,6 +83,16 @@ object NearDupStream {
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // fail fast under an active compaction lease: a batch whose index
+    // scan was planned before the fold would chase deleted source
+    // files mid-job (no data loss either way — the marker protocol
+    // redoes the batch — but this turns a confusing mid-job
+    // FileNotFound into an immediate, explicit error)
+    if (Files.exists(Paths.get(s"$indexDir/_compacting")))
+      throw new IllegalStateException(
+        s"$indexDir is being compacted (lease file $indexDir/_compacting present); " +
+          "retry the batch after compactIndex finishes — or, if no compactor is " +
+          "running, remove the stale lease left by a crashed compaction")
     val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
     if (Files.exists(marker)) return // redelivered batch: no-op
     // payload head must be doc_id; the rest travels to kept/quarantine
@@ -155,12 +165,32 @@ object NearDupStream {
     *    the redelivery contract, not data).
     *
     * Run it while the gate is quiescent (between ingestion runs, like
-    * any out-of-band table compaction): a reader that planned its scan
-    * before the fold could otherwise chase deleted source files.
+    * any out-of-band table compaction). Quiescence is ENFORCED by a
+    * `_compacting` lease file held for the duration of the fold:
+    * [[processBatchWith]] fails fast while it exists (instead of a
+    * batch planned pre-fold chasing deleted source files mid-job),
+    * and a second concurrent compactIndex refuses to start. The lease
+    * is released on ANY exception; only a JVM death mid-fold leaves a
+    * stale lease, which then blocks batches with an explicit
+    * remove-the-stale-lease message — fail-fast, never data loss.
     * Returns the number of partitions folded (0 = nothing to do). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
     val p = Paths.get(indexDir)
     if (!Files.exists(p)) return 0L
+    val lease = p.resolve("_compacting")
+    try Files.createFile(lease)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"$lease already exists: another compaction is running (or crashed " +
+            "mid-fold — verify none is, then remove the lease and rerun)")
+    }
+    try compactIndexLocked(spark, indexDir, p)
+    finally Files.deleteIfExists(lease)
+  }
+
+  private def compactIndexLocked(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, p: java.nio.file.Path): Long = {
     def ls(dir: java.nio.file.Path): Vector[java.nio.file.Path] = {
       if (!Files.exists(dir)) return Vector.empty
       val s = Files.list(dir)
@@ -184,6 +214,51 @@ object NearDupStream {
     }
     sources.foreach { case (_, d) => rm(d) }
     sources.size.toLong
+  }
+
+  /** Measured OVER-DROP rate of a lossy modality gate — the stat a
+    * pipeline owner sizes the batch re-adjudication pass with. The
+    * gate drops on bucket collision WITHOUT the exact confirm the
+    * batch operator runs, so some quarantined assets are false
+    * positives: in the same bucket as a kept asset, but outside the
+    * confirm threshold. This report recomputes the confirm for every
+    * quarantined asset against the KEPT assets in its bucket(s) (kept
+    * docs are exactly the bucket owners — the index only persists
+    * kept docs' buckets) and returns ONE row:
+    * (n_quarantined, n_true_dup, n_over_dropped, over_drop_bp) with
+    * the rate in integer basis points. An asset whose only confirmable
+    * partner was itself dropped counts as over-dropped here — the
+    * resolver re-admits one representative of such a chain, so the
+    * stat is the upper bound on what re-adjudication returns. Scale:
+    * feature decode is per-partition streaming work, the only shuffle
+    * is the bucket-keyed join of the (small) quarantine side against
+    * kept — bucket-local, never pairwise over the corpus. */
+  private[streaming] def overDropReport(
+      spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, keptDir: String,
+      features: DataFrame => DataFrame,
+      sigCols: Seq[String], thresh: Long): DataFrame = {
+    def feats(dir: String, p: String): DataFrame =
+      features(spark.read.parquet(dir)
+        .select(col("doc_id").as("asset_id"), lit("x").as("kind"),
+          col("text").cast("binary").as("bytes")))
+        .select(("asset_id" +: "bkt" +: sigCols).map(c => col(c).as(s"$p$c")): _*)
+    val q = feats(quarantineDir, "q_")
+    val k = feats(keptDir, "k_")
+    val dist = sigCols.map(c => abs(col(s"q_$c") - col(s"k_$c")))
+      .reduce(_ + _)
+    val confirmed = q.join(k, col("q_bkt") === col("k_bkt"))
+      .where(dist <= thresh)
+      .select(col("q_asset_id").as("asset_id")).distinct()
+    q.select(col("q_asset_id").as("asset_id")).distinct()
+      .join(confirmed.withColumn("ok", lit(1L)), Seq("asset_id"), "left")
+      .agg(count(lit(1)).as("n_quarantined"),
+        sum(coalesce(col("ok"), lit(0L))).as("n_true_dup"))
+      .select(col("n_quarantined").cast("long").as("n_quarantined"),
+        col("n_true_dup").cast("long").as("n_true_dup"),
+        (col("n_quarantined") - col("n_true_dup")).cast("long").as("n_over_dropped"),
+        expr("CAST((n_quarantined - n_true_dup) * 10000 div n_quarantined AS BIGINT)")
+          .as("over_drop_bp"))
   }
 
   private[streaming] def startWith(signature: DataFrame => DataFrame,
@@ -355,6 +430,14 @@ object ImageDupStream {
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): StreamingQuery =
     NearDupStream.startWith(imageBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+
+  /** Over-drop rate of the image gate vs the batch q18_image_dedup
+    * confirm (RGB L1 ≤ 96 within the (w, h, 2-bit-cell) bucket) —
+    * see [[NearDupStream.overDropReport]]. */
+  def quarantineReport(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, keptDir: String): DataFrame =
+    NearDupStream.overDropReport(spark, quarantineDir, keptDir,
+      graft.operators.TextQueries.imageFeatures, Seq("r", "g", "b"), 96L)
 }
 
 /** The audio-modality twin of [[NearDupStream]]: each micro-batch's
@@ -392,6 +475,15 @@ object AudioDupStream {
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): StreamingQuery =
     NearDupStream.startWith(audioBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+
+  /** Over-drop rate of the audio gate vs the batch q18_audio_dedup
+    * confirm (gain delta |Δpeak| ≤ 4000 within the
+    * (n_samples, zero_crossings, gain-cell) bucket) —
+    * see [[NearDupStream.overDropReport]]. */
+  def quarantineReport(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, keptDir: String): DataFrame =
+    NearDupStream.overDropReport(spark, quarantineDir, keptDir,
+      graft.operators.TextQueries.audioFeatures, Seq("peak"), 4000L)
 }
 
 /** The video-modality twin of [[NearDupStream]]: each micro-batch's
@@ -429,4 +521,14 @@ object VideoDupStream {
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None): StreamingQuery =
     NearDupStream.startWith(videoBuckets)(docs, checkpointDir, indexDir, keptDir, quarantineDir)
+
+  /** Over-drop rate of the video gate vs the batch q18_video_dedup
+    * confirm (two-sampled-frame L1 ≤ 192 within the
+    * (n_frames, both frames' 2-bit cells) bucket) —
+    * see [[NearDupStream.overDropReport]]. */
+  def quarantineReport(spark: org.apache.spark.sql.SparkSession,
+      quarantineDir: String, keptDir: String): DataFrame =
+    NearDupStream.overDropReport(spark, quarantineDir, keptDir,
+      graft.operators.TextQueries.videoFeatures,
+      Seq("r0", "g0", "b0", "rm", "gm", "bm"), 192L)
 }
