@@ -2524,11 +2524,133 @@ object SimilarityQueries {
       .orderBy(col("split"), col("lang"))
   }
 
+  // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 text
+  //      arm and the dense cosine arm — how a production RAG /
+  //      retrieval-eval stack actually ranks (sparse catches exact
+  //      terms, dense catches paraphrase; RRF fuses without score
+  //      calibration). Both arms reuse proven shapes verbatim: BM25 =
+  //      q18_bm25's integer micro-unit scoring off the session doc-
+  //      term matrix (three-term query, same constants); dense =
+  //      q18_cosine_topk's broadcast-probe codegen dot (probe vec 0).
+  //      Each arm takes its top-100 via TakeOrdered (no global sort),
+  //      then ranks are assigned WITHOUT any window: a 100×100
+  //      broadcast theta-join counts strictly-better rows — constant
+  //      work, so the no-unpartitioned-window invariant
+  //      (PlanShapeSpec) holds at any corpus size. Fusion is a
+  //      full-outer join of two ≤100-row frames keyed on the aligned
+  //      doc/vec id space; rrf_um = Σ 1e6 div (60 + rank) in exact
+  //      integers (absent arm contributes 0). At 100 TB the arms'
+  //      costs are their standalone queries'; the fusion is O(K). ----
+  val q18HybridRrf: QueryDef = QueryDef(
+    "q18_hybrid_rrf",
+    s"""WITH $quantSql,
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+       |corp AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |                CAST(sum(dl) AS BIGINT) AS tot_dl FROM dl),
+       |qt AS (SELECT w, count(DISTINCT doc_id) AS df FROM tok
+       |       WHERE w IN ('table', 'stream', 'query') GROUP BY w),
+       |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+       |       WHERE w IN ('table', 'stream', 'query') GROUP BY doc_id, w),
+       |contrib AS (
+       |  SELECT tf.doc_id, tf.w,
+       |         CAST(round(1000000
+       |           * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+       |           * (tf * 2.2)
+       |           / (tf + 1.2 * (0.25 + 0.75 * dl.dl * n_docs
+       |                                 / CAST(tot_dl AS DOUBLE)))) AS BIGINT) AS s_um
+       |  FROM tf JOIN qt ON tf.w = qt.w
+       |          JOIN dl ON tf.doc_id = dl.doc_id
+       |          CROSS JOIN corp),
+       |bm AS (SELECT doc_id, CAST(sum(s_um) AS BIGINT) AS bm25_um
+       |       FROM contrib GROUP BY doc_id),
+       |ttop AS (SELECT doc_id, rt FROM (
+       |  SELECT doc_id, row_number() OVER (ORDER BY bm25_um DESC, doc_id) AS rt
+       |  FROM bm) WHERE rt <= 100),
+       |vsc AS (
+       |  SELECT c.vec_id,
+       |         CAST(${dotQSql("p.q", "c.q")} AS DOUBLE)
+       |           / (sqrt(CAST(p.n2 AS DOUBLE)) * sqrt(CAST(c.n2 AS DOUBLE))) AS cosine
+       |  FROM qn p JOIN qn c ON p.vec_id = 0 AND c.vec_id <> 0),
+       |vtop AS (SELECT vec_id, rv FROM (
+       |  SELECT vec_id, row_number() OVER (ORDER BY cosine DESC, vec_id) AS rv
+       |  FROM vsc) WHERE rv <= 100),
+       |fused AS (
+       |  SELECT coalesce(t.doc_id, v.vec_id) AS id,
+       |         CAST(coalesce(t.rt, 0) AS BIGINT) AS r_text,
+       |         CAST(coalesce(v.rv, 0) AS BIGINT) AS r_vec,
+       |         CAST(coalesce(1000000 // (60 + t.rt), 0)
+       |            + coalesce(1000000 // (60 + v.rv), 0) AS BIGINT) AS rrf_um
+       |  FROM ttop t FULL OUTER JOIN vtop v ON v.vec_id = t.doc_id)
+       |SELECT id, r_text, r_vec, rrf_um
+       |FROM fused ORDER BY rrf_um DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+    // rank without a window: count strictly-better rows in the ≤K-row
+    // top list via a broadcast theta-join (K² = 10k comparisons)
+    def rankBy(top: DataFrame, id: String, score: Column,
+        better: Column, out: String): DataFrame = {
+      val o = top.select(col(id).as("__o_id"), score.as("__o_s"))
+      top.join(broadcast(o), better, "left")
+        .groupBy(col(id))
+        .agg((count(col("__o_id")) + 1).cast("long").as(out))
+    }
+    // text arm — q18_bm25's scoring verbatim, top-100
+    val tfAll = TextQueries.termFreq(spark, dir)
+    val dl = tfAll.groupBy(col("doc_id")).agg(sum(col("tf")).cast("long").as("dl"))
+    val corp = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum(col("dl")).cast("long").as("tot_dl"))
+    val qtf = tfAll.where(col("w").isin("table", "stream", "query"))
+    val qt = qtf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val bm = qtf.select(col("doc_id"), col("w"), col("tf"))
+      .join(broadcast(qt), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(corp))
+      .select(col("doc_id"), expr(
+        """CAST(round(1000000
+          |  * ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+          |  * (tf * 2.2)
+          |  / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs
+          |                        / CAST(tot_dl AS DOUBLE)))) AS BIGINT)""".stripMargin)
+        .as("s_um"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("s_um")).cast("long").as("bm25_um"))
+    val ttop = bm.orderBy(col("bm25_um").desc, col("doc_id")).limit(100)
+      .localCheckpoint()
+    val rankT = rankBy(ttop, "doc_id", col("bm25_um"),
+      col("__o_s") > col("bm25_um") ||
+        (col("__o_s") === col("bm25_um") && col("__o_id") < col("doc_id")), "rt")
+    // dense arm — q18_cosine_topk's broadcast-probe dot, probe vec 0
+    val qn = quantized(embs(spark, dir))
+    val probe = qn.where(col("vec_id") === 0)
+      .select(col("q").as("qp"), col("n2").as("n2p"))
+    val cosine = dotQ("qp", "qc").cast("double") /
+      (sqrt(col("n2p").cast("double")) * sqrt(col("n2c").cast("double")))
+    val vsc = qn.where(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("q").as("qc"), col("n2").as("n2c"))
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine.as("cosine"))
+    val vtop = vsc.orderBy(col("cosine").desc, col("vec_id")).limit(100)
+      .localCheckpoint()
+    val rankV = rankBy(vtop, "vec_id", col("cosine"),
+      col("__o_s") > col("cosine") ||
+        (col("__o_s") === col("cosine") && col("__o_id") < col("vec_id")), "rv")
+    // fusion over the aligned id space
+    rankT.select(col("doc_id").as("tid"), col("rt"))
+      .join(rankV.select(col("vec_id").as("vid"), col("rv")),
+        col("tid") === col("vid"), "full_outer")
+      .select(coalesce(col("tid"), col("vid")).as("id"),
+        coalesce(col("rt"), lit(0L)).as("r_text"),
+        coalesce(col("rv"), lit(0L)).as("r_vec"),
+        (coalesce(expr("1000000 div (60 + rt)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + rv)"), lit(0L))).cast("long").as("rrf_um"))
+      .orderBy(col("rrf_um").desc, col("id")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18DedupExact, q18MinhashSig, q18MinhashPairs, q18Simhash, q18SimhashPairs,
     q18NgramJaccard, q18CosineTopK, q18AnnLsh, q18AnnIvf, q18AnnIvfPq, q18Novelty, q18Triplets, q18DedupEmbed,
     q18DedupResolve, q18ResolveQuality, q18CleanCorpus, q18CcDedup, q18KnnGraph, q18Centroids,
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
     q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
-    q18KnnClassify, q18Triangles, q18LeakageSplit, q18PrepPipelineV2)
+    q18KnnClassify, q18Triangles, q18LeakageSplit, q18PrepPipelineV2,
+    q18HybridRrf)
 }

@@ -579,22 +579,35 @@ object TextQueries {
       |WHERE abs(a.r0 - b.r0) + abs(a.g0 - b.g0) + abs(a.b0 - b.b0)
       |    + abs(a.rm - b.rm) + abs(a.gm - b.gm) + abs(a.bm - b.bm) <= 192
       |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
-    val feats = videoSigIndex(spark, dir)
-    ScaleOps.guardBlockSize(feats, "bkt", "q18_video_dedup")
-      .groupBy(col("bkt"))
-      .agg(sort_array(collect_list(struct(
-        col("asset_id"), col("r0"), col("g0"), col("b0"),
-        col("rm"), col("gm"), col("bm")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs,
-          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
-          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
-          |                        abs(x.r0 - y.r0) + abs(x.g0 - y.g0) + abs(x.b0 - y.b0)
-          |                      + abs(x.rm - y.rm) + abs(x.gm - y.gm) + abs(x.bm - y.bm) AS dist))))
-          |""".stripMargin)).as("p"))
-      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
-        col("p.dist").cast("long").as("dist"))
+    // Pair enumeration is a bucket-keyed SELF-JOIN over the
+    // checkpointed signature frame, NOT the collect_list + nested-
+    // transform shape image/audio use: single-frame fixture videos
+    // all have cm == c0, so the effective nf=1 bucket space is only
+    // 4³ = 64 cells and blocks grow as n/64 — and the nested
+    // transform materializes the WHOLE |block|²-struct pair array per
+    // bucket row before the explode streams it (≈270 MB per row at
+    // 60×, the residual heap killer behind the r11 sf6.0 crash after
+    // the GIF-writer churn). A sort-merge self-join buffers one
+    // block's ROWS (spillable), streams the |block|² pairs through
+    // the codegen dist filter, and never holds a pair array — the
+    // memory-safe dense-block shape. Image (4096-cell space) and
+    // audio (512+) keep the array form: their blocks stay small and
+    // the one-pass enumeration is cheaper there. The n²/64 pair
+    // VOLUME at fixed fixture bucket space remains the documented
+    // r10-addendum-2 caveat (real multi-frame video contributes both
+    // frames' cells and regrows the space to 4096).
+    val feats = ScaleOps.guardBlockSize(
+      videoSigIndex(spark, dir), "bkt", "q18_video_dedup")
+    def side(p: String): DataFrame = feats.select(
+      col("bkt") +: Seq("asset_id", "r0", "g0", "b0", "rm", "gm", "bm")
+        .map(c => col(c).as(s"$p$c")): _*)
+    side("a_").join(side("b_"), Seq("bkt"))
+      .where(col("a_asset_id") < col("b_asset_id"))
+      .select(col("a_asset_id").as("asset_a"), col("b_asset_id").as("asset_b"),
+        (abs(col("a_r0") - col("b_r0")) + abs(col("a_g0") - col("b_g0"))
+          + abs(col("a_b0") - col("b_b0")) + abs(col("a_rm") - col("b_rm"))
+          + abs(col("a_gm") - col("b_gm")) + abs(col("a_bm") - col("b_bm")))
+          .cast("long").as("dist"))
       .where(col("dist") <= 192)
       .orderBy(col("asset_a"), col("asset_b"))
   }
