@@ -142,6 +142,118 @@ object CurationQueries {
         .orderBy(col("doc_id"))
   }
 
+  // ---- held-out perplexity eval: train the add-1-smoothed bigram LM
+  //      on the TRAIN split only and score the VAL split — the
+  //      production perplexity-filter / LM-health shape (a quality
+  //      pipeline trains its filter LM on reference data and scores
+  //      candidates; scoring the training data itself, as
+  //      q18_bigram_lp's in-corpus surprisal does, systematically
+  //      underestimates). Split = the standard md5(doc_id) prefix
+  //      rule ('cc'/'e6' ≈ 80/10/10 — the q18_split quantiles).
+  //      Smoothing: p(w2|w1) = (cnt(b)+1)/(cnt1(w1)+V) with V = the
+  //      train split's distinct-successor vocabulary; a val bigram
+  //      whose w1 was never seen backs off to uniform 1/V.
+  //      Determinism discipline = unigram_lp's: ONE ln per distinct
+  //      val bigram type, rounded to integer micro-nats BEFORE any
+  //      aggregate. Scale: bigram extraction is a Generate; the LM
+  //      lives in two b-/w1-keyed aggregates; scoring is a b-keyed
+  //      shuffle join of val types against train counts (never a
+  //      broadcast of a corpus-sized model), then doc- and
+  //      source-grain rollups. OOV occurrences are reported — the
+  //      number a filter owner watches to know the reference LM has
+  //      drifted from the candidate stream. ----
+  val q18HeldoutPpl: QueryDef = QueryDef(
+    "q18_heldout_ppl",
+    """WITH sp AS (
+      |  SELECT doc_id, source, text,
+      |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+      |              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM documents),
+      |tbg AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2, ws[i] || ' ' || ws[i + 1] AS b
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM sp WHERE split = 'train'),
+      |       unnest(range(1, len(ws))) t(i)
+      |  WHERE len(ws) >= 2),
+      |vocab AS (SELECT b, min(w1) AS w1, count(*) AS cnt FROM tbg GROUP BY b),
+      |pre AS (SELECT w1, CAST(sum(cnt) AS BIGINT) AS cnt1 FROM vocab GROUP BY w1),
+      |vv AS (SELECT CAST(count(DISTINCT w2) AS BIGINT) AS v FROM tbg),
+      |vbg AS (
+      |  SELECT doc_id, source, ws[i] AS w1, ws[i] || ' ' || ws[i + 1] AS b
+      |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+      |        FROM sp WHERE split = 'val'),
+      |       unnest(range(1, len(ws))) t(i)
+      |  WHERE len(ws) >= 2),
+      |types AS (
+      |  SELECT t.b,
+      |         CAST(round(1000000 * CASE
+      |           WHEN p.cnt1 IS NULL THEN ln(CAST(v AS DOUBLE))
+      |           ELSE ln(CAST(p.cnt1 + v AS DOUBLE) / (coalesce(vc.cnt, 0) + 1))
+      |         END) AS BIGINT) AS sp_um,
+      |         CASE WHEN vc.b IS NULL THEN 1 ELSE 0 END AS oov
+      |  FROM (SELECT DISTINCT b, min(w1) OVER (PARTITION BY b) AS w1 FROM vbg) t
+      |  LEFT JOIN vocab vc ON vc.b = t.b
+      |  LEFT JOIN pre p ON p.w1 = t.w1
+      |  CROSS JOIN vv),
+      |dtf AS (SELECT doc_id, source, b, count(*) AS tf FROM vbg GROUP BY doc_id, source, b),
+      |perdoc AS (
+      |  SELECT doc_id, source,
+      |         CAST(sum(tf * sp_um) AS BIGINT) AS sur_upm,
+      |         CAST(sum(tf) AS BIGINT) AS n_bg,
+      |         CAST(sum(tf * oov) AS BIGINT) AS n_oov
+      |  FROM dtf JOIN types USING (b) GROUP BY doc_id, source)
+      |SELECT source, count(*) AS n_docs,
+      |       CAST(sum(n_bg) AS BIGINT) AS n_bigrams,
+      |       CAST(sum(sur_upm) AS BIGINT) AS sur_upm,
+      |       CAST(sum(sur_upm) AS BIGINT) // CAST(sum(n_bg) AS BIGINT) AS avg_upm,
+      |       CAST(sum(n_oov) AS BIGINT) AS n_oov
+      |FROM perdoc GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sp = docs(spark, dir).select(col("doc_id"), col("source"), col("text"),
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+    def bigrams(d: org.apache.spark.sql.DataFrame) = d
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2, concat_ws(' ', ws[i], ws[i+1]) AS b))"))
+        .as("p"))
+      .select(col("doc_id"), col("source"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.b").as("b"))
+    val tbg = bigrams(sp.where(col("split") === "train"))
+    val vocab = tbg.groupBy(col("b"))
+      .agg(min(col("w1")).as("w1"), count(lit(1)).as("cnt"))
+    val pre = vocab.groupBy(col("w1")).agg(sum(col("cnt")).cast("long").as("cnt1"))
+    val vv = tbg.agg(countDistinct(col("w2")).cast("long").as("v"))
+    val vbg = bigrams(sp.where(col("split") === "val"))
+    // one ln per distinct val bigram type; b determines w1, so the
+    // type frame is b-keyed and both LM joins are key-partitioned
+    val types = vbg.groupBy(col("b")).agg(min(col("w1")).as("vw1"))
+      .join(vocab.select(col("b"), col("cnt"), lit(1).as("seen")), Seq("b"), "left")
+      .join(pre.select(col("w1").as("vw1"), col("cnt1")), Seq("vw1"), "left")
+      .crossJoin(broadcast(vv))
+      .select(col("b"),
+        expr("""CAST(round(1000000 * CASE
+                 WHEN cnt1 IS NULL THEN ln(CAST(v AS DOUBLE))
+                 ELSE ln(CAST(cnt1 + v AS DOUBLE) / (coalesce(cnt, 0) + 1))
+               END) AS BIGINT)""").as("sp_um"),
+        when(col("seen").isNull, 1L).otherwise(0L).as("oov"))
+    val dtf = vbg.groupBy(col("doc_id"), col("source"), col("b"))
+      .agg(count(lit(1)).as("tf"))
+    dtf.join(types, Seq("b"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(expr("CAST(sum(CAST(tf AS DECIMAL(19,0)) * sp_um) AS BIGINT)").as("sur_upm"),
+        sum(col("tf")).cast("long").as("n_bg"),
+        expr("CAST(sum(tf * oov) AS BIGINT)").as("n_oov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bg")).cast("long").as("n_bigrams"),
+        sum(col("sur_upm")).cast("long").as("sur_upm"),
+        sum(col("n_oov")).cast("long").as("n_oov"))
+      .select(col("source"), col("n_docs"), col("n_bigrams"), col("sur_upm"),
+        expr("sur_upm div n_bigrams").as("avg_upm"), col("n_oov"))
+      .orderBy(col("source"))
+  }
+
   // ---- Gopher-style rule filter (Rae et al. 2021 §A1.1, reduced to
   //      the rules computable over this corpus): word-count bounds,
   //      mean-word-length band, minimum stopword evidence, alphabetic
@@ -951,7 +1063,7 @@ object CurationQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    q18Dsir, q18BigramLp, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
+    q18Dsir, q18BigramLp, q18HeldoutPpl, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
     q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode,
     q18QualityCalib, q18PqSampled, q18TokenBudget)
 }

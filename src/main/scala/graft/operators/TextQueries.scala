@@ -445,20 +445,19 @@ object TextQueries {
       | AND a.asset_id < b.asset_id
       |WHERE abs(a.r - b.r) + abs(a.g - b.g) + abs(a.b - b.b) <= 96
       |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
-    val feats = imageSigIndex(spark, dir)
-    ScaleOps.guardBlockSize(feats, "bkt", "q18_image_dedup")
-      .groupBy(col("bkt"))
-      .agg(sort_array(collect_list(struct(
-        col("asset_id"), col("r"), col("g"), col("b")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs,
-          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
-          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
-          |                        abs(x.r - y.r) + abs(x.g - y.g) + abs(x.b - y.b) AS dist))))
-          |""".stripMargin)).as("p"))
-      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
-        col("p.dist").cast("long").as("dist"))
+    // bucket-keyed self-join pair enumeration (the video/audio
+    // round-12 shape: codegen filter over streamed pairs instead of
+    // an interpreted HOF over a materialized per-bucket pair array)
+    val feats = ScaleOps.guardBlockSize(
+      imageSigIndex(spark, dir), "bkt", "q18_image_dedup")
+    def side(p: String): DataFrame = feats.select(
+      col("bkt") +: Seq("asset_id", "r", "g", "b")
+        .map(c => col(c).as(s"$p$c")): _*)
+    side("a_").join(side("b_"), Seq("bkt"))
+      .where(col("a_asset_id") < col("b_asset_id"))
+      .select(col("a_asset_id").as("asset_a"), col("b_asset_id").as("asset_b"),
+        (abs(col("a_r") - col("b_r")) + abs(col("a_g") - col("b_g"))
+          + abs(col("a_b") - col("b_b"))).cast("long").as("dist"))
       .where(col("dist") <= 96)
       .orderBy(col("asset_a"), col("asset_b"))
   }
@@ -590,9 +589,9 @@ object TextQueries {
     // the GIF-writer churn). A sort-merge self-join buffers one
     // block's ROWS (spillable), streams the |block|² pairs through
     // the codegen dist filter, and never holds a pair array — the
-    // memory-safe dense-block shape. Image (4096-cell space) and
-    // audio (512+) keep the array form: their blocks stay small and
-    // the one-pass enumeration is cheaper there. The n²/64 pair
+    // memory-safe dense-block shape — image and audio now share it
+    // too (the interpreted-HOF cost of the array form showed up at
+    // 60×: Catalyst higher-order functions don't codegen). The n²/64 pair
     // VOLUME at fixed fixture bucket space remains the documented
     // r10-addendum-2 caveat (real multi-frame video contributes both
     // frames' cells and regrows the space to 4096).
@@ -812,21 +811,21 @@ object TextQueries {
       |ORDER BY asset_a, asset_b""".stripMargin) { (spark, dir) =>
     // the cached decoded frame means the guard's pre-pass and the pair
     // enumeration both read materialized features — decode paid once
-    // per (session, corpus), not once per action
-    val feats = audioSignature(decodedAudioIndex(spark, dir))
-    ScaleOps.guardBlockSize(feats, "bkt", "q18_audio_dedup")
-      .groupBy(col("bkt"))
-      .agg(sort_array(collect_list(struct(
-        col("asset_id"), col("peak")))).as("xs"))
-      .where(size(col("xs")) > 1)
-      .select(explode(expr(
-        """flatten(transform(xs,
-          |  (x, i) -> transform(slice(xs, i + 2, size(xs)),
-          |            y -> struct(x.asset_id AS asset_a, y.asset_id AS asset_b,
-          |                        abs(x.peak - y.peak) AS gain_delta))))
-          |""".stripMargin)).as("p"))
-      .select(col("p.asset_a").as("asset_a"), col("p.asset_b").as("asset_b"),
-        col("p.gain_delta").cast("long").as("gain_delta"))
+    // per (session, corpus), not once per action. Pair enumeration is
+    // the bucket-keyed SELF-JOIN (the video precedent, round-12): the
+    // collect_list + nested-transform form evaluates the pair
+    // generator as an INTERPRETED higher-order expression (Catalyst
+    // HOFs don't codegen) — at 60× its ~87M bucket-local pairs cost
+    // ~23 s per rep, while the join streams pairs through the
+    // codegen gain-delta filter and buffers only one block's rows.
+    val feats = ScaleOps.guardBlockSize(
+      audioSignature(decodedAudioIndex(spark, dir)), "bkt", "q18_audio_dedup")
+    def side(p: String): DataFrame = feats.select(
+      col("bkt"), col("asset_id").as(s"${p}id"), col("peak").as(s"${p}peak"))
+    side("a_").join(side("b_"), Seq("bkt"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id").as("asset_a"), col("b_id").as("asset_b"),
+        abs(col("a_peak") - col("b_peak")).cast("long").as("gain_delta"))
       .where(col("gain_delta") <= 4000)
       .orderBy(col("asset_a"), col("asset_b"))
   }
@@ -2157,6 +2156,158 @@ object TextQueries {
     }.drop("pos")
   }
 
+  // ---- unigram-LM segmentation cost (the SentencePiece-unigram
+  //      objective): score every word's Viterbi (min-cost)
+  //      segmentation under a piece model whose costs are integer
+  //      micro-nats of -ln p(piece) — the third tokenizer family
+  //      next to BPE (merge-based) and WordPiece (greedy longest
+  //      match). Piece vocab = the top-256 length-2..4 substrings by
+  //      OCCURRENCE-WEIGHTED corpus count (each (word, start)
+  //      occurrence weighted by the word's corpus frequency — the
+  //      unigram seed vocabulary) plus EVERY single character (the
+  //      segmentability fallback), probabilities renormalized over
+  //      the selected vocab. The Viterbi DP is a LINEAR recurrence
+  //      carrying the last four best values (pieces are ≤ 4 chars):
+  //      best[i] = least over l of best[i-l] + cost(w[i-l+1..i]) —
+  //      in Spark a fold of 24 codegen steps over (b0..b3) state
+  //      columns with literal-map cost lookups (the wordpieceFold
+  //      precedent, measured 2.85 s at 60×); in DuckDB the same
+  //      recurrence as a single-row-per-(word, i) recursive CTE
+  //      (NEVER a path-enumerating recursion — that is exponential).
+  //      NULL predecessors guard every out-of-range lookup on both
+  //      engines (least() skips NULLs identically), and ties need no
+  //      break: only the min COST is output, which is tie-invariant.
+  //      Scale: vocab training is two aggregates over the DISTINCT-
+  //      word frame (Heaps-sublinear), the artifact is ≤ ~300 pieces
+  //      (driver-bounded like the BPE merge table), and the encode
+  //      folds over distinct words only — doc rollup joins back on
+  //      the word key. ----
+  private val UgTopVocab = 256
+  private val UgMinCount = 5
+  private val UgMaxPieceLen = 4
+
+  /** (piece, cost_um) vocab of the unigram segmenter: top-256
+    * weighted substrings + all chars, cost = micro-nats of the
+    * renormalized unigram prob. Deterministic: (cnt DESC, piece)
+    * ordering, ONE ln per piece on the driver. */
+  private[graft] def trainUnigramVocab(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val wc = docs(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val subs = wc
+      .select(col("cnt"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)),
+           |  i -> filter(transform(sequence(1, $UgMaxPieceLen),
+           |              l -> if(i + l - 1 <= length(w), substring(w, i, l), null)),
+           |       p -> p is not null)))""".stripMargin)).as("p"))
+      .groupBy(col("p")).agg(sum(col("cnt")).cast("long").as("cnt"))
+      .localCheckpoint()
+    val topp: Seq[(String, Long)] = subs
+      .where(length(col("p")).between(2, UgMaxPieceLen) && col("cnt") >= UgMinCount)
+      .orderBy(col("cnt").desc, col("p")).limit(UgTopVocab)
+      .select(col("p"), col("cnt")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val chars: Seq[(String, Long)] = subs.where(length(col("p")) === 1)
+      .select(col("p"), col("cnt")).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val all = topp ++ chars
+    val tc = all.map(_._2).sum
+    all.map { case (p, c) =>
+      p -> math.round(1000000.0 * math.log(tc.toDouble / c))
+    }
+  }
+
+  /** Viterbi min-cost fold: appends `cost_um` to any frame with a
+    * `w` column (words ≤ [[WpMaxWordLen]] chars). */
+  private[graft] def unigramFold(withW: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.typedlit
+    val byLen: Map[Int, Map[String, Long]] =
+      vocab.groupBy(_._1.length).view.mapValues(_.toMap).toMap
+    def look(l: Int, start: Int): org.apache.spark.sql.Column =
+      byLen.get(l) match {
+        case Some(m) if start >= 1 =>
+          element_at(typedlit(m), expr(s"substring(w, $start, $l)"))
+        case _ => lit(null).cast("long")
+      }
+    val init = withW
+      .withColumn("b0", lit(0L))
+      .withColumn("b1", lit(null).cast("long"))
+      .withColumn("b2", lit(null).cast("long"))
+      .withColumn("b3", lit(null).cast("long"))
+    (1 to WpMaxWordLen).foldLeft(init) { (df, s) =>
+      // best[s] = least over l of best[s-l] + cost(w[s-l+1 .. s]);
+      // predecessors b0..b3 = best[s-1..s-4], null when out of range
+      val cand = least(
+        col("b0") + look(1, s),
+        col("b1") + look(2, s - 1),
+        col("b2") + look(3, s - 2),
+        col("b3") + look(4, s - 3))
+      val step = lit(s) <= length(col("w"))
+      df.withColumn("nb", when(step, cand).otherwise(col("b0")))
+        .withColumn("b3", when(step, col("b2")).otherwise(col("b3")))
+        .withColumn("b2", when(step, col("b1")).otherwise(col("b2")))
+        .withColumn("b1", when(step, col("b0")).otherwise(col("b1")))
+        .withColumn("b0", col("nb"))
+        .drop("nb")
+    }.withColumn("cost_um", col("b0")).drop("b0", "b1", "b2", "b3")
+  }
+
+  val q18UnigramSeg: QueryDef = QueryDef(
+    "q18_unigram_seg",
+    s"""WITH RECURSIVE
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       |tw AS (SELECT doc_id, w FROM tok WHERE len(w) BETWEEN 1 AND $WpMaxWordLen),
+       |wc AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+       |subs AS (
+       |  SELECT substr(w, i, l) AS p, CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM wc, unnest(range(1, len(w) + 1)) t(i),
+       |       unnest(range(1, ${UgMaxPieceLen + 1})) u(l)
+       |  WHERE i + l - 1 <= len(w)
+       |  GROUP BY p),
+       |topp AS (SELECT p, cnt FROM subs
+       |         WHERE len(p) BETWEEN 2 AND $UgMaxPieceLen AND cnt >= $UgMinCount
+       |         ORDER BY cnt DESC, p LIMIT $UgTopVocab),
+       |chars AS (SELECT p, cnt FROM subs WHERE len(p) = 1),
+       |vocab0 AS (SELECT p, cnt FROM topp UNION ALL SELECT p, cnt FROM chars),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tc FROM vocab0),
+       |vocab AS (SELECT p,
+       |                 CAST(round(1000000 * ln(CAST(tc AS DOUBLE) / cnt)) AS BIGINT) AS c
+       |          FROM vocab0 CROSS JOIN tot),
+       |dw AS (SELECT DISTINCT w FROM tw),
+       |st AS (
+       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS b0,
+       |         CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+       |         CAST(NULL AS BIGINT) AS b3
+       |  FROM dw
+       |  UNION ALL
+       |  SELECT w, i + 1,
+       |         least(
+       |           b0 + (SELECT c FROM vocab v WHERE v.p = substr(st.w, st.i + 1, 1)),
+       |           b1 + (SELECT c FROM vocab v WHERE v.p = substr(st.w, st.i, 2)),
+       |           b2 + (SELECT c FROM vocab v WHERE v.p = substr(st.w, st.i - 1, 3)),
+       |           b3 + (SELECT c FROM vocab v WHERE v.p = substr(st.w, st.i - 2, 4))),
+       |         b0, b1, b2
+       |  FROM st WHERE i < len(w)),
+       |enc AS (SELECT w, b0 AS cost_um FROM st WHERE i = len(w))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(cost_um) AS BIGINT) AS enc_upm,
+       |       CAST(sum(cost_um) AS BIGINT) // CAST(count(*) AS BIGINT) AS avg_upm
+       |FROM tw JOIN enc USING (w)
+       |WHERE doc_id % 25 = 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val tw = tok.where(length(col("w")).between(1, WpMaxWordLen))
+    val enc = unigramFold(tw.select(col("w")).distinct(),
+      trainUnigramVocab(spark, dir))
+    tw.where(col("doc_id") % 25 === 0)
+      .join(enc.select(col("w"), col("cost_um")), Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("cost_um")).cast("long").as("enc_upm"))
+      .select(col("doc_id"), col("n_words"), col("enc_upm"),
+        expr("enc_upm div n_words").as("avg_upm"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- vocabulary coverage sweep: what fraction of corpus token
   //      OCCURRENCES does a top-k vocabulary cover, for the k values
   //      a tokenizer owner actually sweeps (64/256/1024/4096)? The
@@ -2418,5 +2569,5 @@ object TextQueries {
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
     q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
-    q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage)
+    q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage, q18UnigramSeg)
 }
