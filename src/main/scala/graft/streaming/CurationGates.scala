@@ -145,6 +145,27 @@ object CurationGates {
         sum(col("nu")).cast("long").as("n_unk"))
   }
 
+  /** The unigram-LM gate: (doc_id, n_words, enc_upm) per incoming
+    * document — the stream-side twin of the batch q18_unigram_seg
+    * scorer. `vocab` is the static trained artifact
+    * (TextQueries.trainUnigramVocab — piece → integer micro-nat
+    * cost); the 24-step linear Viterbi fold is the SAME unigramFold
+    * object the batch query runs, applied per word OCCURRENCE for
+    * the standard gate reason (no corpus vocab to amortize against
+    * in a micro-batch; shuffle-free until the per-doc rollup,
+    * redelivery-identical by construction). enc_upm jumping on an
+    * ingest stream is the live signal the piece model has drifted
+    * from the data (the unigram twin of wordpiece's n_unk alarm). */
+  def unigramScore(incoming: DataFrame, vocab: Seq[(String, Long)]): DataFrame = {
+    import graft.operators.TextQueries.{unigramFold, WpMaxWordLen}
+    unigramFold(
+      incoming.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .where(length(col("w")).between(1, WpMaxWordLen)), vocab)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_words"),
+        sum(col("cost_um")).cast("long").as("enc_upm"))
+  }
+
   /** The PII gate: (doc_id, n_email, n_ip, n_phone, had_pii, scrubbed)
     * per incoming document — the stream-side twin of the batch
     * q18_pii_scrub operator, redacting email/IPv4/phone (fixed mask

