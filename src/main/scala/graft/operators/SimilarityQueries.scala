@@ -1573,6 +1573,53 @@ object SimilarityQueries {
         .orderBy(col("label"), col("dim"))
   }
 
+  // ---- embedding drift monitor: per-label centroid distance from
+  //      the corpus centroid, in integer basis points — the signal an
+  //      embedding pipeline watches to catch model/version drift or a
+  //      source whose vectors wandered (retrain trigger, ANN-index
+  //      rebuild trigger). All arithmetic exact after the ONE shared
+  //      ×1e6 quantization (the same quantize every embedding
+  //      operator rides): per-dim means are integer div of exact
+  //      integer sums, the distance is Σ(Δ per-dim mean)² in BIGINT,
+  //      normalized by the global centroid's squared norm. Scale: one
+  //      posexplode pass → (label, dim)-keyed exact sums (map-side
+  //      combinable, 64·|labels| result rows), the global centroid
+  //      derived by a second tiny aggregate — no per-vector state
+  //      leaves the scan, no window, broadcast-sized joins only. ----
+  val q18EmbedDrift: QueryDef = QueryDef(
+    "q18_embed_drift",
+    s"""WITH $quantSql,
+       |u AS (SELECT label, i AS dim, q[i] AS qi
+       |      FROM quant, unnest(range(1, len(q)+1)) t(i)),
+       |lab AS (SELECT label, dim, CAST(sum(qi) AS BIGINT) // count(*) AS ml, count(*) AS nv
+       |        FROM u GROUP BY label, dim),
+       |gm AS (SELECT dim, CAST(sum(qi) AS BIGINT) // count(*) AS mg FROM u GROUP BY dim),
+       |gg AS (SELECT CAST(sum(mg*mg) AS BIGINT) AS gg FROM gm),
+       |d AS (SELECT label, CAST(sum((ml-mg)*(ml-mg)) AS BIGINT) AS l2sq,
+       |             CAST(min(nv) AS BIGINT) AS n_vecs
+       |      FROM lab JOIN gm USING (dim) GROUP BY label)
+       |SELECT CAST(label AS BIGINT) AS label, n_vecs, l2sq,
+       |       CAST(l2sq * 10000 // gg AS BIGINT) AS drift_bp
+       |FROM d CROSS JOIN gg ORDER BY label""".stripMargin) { (spark, dir) =>
+    val u = quantized(embs(spark, dir))
+      .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
+      .select(col("label"), (col("dim0") + 1).cast("long").as("dim"), col("qi"))
+    val lab = u.groupBy(col("label"), col("dim"))
+      .agg(expr("CAST(sum(qi) AS BIGINT) div count(1)").as("ml"),
+        count(lit(1)).as("nv"))
+    val gm = u.groupBy(col("dim"))
+      .agg(expr("CAST(sum(qi) AS BIGINT) div count(1)").as("mg"))
+    val gg = gm.agg(expr("CAST(sum(mg*mg) AS BIGINT)").as("gg"))
+    lab.join(gm, Seq("dim"))
+      .groupBy(col("label"))
+      .agg(expr("CAST(sum((ml-mg)*(ml-mg)) AS BIGINT)").as("l2sq"),
+        min(col("nv")).cast("long").as("n_vecs"))
+      .crossJoin(broadcast(gg))
+      .select(col("label").cast("long").as("label"), col("n_vecs"), col("l2sq"),
+        expr("l2sq * 10000 div gg").as("drift_bp"))
+      .orderBy(col("label"))
+  }
+
   // ---- integer PageRank over the near-dup graph (3 unrolled
   //      iterations, d = 0.85): centrality on the duplicate graph
   //      ranks the "template" documents whose boilerplate spread the
@@ -2652,5 +2699,5 @@ object SimilarityQueries {
     q18Pagerank, q18EditDedup, q18TfidfSim, q18AnnRecall, q18MinhashQuality,
     q18SimhashQuality, q18Containment, q18FuzzyContam, q18DupStats,
     q18KnnClassify, q18Triangles, q18LeakageSplit, q18PrepPipelineV2,
-    q18HybridRrf)
+    q18HybridRrf, q18EmbedDrift)
 }

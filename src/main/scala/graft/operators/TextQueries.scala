@@ -2560,6 +2560,156 @@ object TextQueries {
       .orderBy(col("source"), col("bucket"))
   }
 
+  // ---- portable deterministic HyperLogLog, audited against exact
+  //      (the estimator-audit family: unlike q12_approx_distinct's
+  //      within-tolerance boolean, the ESTIMATE ITSELF is oracle-
+  //      hash-checked). m = 64 registers keyed off md5(shingle):
+  //      register = low 6 bits of the first hash byte, rank = leading
+  //      zeros of the next 60 bits + 1 (computed as 61 − bin-length —
+  //      both engines' bin() agree), clamped at 25 so the register
+  //      sum Σ 2^(25−M) stays in exact BIGINT range (a rank > 25
+  //      occurs with p ≈ 2^-25 per register and the clamp is applied
+  //      identically on both engines). Raw estimate α·m²/Σ2^-M as one
+  //      integer division — α_64 = 0.709341 fixed at ppm precision.
+  //      Scale: ONE md5 per distinct (source, shingle), a 64-row-per-
+  //      source register aggregate (map-side combinable max), and the
+  //      exact count rides the same deduped frame; at 100 TB the
+  //      registers are the only state that crosses the wire per
+  //      source — the sketch is the mergeable summary a layered
+  //      rollup ships, and the audit column is how you validate a
+  //      sketch pipeline against a full pass before trusting it. ----
+  val q18HllAudit: QueryDef = QueryDef(
+    "q18_hll_audit",
+    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+      |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
+      |hv AS (SELECT source, md5(s) AS h FROM sh),
+      |rk AS (SELECT source,
+      |         ('0x' || substr(h, 1, 2))::BIGINT % 64 AS idx,
+      |         CASE WHEN ('0x' || substr(h, 3, 15))::BIGINT = 0 THEN 25
+      |              ELSE least(25, 61 - length(bin(('0x' || substr(h, 3, 15))::BIGINT))) END AS rank
+      |       FROM hv),
+      |reg AS (SELECT source, idx, max(rank) AS m FROM rk GROUP BY source, idx),
+      |s AS (SELECT source,
+      |        CAST(sum(1::BIGINT << (25 - m)) + (64 - count(*)) * (1::BIGINT << 25) AS BIGINT) AS ssum,
+      |        CAST(64 - count(*) AS BIGINT) AS n_zero_reg
+      |      FROM reg GROUP BY source),
+      |ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM sh GROUP BY source)
+      |SELECT s.source, CAST(97491084694781952 // (ssum * 1000000) AS BIGINT) AS n_est,
+      |       CAST(n_exact AS BIGINT) AS n_exact,
+      |       CAST(abs(97491084694781952 // (ssum * 1000000) - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp,
+      |       n_zero_reg
+      |FROM s JOIN ex ON ex.source = s.source
+      |ORDER BY s.source""".stripMargin) { (spark, dir) =>
+    // numerator = α_ppm·m²·2^25 = 709341·4096·2^25 = 97491084694781952;
+    // estimate = numerator div (ssum·10^6) — ONE truncating division
+    // (max denominator 64·2^25·10^6 ≈ 2.1e15, comfortably BIGINT),
+    // identical literal and truncation order on both engines
+    val sh = docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("s"))
+      .distinct()
+    val rk = sh
+      .withColumn("h", md5(col("s").cast("binary")))
+      .select(col("source"),
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64").as("idx"),
+        expr("""CASE WHEN CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT) = 0 THEN 25L
+                ELSE least(25L, 61L - length(bin(CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)))) END""")
+          .as("rank"))
+    val s = rk.groupBy(col("source"), col("idx")).agg(max(col("rank")).as("m"))
+      .groupBy(col("source"))
+      .agg(expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(25 - m AS INT))) " +
+        "+ (64 - count(1)) * shiftleft(CAST(1 AS BIGINT), 25) AS BIGINT)").as("ssum"),
+        expr("CAST(64 - count(1) AS BIGINT)").as("n_zero_reg"))
+    val ex = sh.groupBy(col("source")).agg(countDistinct(col("s")).as("n_exact"))
+    s.join(ex, Seq("source"))
+      .select(col("source"),
+        expr("97491084694781952L div (ssum * 1000000L)").as("n_est"),
+        col("n_exact"),
+        expr("abs(97491084694781952L div (ssum * 1000000L) - n_exact) * 10000 div n_exact").as("err_bp"),
+        col("n_zero_reg"))
+      .orderBy(col("source"))
+  }
+
+  // ---- HDR-histogram quantiles, audited against exact: doc-length
+  //      percentiles per source off a log-scale integer histogram
+  //      (4 significant binary digits — bucket lower bound
+  //      lb = (v >> e) << e with e = max(0, bitlen(v) − 4), so the
+  //      relative error is < 2^-3 = 12.5% BY CONSTRUCTION and the
+  //      audit column proves it: err_bp ≤ 1250 on every row). The
+  //      production shape: a 100 TB scan reduces to a few-hundred-row
+  //      mergeable histogram per source (map-side combinable count),
+  //      quantiles read off the cumulative sum with a SOURCE-
+  //      partitioned window — no global sort, no per-value state; the
+  //      exact quantiles computed here as the audit anchor are the
+  //      part you could NOT afford at scale (a per-source full sort),
+  //      which is the point of shipping the sketch. ----
+  val q18HdrQuantiles: QueryDef = QueryDef(
+    "q18_hdr_quantiles",
+    """WITH t AS (SELECT source, n_chars AS v FROM documents),
+      |n AS (SELECT source, count(*) AS n,
+      |        (count(*)*50 + 99)//100 AS k50, (count(*)*90 + 99)//100 AS k90, (count(*)*99 + 99)//100 AS k99
+      |      FROM t GROUP BY source),
+      |lb AS (SELECT source, (v >> greatest(0, length(bin(v)) - 4)) << greatest(0, length(bin(v)) - 4) AS lb FROM t),
+      |hist AS (SELECT source, lb, count(*) AS c FROM lb GROUP BY source, lb),
+      |cum AS (SELECT source, lb, sum(c) OVER (PARTITION BY source ORDER BY lb) AS cum FROM hist),
+      |hq AS (SELECT c.source,
+      |         min(CASE WHEN cum >= k50 THEN lb END) AS p50_hdr,
+      |         min(CASE WHEN cum >= k90 THEN lb END) AS p90_hdr,
+      |         min(CASE WHEN cum >= k99 THEN lb END) AS p99_hdr
+      |       FROM cum c JOIN n ON n.source = c.source GROUP BY c.source),
+      |rn AS (SELECT source, v, row_number() OVER (PARTITION BY source ORDER BY v) AS rn FROM t),
+      |eq AS (SELECT r.source,
+      |         min(CASE WHEN rn >= k50 THEN v END) AS p50_exact,
+      |         min(CASE WHEN rn >= k90 THEN v END) AS p90_exact,
+      |         min(CASE WHEN rn >= k99 THEN v END) AS p99_exact
+      |       FROM rn r JOIN n ON n.source = r.source GROUP BY r.source)
+      |SELECT n.source, CAST(n.n AS BIGINT) AS n_docs,
+      |       CAST(p50_hdr AS BIGINT) AS p50_hdr, CAST(p50_exact AS BIGINT) AS p50_exact,
+      |       CAST((p50_exact - p50_hdr) * 10000 // p50_exact AS BIGINT) AS err50_bp,
+      |       CAST(p90_hdr AS BIGINT) AS p90_hdr, CAST(p90_exact AS BIGINT) AS p90_exact,
+      |       CAST((p90_exact - p90_hdr) * 10000 // p90_exact AS BIGINT) AS err90_bp,
+      |       CAST(p99_hdr AS BIGINT) AS p99_hdr, CAST(p99_exact AS BIGINT) AS p99_exact,
+      |       CAST((p99_exact - p99_hdr) * 10000 // p99_exact AS BIGINT) AS err99_bp
+      |FROM n JOIN hq ON hq.source = n.source JOIN eq ON eq.source = n.source
+      |ORDER BY n.source""".stripMargin) { (spark, dir) =>
+    val t = docs(spark, dir).select(col("source"), col("n_chars").as("v"))
+    val n = t.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .select(col("source"), col("n"),
+        expr("(n*50 + 99) div 100").as("k50"),
+        expr("(n*90 + 99) div 100").as("k90"),
+        expr("(n*99 + 99) div 100").as("k99"))
+    val hist = t
+      .withColumn("e", expr("greatest(0, length(bin(v)) - 4)"))
+      .select(col("source"), expr("CAST(shiftleft(shiftright(v, e), e) AS BIGINT)").as("lb"))
+      .groupBy(col("source"), col("lb")).agg(count(lit(1)).as("c"))
+    val cum = hist.select(col("source"), col("lb"),
+      expr("sum(c) OVER (PARTITION BY source ORDER BY lb)").as("cum"))
+    val hq = cum.join(n, Seq("source"))
+      .groupBy(col("source"))
+      .agg(min(when(col("cum") >= col("k50"), col("lb"))).as("p50_hdr"),
+        min(when(col("cum") >= col("k90"), col("lb"))).as("p90_hdr"),
+        min(when(col("cum") >= col("k99"), col("lb"))).as("p99_hdr"))
+    val rn = t.select(col("source"), col("v"),
+      expr("row_number() OVER (PARTITION BY source ORDER BY v)").as("rn"))
+    val eq = rn.join(n, Seq("source"))
+      .groupBy(col("source"))
+      .agg(min(when(col("rn") >= col("k50"), col("v"))).as("p50_exact"),
+        min(when(col("rn") >= col("k90"), col("v"))).as("p90_exact"),
+        min(when(col("rn") >= col("k99"), col("v"))).as("p99_exact"))
+    n.join(hq, Seq("source")).join(eq, Seq("source"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("p50_hdr").cast("long"), col("p50_exact").cast("long"),
+        expr("(p50_exact - p50_hdr) * 10000 div p50_exact").as("err50_bp"),
+        col("p90_hdr").cast("long"), col("p90_exact").cast("long"),
+        expr("(p90_exact - p90_hdr) * 10000 div p90_exact").as("err90_bp"),
+        col("p99_hdr").cast("long"), col("p99_exact").cast("long"),
+        expr("(p99_exact - p99_hdr) * 10000 div p99_exact").as("err99_bp"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18LangId, q18Quality, q18Tokens, q18Fingerprint, q18Multimodal, q18FrameSample, q18ImageDedup,
     q18AudioFeatures, q18AudioDedup, q18VideoDedup,
@@ -2569,5 +2719,6 @@ object TextQueries {
     q18UnigramLp, q18Upsample, q18BpePairs, q18BpeMerges, q18BpeEncode,
     q18WeightedSample,
     q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
-    q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage, q18UnigramSeg)
+    q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage, q18UnigramSeg,
+    q18HllAudit, q18HdrQuantiles)
 }

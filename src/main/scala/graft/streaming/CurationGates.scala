@@ -166,6 +166,64 @@ object CurationGates {
         sum(col("cost_um")).cast("long").as("enc_upm"))
   }
 
+  /** Shared bigram extraction for the LM gate and its trainer — the
+    * exact transform q18_heldout_ppl uses (guarding 1-word docs:
+    * Spark's sequence(0, n) DESCENDS for n < 0). */
+  private def bigramsOf(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    .where(size(col("ws")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2, concat_ws(' ', ws[i], ws[i+1]) AS b))"))
+      .as("p"))
+    .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+      col("p.b").as("b"))
+
+  /** The static bigram-LM artifact for the perplexity gate: the
+    * add-1-smoothed model q18_heldout_ppl trains on the reference
+    * split — (vocab(b, cnt), pre(w1, cnt1), v = distinct-successor
+    * vocabulary size). A production gate trains this once offline on
+    * reference data and keeps the two frames as stream-static join
+    * sides; only v (one number) crosses to the driver. */
+  def bigramLm(train: DataFrame): (DataFrame, DataFrame, Long) = {
+    val tbg = bigramsOf(train)
+    val vocab = tbg.groupBy(col("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val pre = tbg.groupBy(col("w1"))
+      .agg(count(lit(1)).cast("long").as("cnt1"))
+    val v = tbg.agg(countDistinct(col("w2"))).head.getLong(0)
+    (vocab, pre, v)
+  }
+
+  /** The perplexity gate: (doc_id, n_bg, sur_upm, avg_upm, n_oov) per
+    * incoming document under the STATIC bigram LM — the stream-side
+    * twin of the batch q18_heldout_ppl scorer (same smoothing, same
+    * one-ln-then-round-to-micro-nats discipline, so a val document
+    * scores identically through the gate and the batch query;
+    * spec-pinned at source rollup grain). avg_upm rising on an ingest
+    * stream is the live perplexity-filter signal that the candidate
+    * stream has drifted from the reference LM; n_oov is its
+    * sharp-edge companion (bigrams whose w1 the LM never saw).
+    * Stateless per-batch: two stream-static left joins against the
+    * broadcast-or-shuffled model frames, then a doc-keyed rollup —
+    * identical under redelivery by construction. */
+  def perplexityScore(incoming: DataFrame, vocab: DataFrame,
+      pre: DataFrame, v: Long): DataFrame =
+    bigramsOf(incoming)
+      .join(vocab.select(col("b"), col("cnt"), lit(1).as("seen")), Seq("b"), "left")
+      .join(pre.select(col("w1"), col("cnt1")), Seq("w1"), "left")
+      .select(col("doc_id"),
+        expr(s"""CAST(round(1000000 * CASE
+                 WHEN cnt1 IS NULL THEN ln(CAST(${v}L AS DOUBLE))
+                 ELSE ln(CAST(cnt1 + ${v}L AS DOUBLE) / (coalesce(cnt, 0) + 1))
+               END) AS BIGINT)""").as("sp_um"),
+        when(col("seen").isNull, 1L).otherwise(0L).as("oov"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("sp_um")).cast("long").as("sur_upm"),
+        count(lit(1)).cast("long").as("n_bg"),
+        sum(col("oov")).cast("long").as("n_oov"))
+      .select(col("doc_id"), col("n_bg"), col("sur_upm"),
+        expr("sur_upm div n_bg").as("avg_upm"), col("n_oov"))
+
   /** The PII gate: (doc_id, n_email, n_ip, n_phone, had_pii, scrubbed)
     * per incoming document — the stream-side twin of the batch
     * q18_pii_scrub operator, redacting email/IPv4/phone (fixed mask

@@ -279,6 +279,48 @@ class CurationGatesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("perplexity gate matches the batch held-out scorer, stable under redelivery") {
+    import spark.implicits._
+    // the batch query's split rule: train on 'train', score 'val'
+    val h = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2)
+    val sp = docs.select(col("doc_id"), col("source"), col("text"),
+      when(h < "cc", "train").when(h < "e6", "val").otherwise("test").as("split"))
+    val (vocab, pre, v) = CurationGates.bigramLm(
+      sp.where(col("split") === "train").select(col("doc_id"), col("text")))
+    assert(v > 0L)
+    val valDocs = sp.where(col("split") === "val")
+    val rows = valDocs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val got = drive(rows)(b => CurationGates.perplexityScore(b, vocab, pre, v))
+    // roll the gate's per-doc rows up to source grain and compare with
+    // the batch q18_heldout_ppl output (same smoothing, same micro-nat
+    // rounding -> integer equality, not a tolerance)
+    val srcOf = valDocs.select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().toMap
+    val rollup = got.toSeq
+      .map { case (id, vals) =>
+        // vals = (n_bg, sur_upm, avg_upm, n_oov)
+        (srcOf(id), (1L, vals(0).asInstanceOf[Long], vals(1).asInstanceOf[Long],
+          vals(3).asInstanceOf[Long]))
+      }
+      .groupMapReduce(_._1)(_._2) { case ((a1, a2, a3, a4), (b1, b2, b3, b4)) =>
+        (a1 + b1, a2 + b2, a3 + b3, a4 + b4)
+      }
+    val batch = graft.operators.CurationQueries.q18HeldoutPpl
+      .build(spark, "/root/testdata/sf0.001").collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val s = r.getAs[String]("source")
+      val (nDocs, nBg, sur, oov) = rollup(s)
+      assert(nDocs == r.getAs[Long]("n_docs"), s"$s n_docs")
+      assert(nBg == r.getAs[Long]("n_bigrams"), s"$s n_bigrams")
+      assert(sur == r.getAs[Long]("sur_upm"), s"$s sur_upm")
+      assert(sur / nBg == r.getAs[Long]("avg_upm"), s"$s avg_upm")
+      assert(oov == r.getAs[Long]("n_oov"), s"$s n_oov")
+    }
+    assert(rollup.keySet == batch.map(_.getAs[String]("source")).toSet)
+  }
+
   test("unigram gate matches the batch segmentation cost, stable under redelivery") {
     import spark.implicits._
     // static artifact: the piece-cost vocab trained offline on the
