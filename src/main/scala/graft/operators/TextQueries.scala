@@ -2578,9 +2578,10 @@ object TextQueries {
   //      source — the sketch is the mergeable summary a layered
   //      rollup ships, and the audit column is how you validate a
   //      sketch pipeline against a full pass before trusting it. ----
-  val q18HllAudit: QueryDef = QueryDef(
-    "q18_hll_audit",
-    """WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+  /** Shared oracle-SQL prefix for the HLL queries: distinct
+    * (source, shingle) → md5 → (register idx, clamped rank). */
+  private val hllSql =
+    """w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
       |sh AS (SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
       |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
       |hv AS (SELECT source, md5(s) AS h FROM sh),
@@ -2588,7 +2589,20 @@ object TextQueries {
       |         ('0x' || substr(h, 1, 2))::BIGINT % 64 AS idx,
       |         CASE WHEN ('0x' || substr(h, 3, 15))::BIGINT = 0 THEN 25
       |              ELSE least(25, 61 - length(bin(('0x' || substr(h, 3, 15))::BIGINT))) END AS rank
-      |       FROM hv),
+      |       FROM hv)""".stripMargin
+
+  /** Spark-side distinct (source, shingle) frame for the HLL queries. */
+  private def hllShingles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"), split(col("text"), " ").as("ws"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+        .as("s"))
+      .distinct()
+
+  val q18HllAudit: QueryDef = QueryDef(
+    "q18_hll_audit",
+    s"""WITH $hllSql,
       |reg AS (SELECT source, idx, max(rank) AS m FROM rk GROUP BY source, idx),
       |s AS (SELECT source,
       |        CAST(sum(1::BIGINT << (25 - m)) + (64 - count(*)) * (1::BIGINT << 25) AS BIGINT) AS ssum,
@@ -2604,33 +2618,72 @@ object TextQueries {
     // numerator = α_ppm·m²·2^25 = 709341·4096·2^25 = 97491084694781952;
     // estimate = numerator div (ssum·10^6) — ONE truncating division
     // (max denominator 64·2^25·10^6 ≈ 2.1e15, comfortably BIGINT),
-    // identical literal and truncation order on both engines
-    val sh = docs(spark, dir)
-      .select(col("source"), split(col("text"), " ").as("ws"))
-      .select(col("source"), explode(expr(
-        "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-        .as("s"))
-      .distinct()
-    val rk = sh
-      .withColumn("h", md5(col("s").cast("binary")))
-      .select(col("source"),
-        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) % 64").as("idx"),
-        expr("""CASE WHEN CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT) = 0 THEN 25L
-                ELSE least(25L, 61L - length(bin(CAST(conv(substring(h, 3, 15), 16, 10) AS BIGINT)))) END""")
-          .as("rank"))
-    val s = rk.groupBy(col("source"), col("idx")).agg(max(col("rank")).as("m"))
-      .groupBy(col("source"))
-      .agg(expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), CAST(25 - m AS INT))) " +
-        "+ (64 - count(1)) * shiftleft(CAST(1 AS BIGINT), 25) AS BIGINT)").as("ssum"),
-        expr("CAST(64 - count(1) AS BIGINT)").as("n_zero_reg"))
+    // identical literal and truncation order on both engines. All
+    // register/estimate expressions live in functions.Sketches — the
+    // SAME objects the streaming DistinctGate folds, so gate/batch
+    // estimate drift is impossible by construction.
+    import graft.functions.Sketches
+    val sh = hllShingles(spark, dir)
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(sh, "source", "s"), "source")
     val ex = sh.groupBy(col("source")).agg(countDistinct(col("s")).as("n_exact"))
-    s.join(ex, Seq("source"))
-      .select(col("source"),
-        expr("97491084694781952L div (ssum * 1000000L)").as("n_est"),
-        col("n_exact"),
-        expr("abs(97491084694781952L div (ssum * 1000000L) - n_exact) * 10000 div n_exact").as("err_bp"),
+    est.join(ex, Seq("source"))
+      .select(col("source"), col("n_est"), col("n_exact"),
+        expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"),
         col("n_zero_reg"))
       .orderBy(col("source"))
+  }
+
+  // ---- HLL merge audit: per-source registers max-merged vs the
+  //      direct global sketch — the layered-rollup exactness property
+  //      (max is associative), proven IN the oracle: merge_exact = 1
+  //      means the merged register frame is identical to the frame a
+  //      single global pass builds. This is the operation that makes
+  //      the sketch usable at 100 TB: a two-level (partition → global)
+  //      rollup never touches raw values twice, and a per-source
+  //      sketch table answers "distinct across any source subset" by
+  //      merging 64-int rows instead of rescanning text. Global
+  //      cardinality sits deeper in HLL's raw-estimate sweet spot
+  //      than the per-source audit, so err_bp here is the
+  //      corpus-grain accuracy claim. ----
+  val q18HllMerge: QueryDef = QueryDef(
+    "q18_hll_merge",
+    s"""WITH $hllSql,
+      |sreg AS (SELECT source, idx, max(rank) AS m FROM rk GROUP BY source, idx),
+      |merged AS (SELECT idx, max(m) AS m FROM sreg GROUP BY idx),
+      |direct AS (SELECT idx, max(rank) AS m FROM rk GROUP BY idx),
+      |me AS (SELECT CAST(sum(1::BIGINT << (25 - m)) + (64 - count(*)) * (1::BIGINT << 25) AS BIGINT) AS ssum FROM merged),
+      |de AS (SELECT CAST(sum(1::BIGINT << (25 - m)) + (64 - count(*)) * (1::BIGINT << 25) AS BIGINT) AS ssum FROM direct),
+      |eq AS (SELECT CAST(count(*) AS BIGINT) AS n_match
+      |       FROM merged mm JOIN direct dd ON mm.idx = dd.idx AND mm.m = dd.m),
+      |nreg AS (SELECT CAST(count(*) AS BIGINT) AS n_direct FROM direct),
+      |ex AS (SELECT CAST(count(DISTINCT s) AS BIGINT) AS n_exact FROM sh)
+      |SELECT CAST(97491084694781952 // (me.ssum * 1000000) AS BIGINT) AS n_est_merged,
+      |       CAST(97491084694781952 // (de.ssum * 1000000) AS BIGINT) AS n_est_direct,
+      |       CAST(CASE WHEN eq.n_match = nreg.n_direct THEN 1 ELSE 0 END AS BIGINT) AS merge_exact,
+      |       ex.n_exact,
+      |       CAST(abs(97491084694781952 // (me.ssum * 1000000) - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp
+      |FROM me, de, eq, nreg, ex""".stripMargin) { (spark, dir) =>
+    import graft.functions.Sketches
+    val sh = hllShingles(spark, dir)
+    val sreg = Sketches.hllRegisters(sh, "source", "s")
+    val merged = sreg.groupBy(col("idx")).agg(max(col("m")).as("m"))
+      .withColumn("k", lit(1))
+    val direct = Sketches.hllRegisters(
+      sh.select(lit(1).as("k"), col("s")), "k", "s")
+    val me = Sketches.hllEstimate(merged, "k")
+      .select(col("n_est").as("n_est_merged"))
+    val de = Sketches.hllEstimate(direct, "k")
+      .select(col("n_est").as("n_est_direct"))
+    val eqn = merged.join(direct, Seq("idx", "m"))
+      .agg(count(lit(1)).as("n_match"))
+    val nreg = direct.agg(count(lit(1)).as("n_direct"))
+    val ex = sh.agg(countDistinct(col("s")).as("n_exact"))
+    me.crossJoin(broadcast(de)).crossJoin(broadcast(eqn))
+      .crossJoin(broadcast(nreg)).crossJoin(broadcast(ex))
+      .select(col("n_est_merged"), col("n_est_direct"),
+        when(col("n_match") === col("n_direct"), 1L).otherwise(0L).as("merge_exact"),
+        col("n_exact"),
+        expr("abs(n_est_merged - n_exact) * 10000 div n_exact").as("err_bp"))
   }
 
   // ---- HDR-histogram quantiles, audited against exact: doc-length
@@ -2720,5 +2773,5 @@ object TextQueries {
     q18WeightedSample,
     q18PiiScrub, q18Chunk, q18LengthHist, q18ChunkDedup,
     q18SourceKl, q18Winnow, q18Wordpiece, q18VocabCoverage, q18UnigramSeg,
-    q18HllAudit, q18HdrQuantiles)
+    q18HllAudit, q18HdrQuantiles, q18HllMerge)
 }
