@@ -1062,8 +1062,127 @@ object CurationQueries {
       .orderBy(col("score_bp").desc, col("doc_id"))
   }
 
+  // ---- quality-classifier distillation: fit a LINEAR model to the
+  //      Gopher rule filter's keep/drop labels by the closed-form
+  //      class-centroid discriminant — w = μ₊ − μ₋ (×100 fixed
+  //      point), bias = −w·(μ₊+μ₋)/2 — and report its confusion
+  //      against the rules it distills. The production shape: rule
+  //      filters are cheap but brittle; a pipeline distills them into
+  //      a soft scorer to rank borderline documents, and the
+  //      confusion matrix is the fidelity check before swapping the
+  //      scorer in. Everything is integer after the fixed-point
+  //      feature scaling (class means are integer div of exact
+  //      integer sums, identical truncation both engines), so the
+  //      LEARNED WEIGHTS themselves oracle-hash-match — a trained
+  //      model as a deterministic query result. Features: capped
+  //      word count, |mean-word-length − band-center| (the band rule
+  //      made linearly thresholdable), capped stopword count ×100,
+  //      alpha permille (zero-variance on this corpus — its weight
+  //      is 0 BY construction of the centroid difference, a fact the
+  //      output row exhibits). Scale: TWO corpus passes — one
+  //      map-side-combinable conditional-sum aggregate to fit, one
+  //      broadcast-join pass to score — zero iteration, zero
+  //      shuffles beyond the two 1-row reductions; this is the
+  //      closed-form alternative to a gradient loop, and at 100 TB
+  //      it is the difference between 2 passes and 2·epochs. The
+  //      accuracy ceiling (~85%) is honest: a conjunction of bands
+  //      is not linearly separable, and the residual fn/fp counts
+  //      are exactly the borderline set a pipeline would route to a
+  //      heavier scorer. ----
+  val q18QualityDistill: QueryDef = QueryDef(
+    "q18_quality_distill",
+    """WITH feat0 AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         len(string_split(text, ' ')) AS n_words,
+      |         CAST(length(replace(text, ' ', '')) AS BIGINT) AS sum_wl,
+      |         len(list_filter(string_split(text, ' '),
+      |                         w -> w IN ('the', 'a', 'of', 'and', 'to', 'in', 'is'))) AS n_stop,
+      |         len(list_filter(string_split(text, ' '),
+      |                         w -> regexp_matches(w, '^[a-z]+$'))) AS n_alpha
+      |  FROM documents),
+      |feat AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         CASE WHEN n_words BETWEEN 40 AND 100000 AND sum_wl BETWEEN 3*n_words AND 10*n_words
+      |                   AND n_stop >= 2 AND 5*n_alpha >= 4*n_words THEN 1 ELSE -1 END AS y,
+      |         CAST(100 AS BIGINT) AS x0,
+      |         CAST(least(n_words, 80) AS BIGINT) AS x1,
+      |         CAST(abs(100 * sum_wl // n_words - 650) AS BIGINT) AS x2,
+      |         CAST(100 * least(n_stop, 4) AS BIGINT) AS x3,
+      |         CAST(1000 * n_alpha // n_words AS BIGINT) AS x4
+      |  FROM feat0),
+      |cen AS (
+      |  SELECT CAST(100 * sum(CASE WHEN y=1 THEN x1 END) // count(CASE WHEN y=1 THEN 1 END)
+      |            - 100 * sum(CASE WHEN y=-1 THEN x1 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c1,
+      |         CAST(100 * sum(CASE WHEN y=1 THEN x2 END) // count(CASE WHEN y=1 THEN 1 END)
+      |            - 100 * sum(CASE WHEN y=-1 THEN x2 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c2,
+      |         CAST(100 * sum(CASE WHEN y=1 THEN x3 END) // count(CASE WHEN y=1 THEN 1 END)
+      |            - 100 * sum(CASE WHEN y=-1 THEN x3 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c3,
+      |         CAST(100 * sum(CASE WHEN y=1 THEN x4 END) // count(CASE WHEN y=1 THEN 1 END)
+      |            - 100 * sum(CASE WHEN y=-1 THEN x4 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c4,
+      |         CAST(50 * (sum(x1) // count(*)) AS BIGINT) AS m1,
+      |         CAST(50 * (sum(x2) // count(*)) AS BIGINT) AS m2,
+      |         CAST(50 * (sum(x3) // count(*)) AS BIGINT) AS m3,
+      |         CAST(50 * (sum(x4) // count(*)) AS BIGINT) AS m4,
+      |         CAST(count(CASE WHEN y=1 THEN 1 END) AS BIGINT) AS n_pos,
+      |         CAST(count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS n_neg
+      |  FROM feat),
+      |w AS (SELECT CAST(-(c1*m1 + c2*m2 + c3*m3 + c4*m4) // (100*100) AS BIGINT) AS a0,
+      |             c1 AS a1, c2 AS a2, c3 AS a3, c4 AS a4, n_pos, n_neg FROM cen),
+      |conf AS (SELECT
+      |    CAST(count(CASE WHEN y = 1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 > 0 THEN 1 END) AS BIGINT) AS tp,
+      |    CAST(count(CASE WHEN y = -1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 > 0 THEN 1 END) AS BIGINT) AS fp,
+      |    CAST(count(CASE WHEN y = 1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 <= 0 THEN 1 END) AS BIGINT) AS fn,
+      |    CAST(count(CASE WHEN y = -1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 <= 0 THEN 1 END) AS BIGINT) AS tn
+      |  FROM feat CROSS JOIN w)
+      |SELECT w.a0 AS w_bias, w.a1 AS w_words, w.a2 AS w_mwl, w.a3 AS w_stop, w.a4 AS w_alpha,
+      |       n_pos, n_neg, tp, fp, fn, tn,
+      |       CAST((tp+tn) * 10000 // (tp+fp+fn+tn) AS BIGINT) AS acc_bp
+      |FROM w CROSS JOIN conf""".stripMargin) { (spark, dir) =>
+    // label + raw counts from the SAME CurationRules objects the rule
+    // filter runs (q18_gopher_quality); fixed-point features on top
+    import graft.functions.CurationRules
+    val feat = CurationRules
+      .withGopherFlags(CurationRules.gopherFeatures(docs(spark, dir)))
+      .select(
+        when(col("words_ok") && col("mwl_ok") && col("stop_ok") && col("alpha_ok"), 1L)
+          .otherwise(-1L).as("y"),
+        lit(100L).as("x0"),
+        expr("CAST(least(n_words, 80) AS BIGINT)").as("x1"),
+        expr("CAST(abs(100 * sum_wl div n_words - 650) AS BIGINT)").as("x2"),
+        expr("CAST(100 * least(n_stop, 4) AS BIGINT)").as("x3"),
+        expr("CAST(1000 * n_alpha div n_words AS BIGINT)").as("x4"))
+      .localCheckpoint()
+    def classMean(x: String, yv: Int): String =
+      s"100 * sum(CASE WHEN y=$yv THEN $x END) div count(CASE WHEN y=$yv THEN 1 END)"
+    val cen = feat.agg(
+      expr(s"CAST(${classMean("x1", 1)} - ${classMean("x1", -1)} AS BIGINT)").as("c1"),
+      expr(s"CAST(${classMean("x2", 1)} - ${classMean("x2", -1)} AS BIGINT)").as("c2"),
+      expr(s"CAST(${classMean("x3", 1)} - ${classMean("x3", -1)} AS BIGINT)").as("c3"),
+      expr(s"CAST(${classMean("x4", 1)} - ${classMean("x4", -1)} AS BIGINT)").as("c4"),
+      expr("CAST(50 * (sum(x1) div count(1)) AS BIGINT)").as("m1"),
+      expr("CAST(50 * (sum(x2) div count(1)) AS BIGINT)").as("m2"),
+      expr("CAST(50 * (sum(x3) div count(1)) AS BIGINT)").as("m3"),
+      expr("CAST(50 * (sum(x4) div count(1)) AS BIGINT)").as("m4"),
+      expr("CAST(count(CASE WHEN y=1 THEN 1 END) AS BIGINT)").as("n_pos"),
+      expr("CAST(count(CASE WHEN y=-1 THEN 1 END) AS BIGINT)").as("n_neg"))
+    val w = cen.select(
+      expr("CAST(-(c1*m1 + c2*m2 + c3*m3 + c4*m4) div (100*100) AS BIGINT)").as("a0"),
+      col("c1").as("a1"), col("c2").as("a2"), col("c3").as("a3"), col("c4").as("a4"),
+      col("n_pos"), col("n_neg"))
+    val conf = feat.crossJoin(broadcast(w)).agg(
+      expr("CAST(count(CASE WHEN y = 1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 > 0 THEN 1 END) AS BIGINT)").as("tp"),
+      expr("CAST(count(CASE WHEN y = -1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 > 0 THEN 1 END) AS BIGINT)").as("fp"),
+      expr("CAST(count(CASE WHEN y = 1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 <= 0 THEN 1 END) AS BIGINT)").as("fn"),
+      expr("CAST(count(CASE WHEN y = -1 AND a0*x0 + a1*x1 + a2*x2 + a3*x3 + a4*x4 <= 0 THEN 1 END) AS BIGINT)").as("tn"))
+    w.crossJoin(broadcast(conf))
+      .select(col("a0").as("w_bias"), col("a1").as("w_words"), col("a2").as("w_mwl"),
+        col("a3").as("w_stop"), col("a4").as("w_alpha"),
+        col("n_pos"), col("n_neg"), col("tp"), col("fp"), col("fn"), col("tn"),
+        expr("(tp+tn) * 10000 div (tp+fp+fn+tn)").as("acc_bp"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q18Dsir, q18BigramLp, q18HeldoutPpl, q18GopherQuality, q18Kmeans, q18DecontamBloom, q18Semdedup,
     q18Bm25, q18NbLangid, q18CorpusReport, q18SourceOverlap, q18PqEncode,
-    q18QualityCalib, q18PqSampled, q18TokenBudget)
+    q18QualityCalib, q18PqSampled, q18TokenBudget, q18QualityDistill)
 }

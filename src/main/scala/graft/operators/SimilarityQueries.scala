@@ -482,6 +482,21 @@ object SimilarityQueries {
   private def dotQ(a: String, b: String): Column =
     graft.functions.VectorMath.dotLong(col(a), col(b))
 
+  /** The static IVF serving index: (qn (vec_id, label, q), cent
+    * (c_label, d, cx)) — the EXACT frames q18_ann_ivf routes and
+    * scores with, exposed for the streaming AnnServeGate so
+    * serve-time routing/scoring cannot drift from the audited batch
+    * query. */
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val qn = quantized(embs(spark, dir))
+    val cent = qn
+      .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("d", "x")))
+      .groupBy(col("label"), col("d"))
+      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("cx"))
+      .select(col("label").as("c_label"), col("d"), col("cx"))
+    (qn.select(col("vec_id"), col("label"), col("q")), cent)
+  }
+
   /** DuckDB twin of the quantized pipeline (1-based list indexing). */
   private val quantSql =
     """quant AS (
