@@ -2616,7 +2616,7 @@ object TextQueries {
       |        CAST(sum(1::BIGINT << (25 - m)) + (64 - count(*)) * (1::BIGINT << 25) AS BIGINT) AS ssum,
       |        CAST(64 - count(*) AS BIGINT) AS n_zero_reg
       |      FROM reg GROUP BY source),
-      |ex AS (SELECT source, count(DISTINCT s) AS n_exact FROM sh GROUP BY source)
+      |ex AS (SELECT source, count(*) AS n_exact FROM sh GROUP BY source)
       |SELECT s.source, CAST(97491084694781952 // (ssum * 1000000) AS BIGINT) AS n_est,
       |       CAST(n_exact AS BIGINT) AS n_exact,
       |       CAST(abs(97491084694781952 // (ssum * 1000000) - n_exact) * 10000 // n_exact AS BIGINT) AS err_bp,
@@ -2633,7 +2633,9 @@ object TextQueries {
     import graft.functions.Sketches
     val sh = hllShingles(spark, dir)
     val est = Sketches.hllEstimate(Sketches.hllRegisters(sh, "source", "s"), "source")
-    val ex = sh.groupBy(col("source")).agg(countDistinct(col("s")).as("n_exact"))
+    // sh is DISTINCT (source, s) by construction — the per-source
+    // exact count is a plain count, no second dedup exchange
+    val ex = sh.groupBy(col("source")).agg(count(lit(1)).as("n_exact"))
     est.join(ex, Seq("source"))
       .select(col("source"), col("n_est"), col("n_exact"),
         expr("abs(n_est - n_exact) * 10000 div n_exact").as("err_bp"),
