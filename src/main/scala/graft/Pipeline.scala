@@ -46,15 +46,24 @@ object Pipeline {
     // driver-side staging is demo-CLI-only: gate it so a big SF can't
     // silently OOM the driver — past the cap, stage with a distributed
     // writer (df.write.json) and a file feed per tranche instead
-    val stageCap = sys.env.getOrElse("SPARK_GRAFT_STAGE_CAP", "2000000").toLong
-    val nEvents = env.count()
-    require(nEvents <= stageCap,
-      s"refusing to stage $nEvents rows through the driver (cap $stageCap); " +
-        "use a distributed writer for this scale")
-    val lines = env.orderBy(col("idx"), col("stream_name")) // interleave streams
-      .select(to_json(struct(col("*"))).as("j")).as[String].collect()
-    Files.writeString(Paths.get(feedFile), lines.mkString("\n") + "\n")
-    println(s"[pipeline] staged ${lines.length} events -> $feedFile")
+    // resume semantics: a restarted run (same workDir, feed already
+    // staged) must NOT rewrite the feed — the source's committed
+    // tranche offsets are line positions into THIS file, and a resume
+    // continues from them (the crash-resume drive in SCALING.md kills
+    // the JVM mid-batch and restarts against the same workDir)
+    if (Files.exists(Paths.get(feedFile))) {
+      println(s"[pipeline] feed already staged, resuming: $feedFile")
+    } else {
+      val stageCap = sys.env.getOrElse("SPARK_GRAFT_STAGE_CAP", "2000000").toLong
+      val nEvents = env.count()
+      require(nEvents <= stageCap,
+        s"refusing to stage $nEvents rows through the driver (cap $stageCap); " +
+          "use a distributed writer for this scale")
+      val lines = env.orderBy(col("idx"), col("stream_name")) // interleave streams
+        .select(to_json(struct(col("*"))).as("j")).as[String].collect()
+      Files.writeString(Paths.get(feedFile), lines.mkString("\n") + "\n")
+      println(s"[pipeline] staged ${lines.length} events -> $feedFile")
+    }
 
     // 2. stream it back through the DSv2 tranche source and the
     //    per-stream processor, sinking idempotently per micro-batch
@@ -64,7 +73,11 @@ object Pipeline {
       StructField("size", LongType)))
     val parsed = spark.readStream.format("graft.sources.JsonLinesSource")
       .option("path", feedFile).option("numTranches", "4")
-      .option("maxLinesPerTrigger", "400")
+      // admitted-batch knob (the reference's read-ahead × batch-size
+      // admission): 400 suits the sf0.001 demo; the 10× crash-resume
+      // drive admits 25k-line pages so the run is batches, not hours
+      .option("maxLinesPerTrigger",
+        sys.env.getOrElse("SPARK_GRAFT_FEED_LINES_PER_TRIGGER", "400"))
       .load()
       .select(from_json(col("value"), feedSchema).as("e"))
       .select(col("e.stream_name").as("streamName"), col("e.idx").as("index"),

@@ -19,7 +19,11 @@ import org.apache.spark.sql.functions._
   * (default: flatMapGroupsWithState on the HDFS-backed store) or `tws`
   * (transformWithState on RocksDB with changelog checkpointing — the
   * claimed 100 TB state path; same pure `step`, so the comparison
-  * isolates the state-backend cost).
+  * isolates the state-backend cost), or `chain` — the composed ingest
+  * chain over the documents table: NearDupStream (minhash-LSH gate,
+  * quarantine ON) → PackStream over the kept set, reported as
+  * end-to-end docs/sec including the quarantine/kept/index writes and
+  * the pack state commit per micro-batch.
   */
 object StreamBench {
   def main(args: Array[String]): Unit = {
@@ -29,6 +33,7 @@ object StreamBench {
     // per-micro-batch task+commit overhead doesn't swamp small batches
     val statePartitions = args.lift(1).map(_.toInt).getOrElse(32)
     val engine = args.lift(2).getOrElse("fmgws")
+    if (engine == "chain") { chain(sfDir, batches, statePartitions); return }
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", statePartitions)
@@ -82,6 +87,75 @@ object StreamBench {
       s"""{"metric":"stream_events_per_sec","value":${eps.round},"unit":"events/sec",""" +
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
+        s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
+        s""""sf":"$sfDir"}""")
+    spark.stop()
+  }
+
+  /** Composed-gate chain: documents → NearDupStream (minhash-LSH gate,
+    * quarantine on) → PackStream over the kept set. Each admitted
+    * micro-batch runs the near-dup drop/persist/marker protocol (index
+    * scan + kept/quarantine/index writes), then the kept docs are fed
+    * to the packing gate and its micro-batch is driven to completion —
+    * the synchronous per-page admission a composed ingest pipeline
+    * performs. docs/sec is end-to-end: both gates' work plus all
+    * persistence, first feed to last pack commit. */
+  private def chain(sfDir: String, batches: Int, statePartitions: Int): Unit = {
+    val spark: SparkSession = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", statePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    import graft.streaming.{NearDupStream, PackInput, PackStream}
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"))
+      .as[(Long, String, String, Long)]
+      .orderBy(col("doc_id")) // the ordered-ingest contract Pack requires
+      .collect()
+    val n = docs.length
+    val per = math.max(1, n / batches)
+
+    val root = java.nio.file.Files.createTempDirectory("chainbench").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val packIn = MemoryStream[PackInput]
+    val packed = PackStream.process(packIn.toDS(), 512L,
+      Some(PackStream.dropCounter(spark)))
+    val pq = packed.writeStream.format("noop")
+      .outputMode("append").option("checkpointLocation", s"$root/cp-pack").start()
+
+    val t0 = System.nanoTime()
+    var bid = 0L
+    var keptTotal = 0L
+    docs.grouped(per).foreach { chunk =>
+      val batchDf = chunk.toIndexedSeq
+        .toDF("doc_id", "source", "text", "n_words")
+      NearDupStream.processBatch(batchDf, bid, s"$root/index", s"$root/kept",
+        Some(s"$root/quar"), Seq("doc_id", "source", "text", "n_words"))
+      // the kept set (batch-scoped subdir) feeds the packing gate —
+      // K-bounded collect: |kept| ≤ |admitted batch| by construction
+      val kept = spark.read.parquet(s"$root/kept/batch=$bid")
+        .select(col("source"), col("doc_id"), col("n_words"))
+        .as[(String, Long, Long)].collect()
+        .map { case (s, d, w) => PackInput(s, d, w) }
+      keptTotal += kept.length
+      if (kept.nonEmpty) {
+        packIn.addData(kept.toIndexedSeq)
+        pq.processAllAvailable()
+      }
+      bid += 1
+    }
+    val wallS = (System.nanoTime() - t0) / 1e9
+    pq.stop()
+    val nQuar = spark.read.parquet(s"$root/quar").count()
+    println(
+      s"""{"metric":"chain_docs_per_sec","value":${(n / wallS).round},"unit":"docs/sec",""" +
+        s""""engine":"chain","n_docs":$n,"n_kept":$keptTotal,"n_quarantined":$nQuar,""" +
+        s""""batches":$bid,"state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

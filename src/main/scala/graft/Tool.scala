@@ -10,6 +10,11 @@ import org.apache.spark.sql.functions._
   *   checkpoint-show <cpDir>
   *   checkpoint-override <cpDir> <source> <tranche> <group> <pos>
   *   stats <storeDir>          # per-stream store summary (q06 shape)
+  *   quarantine-stats <modality>=<quarantineDir>:<keptDir> ...
+  *                             # measured over-drop rate of the lossy
+  *                             # modality gates (image|audio|video) —
+  *                             # one labeled row per supplied gate
+  *                             # (NearDupStream.overDropReport)
   *   corpus-report <sfDir>     # curation report card (q18_corpus_report)
   *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
   *   import-export <exportDir> <outDir> [eventsPerBatch]
@@ -43,6 +48,28 @@ object Tool {
           .agg((max(col("idx")) + 1).as("write_pos"), count(lit(1)).as("n_events"))
           .orderBy(col("stream_name"))
           .show(100, truncate = false)
+      case ("quarantine-stats", specs) if specs.nonEmpty =>
+        // one row per supplied gate: the basis-point over-drop stat an
+        // operator sizes the batch re-adjudication pass with
+        import graft.streaming.{AudioDupStream, ImageDupStream, VideoDupStream}
+        specs.map { s =>
+          (s.split("=", 2), s) match {
+            case (Array(modality, dirs), _) if dirs.contains(":") =>
+              val Array(q, k) = dirs.split(":", 2)
+              val r = modality match {
+                case "image" => ImageDupStream.quarantineReport(spark, q, k)
+                case "audio" => AudioDupStream.quarantineReport(spark, q, k)
+                case "video" => VideoDupStream.quarantineReport(spark, q, k)
+                case other =>
+                  System.err.println(s"unknown modality '$other' (image|audio|video)")
+                  sys.exit(2)
+              }
+              r.select(lit(modality).as("modality"), col("*"))
+            case _ =>
+              System.err.println(s"bad gate spec '$s' (want modality=quarantineDir:keptDir)")
+              sys.exit(2)
+          }
+        }.reduce(_ unionByName _).show(10, truncate = false)
       case ("corpus-report", sfDir :: Nil) =>
         operators.CurationQueries.q18CorpusReport.build(spark, sfDir)
           .show(200, truncate = false)

@@ -63,9 +63,12 @@ object StreamFunctions {
       denyEventTypes: Seq[String] = Nil,
       includeSystem: Boolean = false) {
 
-    // StreamFilter.fs:16 — Char.IsLetterOrDigit || '_'
+    // StreamFilter.fs:16 — Char.IsLetterOrDigit || '_'. Seq.forall on
+    // an empty string is true, so "" is a PLAIN exact value (matched
+    // via isin) — classifying it as a pattern would make rlike("")
+    // match every value and a single empty deny entry deny everything.
     private def isPlain(s: String): Boolean =
-      s.nonEmpty && s.forall(ch => Character.isLetterOrDigit(ch) || ch == '_')
+      s.forall(ch => Character.isLetterOrDigit(ch) || ch == '_')
 
     private def anyOf(c: Column, vs: Seq[String]): Column = {
       val (values, patterns) = vs.partition(isPlain)

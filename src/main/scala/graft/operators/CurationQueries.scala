@@ -1111,14 +1111,14 @@ object CurationQueries {
       |         CAST(1000 * n_alpha // n_words AS BIGINT) AS x4
       |  FROM feat0),
       |cen AS (
-      |  SELECT CAST(100 * sum(CASE WHEN y=1 THEN x1 END) // count(CASE WHEN y=1 THEN 1 END)
-      |            - 100 * sum(CASE WHEN y=-1 THEN x1 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c1,
-      |         CAST(100 * sum(CASE WHEN y=1 THEN x2 END) // count(CASE WHEN y=1 THEN 1 END)
-      |            - 100 * sum(CASE WHEN y=-1 THEN x2 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c2,
-      |         CAST(100 * sum(CASE WHEN y=1 THEN x3 END) // count(CASE WHEN y=1 THEN 1 END)
-      |            - 100 * sum(CASE WHEN y=-1 THEN x3 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c3,
-      |         CAST(100 * sum(CASE WHEN y=1 THEN x4 END) // count(CASE WHEN y=1 THEN 1 END)
-      |            - 100 * sum(CASE WHEN y=-1 THEN x4 END) // count(CASE WHEN y=-1 THEN 1 END) AS BIGINT) AS c4,
+      |  SELECT CAST(coalesce(100 * sum(CASE WHEN y=1 THEN x1 END) // greatest(1, count(CASE WHEN y=1 THEN 1 END)), 0)
+      |            - coalesce(100 * sum(CASE WHEN y=-1 THEN x1 END) // greatest(1, count(CASE WHEN y=-1 THEN 1 END)), 0) AS BIGINT) AS c1,
+      |         CAST(coalesce(100 * sum(CASE WHEN y=1 THEN x2 END) // greatest(1, count(CASE WHEN y=1 THEN 1 END)), 0)
+      |            - coalesce(100 * sum(CASE WHEN y=-1 THEN x2 END) // greatest(1, count(CASE WHEN y=-1 THEN 1 END)), 0) AS BIGINT) AS c2,
+      |         CAST(coalesce(100 * sum(CASE WHEN y=1 THEN x3 END) // greatest(1, count(CASE WHEN y=1 THEN 1 END)), 0)
+      |            - coalesce(100 * sum(CASE WHEN y=-1 THEN x3 END) // greatest(1, count(CASE WHEN y=-1 THEN 1 END)), 0) AS BIGINT) AS c3,
+      |         CAST(coalesce(100 * sum(CASE WHEN y=1 THEN x4 END) // greatest(1, count(CASE WHEN y=1 THEN 1 END)), 0)
+      |            - coalesce(100 * sum(CASE WHEN y=-1 THEN x4 END) // greatest(1, count(CASE WHEN y=-1 THEN 1 END)), 0) AS BIGINT) AS c4,
       |         CAST(50 * (sum(x1) // count(*)) AS BIGINT) AS m1,
       |         CAST(50 * (sum(x2) // count(*)) AS BIGINT) AS m2,
       |         CAST(50 * (sum(x3) // count(*)) AS BIGINT) AS m3,
@@ -1152,8 +1152,13 @@ object CurationQueries {
         expr("CAST(100 * least(n_stop, 4) AS BIGINT)").as("x3"),
         expr("CAST(1000 * n_alpha div n_words AS BIGINT)").as("x4"))
       .localCheckpoint()
+    // greatest(1, count)+coalesce(·, 0): a corpus where the Gopher
+    // rules keep (or drop) ZERO documents must degrade to a 0 class
+    // mean, not null weights (Spark) / a division-by-zero error
+    // (DuckDB oracle) — guarded identically in both engines.
     def classMean(x: String, yv: Int): String =
-      s"100 * sum(CASE WHEN y=$yv THEN $x END) div count(CASE WHEN y=$yv THEN 1 END)"
+      s"coalesce(100 * sum(CASE WHEN y=$yv THEN $x END) " +
+        s"div greatest(1, count(CASE WHEN y=$yv THEN 1 END)), 0)"
     val cen = feat.agg(
       expr(s"CAST(${classMean("x1", 1)} - ${classMean("x1", -1)} AS BIGINT)").as("c1"),
       expr(s"CAST(${classMean("x2", 1)} - ${classMean("x2", -1)} AS BIGINT)").as("c2"),

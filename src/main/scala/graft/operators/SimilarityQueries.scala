@@ -72,13 +72,46 @@ object SimilarityQueries {
   // ---- MinHash signatures: word-3-gram shingles → 8 seeded minhashes
   //      → 4 banded buckets (LSH) ----
 
-  /** Spark-side shingle set: word 3-grams. */
+  /** Spark-side shingle set: word 3-grams. The size ≥ 3 guard matches
+    * the oracle's range(1, len(ws)-1) (empty for short docs):
+    * sequence(0, size-3) DESCENDS for size < 3 and concat_ws skips the
+    * null out-of-range elements, so an unguarded form would emit
+    * degenerate 1-/2-word shingles the oracle never produces. */
   private def shingled(d: DataFrame): DataFrame =
     d.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(size(col("ws")) >= 3)
       .select(col("doc_id"),
         explode(expr(
           "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .as("shingle"))
+
+  /** ONE corpus-wide DISTINCT (doc_id, source, shingle) 3-gram frame
+    * per (session, corpus), shared by the operators that need the
+    * materialized corpus-wide shingle set: containment's rare-shingle
+    * DF index and the HLL distinct-shingle pair
+    * (TextQueries.hllShingles projects (source, shingle) off this) —
+    * one explode and one distinct exchange build the frame; both
+    * consumers then aggregate over checkpoint blocks. Two deliberate
+    * NON-consumers, both measured at 60× (SCALING.md round-13 note):
+    * bandIndex's minhash pass — min() is duplicate-idempotent, so its
+    * explode→map-side-combine form needs no distinct exchange and
+    * forcing one would add a corpus-sized shuffle to the one pipeline
+    * that avoids it — and the exact confirms (exactOverlap), whose
+    * |candidates|-bounded docs-prune-then-explode is strictly cheaper
+    * than filtering this corpus-sized frame per audit. */
+  private val docShinglesCache = new SessionCache[String, DataFrame]()
+
+  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
+    docShinglesCache.getOrElseUpdate(spark, dir) {
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .as("shingle"))
+        .distinct()
+        .localCheckpoint()
+    }
 
   /** 8 minhashes computed as WIDE aggregates in one shingle pass with
     * ONE md5 per shingle: minhash j orders shingles by the j-th 4-hex
@@ -487,8 +520,15 @@ object SimilarityQueries {
     * scores with, exposed for the streaming AnnServeGate so
     * serve-time routing/scoring cannot drift from the audited batch
     * query. */
-  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val qn = quantized(embs(spark, dir))
+  private[graft] def ivfIndex(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfIndexOf(embs(spark, dir))
+
+  /** [[ivfIndex]] over an arbitrary (vec_id, label, embedding) frame —
+    * the refresh path (streaming.AnnIndexStore) re-runs the SAME
+    * quantize/centroid expressions on base+delta so a refreshed index
+    * cannot drift from a cold rebuild. */
+  private[graft] def ivfIndexOf(e: DataFrame): (DataFrame, DataFrame) = {
+    val qn = quantized(e)
     val cent = qn
       .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("d", "x")))
       .groupBy(col("label"), col("d"))
@@ -2020,7 +2060,8 @@ object SimilarityQueries {
     * forms shingled the whole corpus and pruned after: a full
     * corpus-sized explode+distinct per audit — SCALING.md round-11
     * containment note). */
-  private def exactOverlap(d: DataFrame, cand: DataFrame): DataFrame = {
+  private def exactOverlap(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val ids = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     // One reference, three plan consumers (both intersection sides +
@@ -2028,7 +2069,14 @@ object SimilarityQueries {
     // re-runs the candidate shingle derivation. The checkpointed frame
     // holds only candidate docs' shingles; the abandoned block is
     // reclaimed by the ContextCleaner once the query's plan is dropped.
-    val sh2 = shingled(d.join(ids, Seq("doc_id"), "left_semi")).distinct()
+    // Deliberately NOT read off the shared docShingles frame: the
+    // confirm is |candidates|-bounded, and pruning the 300k-row docs
+    // scan BEFORE the explode is strictly cheaper than filtering the
+    // ~16M-row materialized shingle frame per audit — measured at 60×,
+    // the frame-semi-join form regressed q18_fuzzy_contam 8.3 → 10.9 s
+    // (SCALING.md round-13 shingle-unification note).
+    val sh2 = shingled(docs(spark, dir).join(ids, Seq("doc_id"), "left_semi"))
+      .distinct()
       .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -2044,8 +2092,9 @@ object SimilarityQueries {
         coalesce(col("both_n"), lit(0L)).as("both_n"))
   }
 
-  private def exactJaccardBp(d: DataFrame, cand: DataFrame): DataFrame =
-    exactOverlap(d, cand)
+  private def exactJaccardBp(spark: SparkSession, dir: String,
+      cand: DataFrame): DataFrame =
+    exactOverlap(spark, dir, cand)
       .select(col("doc_a"), col("doc_b"),
         expr("(10000 * both_n) div (sz_a + sz_b - both_n)")
           .cast("long").as("exact_bp"))
@@ -2101,7 +2150,7 @@ object SimilarityQueries {
         (0 until 8).map(j => col(s"h$j").as(s"hb$j")): _*), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
     est
-      .join(exactJaccardBp(docs(spark, dir), cand), Seq("doc_a", "doc_b"))
+      .join(exactJaccardBp(spark, dir, cand), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"),
         col("n_match").cast("long").as("n_match"),
         (col("n_match") * 1250).cast("long").as("est_bp"),
@@ -2180,7 +2229,7 @@ object SimilarityQueries {
         expr("CAST(CASE hamming WHEN 0 THEN 10000 WHEN 1 THEN 9952 ELSE 9808 END AS BIGINT)")
           .as("est_bp"))
     est
-      .join(exactJaccardBp(docs(spark, dir),
+      .join(exactJaccardBp(spark, dir,
         est.select(col("doc_a"), col("doc_b"))), Seq("doc_a", "doc_b"))
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("est_bp"),
         col("exact_bp"),
@@ -2243,20 +2292,16 @@ object SimilarityQueries {
       |JOIN sizes sb ON sb.doc_id = i.doc_b
       |WHERE 10000 * i.both_n // least(sa.sz, sb.sz) >= 8000
       |ORDER BY i.doc_a, i.doc_b""".stripMargin) { (spark, dir) =>
-    val d = docs(spark, dir)
-    // ONE shuffle builds the whole rare-shingle index: the capped
-    // distinct-set aggregate (SetAgg.cappedDocSet, bounded state — a
-    // stop-shingle costs 64 longs and an O(1) overflow marker, never
-    // |df| memory) replaces the distinct → DF-count → join-back chain
-    // of the earlier form, which paid three corpus-wide shuffles plus
-    // a checkpoint of the full shingle frame. df ∈ [2,64] falls out as
-    // the array size; overflowed (NULL) groups ARE the df > 64
-    // exclusion. Measured 4.2 → 3.9 s at sf0.1 end-to-end — the
-    // remainder is stage-launch latency on a tiny SF, the phase sum is
-    // 2.3 s (ProfileContain); at scale the win is structural: three
-    // corpus-wide shuffles and a corpus-sized checkpoint removed
-    // (SCALING.md round-11 containment note).
-    val agg = shingled(d)
+    // ONE shuffle on top of the shared frame builds the whole
+    // rare-shingle index: the capped distinct-set aggregate
+    // (SetAgg.cappedDocSet, bounded state — a stop-shingle costs 64
+    // longs and an O(1) overflow marker, never |df| memory) consumes
+    // the session-cached docShingles checkpoint (round 13: the frame
+    // is shared with the exact confirms and the HLL pair, so the
+    // explode+distinct that builds it is paid ONCE per suite run, not
+    // once per operator). df ∈ [2,64] falls out as the array size;
+    // overflowed (NULL) groups ARE the df > 64 exclusion.
+    val agg = docShingles(spark, dir)
       .groupBy(col("shingle"))
       .agg(SetAgg.cappedDocSet(col("doc_id"), 64).as("ds"))
       .where(col("ds").isNotNull && size(col("ds")).between(2, 64))
@@ -2276,7 +2321,7 @@ object SimilarityQueries {
       .where(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    exactOverlap(d, cand)
+    exactOverlap(spark, dir, cand)
       .withColumn("cont_bp",
         expr("(10000 * both_n) div least(sz_a, sz_b)").cast("long"))
       .where(col("cont_bp") >= 8000)
@@ -2343,7 +2388,7 @@ object SimilarityQueries {
       greatest(col("train_doc"), col("eval_doc")).as("doc_b"))
       .distinct()
     cand
-      .join(exactJaccardBp(docs(spark, dir), canon),
+      .join(exactJaccardBp(spark, dir, canon),
         least(col("train_doc"), col("eval_doc")) === col("doc_a") &&
           greatest(col("train_doc"), col("eval_doc")) === col("doc_b"))
       .where(col("exact_bp") >= 7000)

@@ -1588,9 +1588,12 @@ object TextQueries {
       .select(col("source"), col("n_tok"), col("kl_sum_upm"),
         // KL is non-negative in exact math, but per-(source,word)
         // micro-nat rounding can push the integer sum slightly below
-        // zero for a source ~identical to the pool mix — and there
-        // DuckDB `//` floors while Spark `div` truncates. Clamp the
-        // dividend on BOTH sides so the engines agree.
+        // zero for a source ~identical to the pool mix. The clamp
+        // normalizes that possibly-negative rounded sum to the
+        // mathematical floor of 0 (applied identically in the oracle
+        // SQL) — it is NOT papering over an engine division
+        // difference; DuckDB `//` and Spark `div` both truncate
+        // toward zero on BIGINTs.
         expr("greatest(0L, kl_sum_upm) div n_tok").as("kl_upm"))
       .orderBy(col("source"))
   }
@@ -2594,16 +2597,20 @@ object TextQueries {
   /** Spark-side distinct (source, shingle) frame for the HLL queries —
     * session-cached (the bandIndex/termFreq precedent): the corpus-wide
     * distinct-shingle aggregate dominates both HLL queries' cost, and a
-    * production pipeline materializes the shingle set once per run. */
+    * production pipeline materializes the shingle set once per run.
+    * Round 13: derived off the SHARED SimilarityQueries.docShingles
+    * checkpoint (the one corpus-wide explode+distinct per suite run) —
+    * the (source, shingle) re-distinct here runs over the already-
+    * deduplicated (doc_id, source, shingle) frame, which only collapses
+    * cross-doc repeats within a source, never re-shingles the corpus.
+    * The <3-word guard lives in docShingles (oracle: range(1,
+    * len(ws)-1) is empty for short docs). */
   private val hllShinglesCache = new SessionCache[String, DataFrame]()
 
   private def hllShingles(spark: SparkSession, dir: String): DataFrame =
     hllShinglesCache.getOrElseUpdate(spark, dir) {
-      docs(spark, dir)
-        .select(col("source"), split(col("text"), " ").as("ws"))
-        .select(col("source"), explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-          .as("s"))
+      SimilarityQueries.docShingles(spark, dir)
+        .select(col("source"), col("shingle").as("s"))
         .distinct()
         .localCheckpoint()
     }

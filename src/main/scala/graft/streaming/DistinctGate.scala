@@ -35,6 +35,10 @@ object DistinctGate {
     val ranked = Sketches.hllRanked(
       incoming
         .select(col("source"), split(col("text"), " ").as("ws"))
+        // match the batch hllShingles guard (and bigramsOf): <3-word
+        // docs would otherwise yield degenerate shingles via the
+        // descending sequence(0, size-3) + null-skipping concat_ws.
+        .where(size(col("ws")) >= 3)
         .select(col("source"), explode(expr(
           "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .as("s")),

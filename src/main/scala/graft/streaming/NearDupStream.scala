@@ -137,6 +137,15 @@ object NearDupStream {
       quarantineDir: Option[String] = None): Unit =
     processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir, quarantineDir)
 
+  /** [[processBatch]] with a custom payload column set (head must be
+    * doc_id; the rest rides to kept/quarantine) — composed-chain use:
+    * a downstream gate (e.g. [[PackStream]]) needs source/n_words
+    * carried through the kept set instead of re-deriving them. */
+  def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, keptDir: String,
+      quarantineDir: Option[String], payload: Seq[String]): Unit =
+    processBatchWith(bucketIndex, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
+
   /** Compact the persisted bucket index: a weeks-long ingestion leaves
     * one `batch=N` parquet directory per micro-batch — thousands of
     * tiny partitions whose listing cost alone dominates the per-batch
@@ -253,11 +262,14 @@ object NearDupStream {
     q.select(col("q_asset_id").as("asset_id")).distinct()
       .join(confirmed.withColumn("ok", lit(1L)), Seq("asset_id"), "left")
       .agg(count(lit(1)).as("n_quarantined"),
-        sum(coalesce(col("ok"), lit(0L))).as("n_true_dup"))
+        // empty quarantine dir: sum over zero rows is null — coalesce
+        // to 0 so the report reads (0, 0, 0, 0) instead of all-null.
+        coalesce(sum(coalesce(col("ok"), lit(0L))), lit(0L)).as("n_true_dup"))
       .select(col("n_quarantined").cast("long").as("n_quarantined"),
         col("n_true_dup").cast("long").as("n_true_dup"),
         (col("n_quarantined") - col("n_true_dup")).cast("long").as("n_over_dropped"),
-        expr("CAST((n_quarantined - n_true_dup) * 10000 div n_quarantined AS BIGINT)")
+        expr("CAST(CASE WHEN n_quarantined = 0 THEN 0 " +
+          "ELSE (n_quarantined - n_true_dup) * 10000 div n_quarantined END AS BIGINT)")
           .as("over_drop_bp"))
   }
 

@@ -64,6 +64,32 @@ class ToolSpec extends AnyFunSuite {
     assert(out.linesIterator.count(_.startsWith("|")) > 10, out.take(500))
   }
 
+  test("quarantine-stats emits one labeled over-drop row per supplied gate") {
+    // drive ONE deterministic batch through the image gate (the
+    // QuarantineReportSpec probe fixture: md5-derived signatures) to
+    // produce real quarantine/kept dirs, then read the stat back
+    // through the CLI exactly as an operator would
+    val root = Files.createTempDirectory("graft-tool-quar").toString
+    val (indexDir, keptDir, quarDir) = (s"$root/idx", s"$root/kept", s"$root/quar")
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import spark.implicits._
+      val docs = (0 until 600).map(i => (i.toLong, s"probe-$i")).toDF("doc_id", "text")
+      streaming.ImageDupStream.processBatch(docs, 0L, indexDir, keptDir, Some(quarDir))
+    } finally spark.stop()
+    val out = runTool("quarantine-stats", s"image=$quarDir:$keptDir")
+    assert(out.contains("modality") && out.contains("over_drop_bp"), out.take(500))
+    assert(out.linesIterator.exists(l => l.contains("image") && l.startsWith("|")), out)
+    // the identity the report guarantees: n_true_dup + n_over_dropped =
+    // n_quarantined, all non-null on a non-empty quarantine
+    val row = out.linesIterator.find(_.contains("image")).get
+    val nums = row.split("\\|").map(_.trim).filter(_.matches("\\d+")).map(_.toLong)
+    assert(nums.length == 4, row)
+    assert(nums(0) == nums(1) + nums(2), row)
+  }
+
   test("import-export parses a DynamoDB export and writes ready/pending span sets") {
     val dir = Files.createTempDirectory("graft-tool-ddb")
     val outDir = Files.createTempDirectory("graft-tool-ddb-out").toString + "/idx"
