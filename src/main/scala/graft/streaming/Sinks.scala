@@ -166,18 +166,48 @@ object AppendSink {
   * latest-wins. Structured Streaming's own offset/commit log is the
   * primary checkpoint; this table exists for interop with stores that
   * track positions externally, and for the `checkpoint show/override`
-  * tooling surface (§2.11). Parquet rewrite here; JDBC/Delta upsert on
-  * a cluster. */
+  * tooling surface (§2.11).
+  *
+  * Crash atomicity (found by the SCALING.md round-13 crash-resume
+  * drive): the original overwrite-in-place rewrite could be SIGKILLed
+  * between Spark's delete of the old files and the job commit, losing
+  * EVERY position and leaving a dir that fails schema inference. Each
+  * commit now lands in a fresh `v=N/` subdir and is published by an
+  * ATOMIC_MOVE swap of the `_current` pointer (the [[AnnIndexStore]]
+  * discipline): a kill at any instant leaves `_current` on the last
+  * complete version and the half-written dir unreachable. Superseded
+  * versions older than current-1 are GC'd after the swap (current-1
+  * stays: a reader that resolved it just before the swap may still be
+  * scanning). Single-writer read-modify-write, like the original;
+  * JDBC/Delta upsert on a cluster. */
 object CheckpointStore {
+
+  private def currentFile(dir: String) = java.nio.file.Paths.get(dir, "_current")
+
+  private def currentVersion(dir: String): Option[Long] = {
+    val f = currentFile(dir)
+    if (!java.nio.file.Files.exists(f)) None
+    else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+  }
 
   def commit(spark: SparkSession, dir: String,
       source: String, tranche: String, group: String, pos: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
     val updated = read(spark, dir)
       .filter(r => !(r._1 == source && r._2 == tranche && r._3 == group))
       .appended((source, tranche, group, pos))
+    Files.createDirectories(Paths.get(dir))
+    // a crash-leftover half-written v=N dir (no pointer move happened)
+    // is simply overwritten by the retry of the same version number
+    val v = currentVersion(dir).getOrElse(0L) + 1L
     updated.toDF("source", "tranche", "group", "pos")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(dir)
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$v")
+    val tmp = Paths.get(dir, s"_current.tmp$v")
+    Files.write(tmp, v.toString.getBytes("UTF-8"))
+    Files.move(tmp, currentFile(dir),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gcBelow(dir, v - 1)
   }
 
   def position(spark: SparkSession, dir: String,
@@ -187,14 +217,47 @@ object CheckpointStore {
     }
 
   def read(spark: SparkSession, dir: String): List[(String, String, String, Long)] = {
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else {
-      import spark.implicits._
-      spark.read.parquet(dir)
-        .select("source", "tranche", "group", "pos")
-        .as[(String, String, String, Long)].collect().toList
+    import spark.implicits._
+    currentVersion(dir) match {
+      case Some(v) =>
+        spark.read.parquet(s"$dir/v=$v")
+          .select("source", "tranche", "group", "pos")
+          .as[(String, String, String, Long)].collect().toList
+      case None =>
+        // legacy flat layout (pre-versioned dirs written by older
+        // builds): data files at the root. A root holding no data files
+        // (empty, or only a crash's _temporary) reads as empty.
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+          s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
+        }
+        if (!hasData) Nil
+        else spark.read.parquet(dir)
+          .select("source", "tranche", "group", "pos")
+          .as[(String, String, String, Long)].collect().toList
     }
+  }
+
+  /** Best-effort removal of version dirs ≤ maxStale and orphaned
+    * `_current.tmp*` pointer files; failures are ignored (a retained
+    * stale version costs bytes, never correctness). */
+  private def gcBelow(dir: String, maxStale: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    try {
+      Files.list(Paths.get(dir)).iterator().asScala.foreach { p =>
+        val name = p.getFileName.toString
+        val stale =
+          (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ <= maxStale)) ||
+            name.startsWith("_current.tmp")
+        if (stale) {
+          if (Files.isDirectory(p))
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
+              Files.deleteIfExists(f))
+          else Files.deleteIfExists(p)
+        }
+      }
+    } catch { case _: java.io.IOException => () }
   }
 }

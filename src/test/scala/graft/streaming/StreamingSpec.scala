@@ -1127,6 +1127,34 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CheckpointStore.position(spark, dir, "feed", "2", "g1").isEmpty)
   }
 
+  test("CheckpointStore: crash-leftover junk never loses or corrupts positions") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("cp-crash") + "/checkpoints"
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 11L)
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 22L)
+    // simulate a SIGKILL mid-commit: a half-written next version (no
+    // _current move) and an orphaned pointer temp file
+    Files.createDirectories(Paths.get(dir, "v=99"))
+    Files.write(Paths.get(dir, "v=99", "part-junk"), Array[Byte](1, 2, 3))
+    Files.write(Paths.get(dir, "_current.tmp99"), "99".getBytes("UTF-8"))
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").contains(22L))
+    // the next commit still works and GC clears the junk
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 33L)
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").contains(33L))
+    assert(!Files.exists(Paths.get(dir, "_current.tmp99")))
+  }
+
+  test("CheckpointStore: legacy flat dir with no data files reads as empty") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("cp-legacy") + "/checkpoints"
+    // the state the old overwrite-in-place commit left after a kill:
+    // dir exists, only a _temporary job dir inside — must read as
+    // empty, not throw UNABLE_TO_INFER_SCHEMA
+    Files.createDirectories(Paths.get(dir, "_temporary"))
+    assert(CheckpointStore.read(spark, dir).isEmpty)
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").isEmpty)
+  }
+
   test("BusyMonitor: classification and abend watchdog") {
     var now = 0L
     val mon = new Observability.BusyMonitor(() => now)
