@@ -11,6 +11,7 @@ compares values cell-by-cell.
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -42,6 +43,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        t0 = time.time()
         try:
             spark_df = canon(con.sql(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')").df())
@@ -86,7 +88,8 @@ def main(sf_dir, out_dir):
                   f"spark={a!r} oracle={b!r}")
             n_bad += 1
         else:
-            print(f"OK   {name} ({len(spark_df)} rows)")
+            print(f"OK   {name} ({len(spark_df)} rows, "
+                  f"{time.time() - t0:.1f}s oracle)", flush=True)
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} fail")
     return 1 if n_bad else 0

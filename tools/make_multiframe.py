@@ -10,14 +10,21 @@ collapses to the 64-cell first-frame space, and the documented
 4096-cell two-frame bucket scaling claim of q18_video_dedup is never
 exercised (SCALING.md r10 addendum 2 / round-12 watch item 1). This
 tool plants nf in {2,3,4}: each text is padded with deterministic
-distinct filler words to a byte length in [1024*(1 + doc_id%3), ...),
-so cm != c0 for every asset and the (nf, first+middle 2-bit cells)
+filler words to a byte length in [1024*(1 + doc_id%3), ...), so
+cm != c0 for every asset and the (nf, first+middle 2-bit cells)
 bucket key uses its full space.
 
 Padding is pure data mutation — every oracle derives from the parquet,
-so the whole correctness surface stays checkable on the padded fixture
-(the padded words are unique per doc, which leaves near-dup structure
-intact: filler never collides across docs).
+so the whole correctness surface stays checkable on the padded fixture.
+Filler words come from a constant 64-word pool in a per-doc LCG order:
+byte content (hence frame signatures) stays unique per doc, cross-doc
+3-gram shingle collisions are ~64^-3 per window (near-dup structure
+intact), and the corpus vocabulary grows by only 64 words. The first
+cut used per-doc UNIQUE filler (mf{id}x{j}); that put ~1.5M distinct
+words in the sf0.1 corpus and the BPE oracle's per-word recursive
+merge CTE spilled >70 GB of DuckDB temp before filling the disk —
+word-grain oracles cost O(|vocab|) per merge stage, so a fixture must
+pad bytes without padding vocabulary.
 
 Usage: python3 tools/make_multiframe.py <src_sf_dir> <out_dir>
 """
@@ -31,6 +38,9 @@ OTHER = ["region", "nation", "customer", "supplier", "part", "orders",
          "lineitem", "events", "embeddings"]
 
 
+POOL = [f"pad{i:02d}" for i in range(64)]  # 5-byte words, constant vocab
+
+
 def pad_text(text: str, doc_id: int) -> str:
     # target byte length: 1 KiB * (1 + doc_id%3) + 1 → nf in {2,3,4}
     target = 1024 * (1 + doc_id % 3) + 1
@@ -38,12 +48,13 @@ def pad_text(text: str, doc_id: int) -> str:
     if cur >= target:
         return text
     filler = []
-    j = 0
+    state = (doc_id * 1000003 + 12345) & 0xFFFFFFFFFFFFFFFF
     while cur < target:
-        w = f"mf{doc_id}x{j}"
+        state = (state * 6364136223846793005 + 1442695040888963407) \
+            & 0xFFFFFFFFFFFFFFFF
+        w = POOL[(state >> 33) & 63]
         filler.append(w)
         cur += len(w) + 1
-        j += 1
     return text + " " + " ".join(filler)
 
 
