@@ -1219,34 +1219,42 @@ object SimilarityQueries {
   //      components by the clique/star equivalence. ----
   /** Oracle CTE chain from `incoming` to `comp(node, component)` —
     * shared by q18_cc_dedup and q18_dup_stats. */
+  // MATERIALIZED hints (DuckDB-only syntax; the oracle never runs on
+  // Spark): without them DuckDB INLINES these CTEs — `bands` re-runs
+  // the whole shingle→minhash pipeline through `mh` four times, the
+  // recursive `walk` re-evaluates `sym` (and everything under it) on
+  // EVERY iteration, and leakage_split's crossx re-inlines `e` four
+  // more times. On the padded multi-frame sf0.1 fixture that plan
+  // spilled >70 GB of DuckDB temp and filled the disk; materialized,
+  // the same query answers in ~5 s (round-13 fixture study).
   private val ccCompSql =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM incoming),
        |sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM w, unnest(range(1, len(ws)-1)) AS t(i)),
        |hh AS (SELECT doc_id, md5(shingle) AS h FROM sh),
-       |mh AS (SELECT doc_id,
+       |mh AS MATERIALIZED (SELECT doc_id,
        |         min(substr(h, 1, 4) || h) AS h0, min(substr(h, 5, 4) || h) AS h1,
        |         min(substr(h, 9, 4) || h) AS h2, min(substr(h, 13, 4) || h) AS h3,
        |         min(substr(h, 17, 4) || h) AS h4, min(substr(h, 21, 4) || h) AS h5,
        |         min(substr(h, 25, 4) || h) AS h6, min(substr(h, 29, 4) || h) AS h7
        |       FROM hh GROUP BY doc_id),
-       |bands AS (
+       |bands AS MATERIALIZED (
        |  SELECT doc_id, band, bucket FROM (
        |    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM mh
        |    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM mh
        |    UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM mh
        |    UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM mh) u),
-       |e AS (
+       |e AS MATERIALIZED (
        |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
-       |sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+       |sym AS MATERIALIZED (SELECT a, b FROM e UNION SELECT b, a FROM e),
        |walk(node, lbl) AS (
        |  SELECT a, a FROM sym
        |  UNION
        |  SELECT s.b, w2.lbl FROM walk w2 JOIN sym s ON s.a = w2.node
        |  WHERE w2.lbl < s.b),
-       |comp AS (SELECT node, min(lbl) AS component FROM walk GROUP BY node)"""
+       |comp AS MATERIALIZED (SELECT node, min(lbl) AS component FROM walk GROUP BY node)"""
       .stripMargin
 
   val q18CcDedup: QueryDef = QueryDef(
@@ -2422,7 +2430,7 @@ object SimilarityQueries {
        |roots AS (
        |  SELECT i.doc_id, coalesce(c.component, i.doc_id) AS root
        |  FROM incoming i LEFT JOIN comp c ON c.node = i.doc_id),
-       |asg AS (
+       |asg AS MATERIALIZED (
        |  SELECT doc_id,
        |    CASE WHEN strpos('0123456789abcdef', substr(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 <= 11 THEN 'train'
        |         WHEN strpos('0123456789abcdef', substr(md5(CAST(root AS VARCHAR)), 1, 1)) - 1 <= 13 THEN 'val'
@@ -2538,7 +2546,7 @@ object SimilarityQueries {
        |  FROM ex JOIN lc ON ex.lang = lc.lang CROSS JOIN tgt
        |  WHERE ((CAST(ex.doc_id AS DECIMAL(38,0)) * 2654435761) % 1048576) * lc.n
        |        < CAST(tgt.target AS DECIMAL(38,0)) * 1048576),
-       |spl AS (
+       |spl AS MATERIALIZED (
        |  SELECT rb.doc_id, rb.lang, rb.n_words,
        |         CASE WHEN substr(md5(CAST(coalesce(c.component, rb.doc_id) AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
        |              WHEN substr(md5(CAST(coalesce(c.component, rb.doc_id) AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
