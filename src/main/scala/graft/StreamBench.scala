@@ -39,11 +39,16 @@ object StreamBench {
       .config("spark.sql.shuffle.partitions", statePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (engine == "tws") {
+    // tws = RocksDB + changelog checkpointing (the claimed 100 TB state
+    // path); tws-nocl = RocksDB with full-snapshot checkpointing, which
+    // isolates how much of the tws premium is the per-batch changelog
+    // write vs RocksDB/JNI itself
+    if (engine.startsWith("tws")) {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       builder.config(
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        (engine != "tws-nocl").toString)
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -66,7 +71,7 @@ object StreamBench {
     val input = MemoryStream[InputEvent]
     val handle: (String, Seq[InputEvent]) => Long = (_, events) => events.map(_.size).sum
     val out =
-      if (engine == "tws") graft.streaming.StreamProcessorTws.process[Long](input.toDS(), handle)
+      if (engine.startsWith("tws")) graft.streaming.StreamProcessorTws.process[Long](input.toDS(), handle)
       else StreamProcessor.process[Long](input.toDS(), handle)
     val q = out.writeStream.format("noop")
       .outputMode("append").option("checkpointLocation", cp).start()
