@@ -173,41 +173,68 @@ object AppendSink {
   * between Spark's delete of the old files and the job commit, losing
   * EVERY position and leaving a dir that fails schema inference. Each
   * commit now lands in a fresh `v=N/` subdir and is published by an
-  * ATOMIC_MOVE swap of the `_current` pointer (the [[AnnIndexStore]]
-  * discipline): a kill at any instant leaves `_current` on the last
-  * complete version and the half-written dir unreachable. Superseded
-  * versions older than current-1 are GC'd after the swap (current-1
-  * stays: a reader that resolved it just before the swap may still be
-  * scanning). Single-writer read-modify-write, like the original;
-  * JDBC/Delta upsert on a cluster. */
+  * atomic overwrite-rename of the `_current` pointer (the
+  * [[AnnIndexStore]] discipline): a kill at any instant leaves
+  * `_current` on the last complete version and the half-written dir
+  * unreachable. GC after the swap retains exactly {current, current-1}
+  * (current-1 stays: a reader that resolved it just before the swap may
+  * still be scanning) and removes everything else — older versions,
+  * crash-leftover versions ABOVE current (their pointer move never
+  * happened), and orphaned pointer temp files. Pointer + GC go through
+  * the Hadoop FileSystem API, same as the parquet data, so the store
+  * works unchanged on hdfs:// / s3a:// dirs (FileContext.rename with
+  * Rename.OVERWRITE is the atomic publish on HDFS and local; on S3 the
+  * rename is copy+delete — there, point this at an HDFS/EFS scratch dir
+  * or swap the table for a JDBC/Delta upsert, as the original delegated
+  * to DynamoDB/SQL). Single-writer read-modify-write, like the
+  * original. */
 object CheckpointStore {
 
-  private def currentFile(dir: String) = java.nio.file.Paths.get(dir, "_current")
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
-  private def currentVersion(dir: String): Option[Long] = {
-    val f = currentFile(dir)
-    if (!java.nio.file.Files.exists(f)) None
-    else Some(new String(java.nio.file.Files.readAllBytes(f), "UTF-8").trim.toLong)
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def currentVersion(fs: FileSystem, root: HPath): Option[Long] = {
+    val f = new HPath(root, "_current")
+    if (!fs.exists(f)) None
+    else {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(f)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLongOption
+    }
   }
 
   def commit(spark: SparkSession, dir: String,
       source: String, tranche: String, group: String, pos: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
     import spark.implicits._
     val updated = read(spark, dir)
       .filter(r => !(r._1 == source && r._2 == tranche && r._3 == group))
       .appended((source, tranche, group, pos))
-    Files.createDirectories(Paths.get(dir))
+    val (fs, root) = fsFor(spark, dir)
+    fs.mkdirs(root)
+    val prev = currentVersion(fs, root)
     // a crash-leftover half-written v=N dir (no pointer move happened)
     // is simply overwritten by the retry of the same version number
-    val v = currentVersion(dir).getOrElse(0L) + 1L
+    val v = prev.getOrElse(0L) + 1L
     updated.toDF("source", "tranche", "group", "pos")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$v")
-    val tmp = Paths.get(dir, s"_current.tmp$v")
-    Files.write(tmp, v.toString.getBytes("UTF-8"))
-    Files.move(tmp, currentFile(dir),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    gcBelow(dir, v - 1)
+    val tmp = new HPath(root, s"_current.tmp$v")
+    val out = fs.create(tmp, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
+      Options.Rename.OVERWRITE)
+    // first versioned commit over a legacy flat layout: the legacy root
+    // data files were absorbed into v=1 above — remove them so a later
+    // lost/corrupt pointer surfaces as "empty" rather than silently
+    // serving the stale pre-versioned positions
+    if (prev.isEmpty) gcSweep(fs, root, v, legacyToo = true)
+    else gcSweep(fs, root, v, legacyToo = false)
   }
 
   def position(spark: SparkSession, dir: String,
@@ -218,7 +245,8 @@ object CheckpointStore {
 
   def read(spark: SparkSession, dir: String): List[(String, String, String, Long)] = {
     import spark.implicits._
-    currentVersion(dir) match {
+    val (fs, root) = fsFor(spark, dir)
+    currentVersion(fs, root) match {
       case Some(v) =>
         spark.read.parquet(s"$dir/v=$v")
           .select("source", "tranche", "group", "pos")
@@ -227,9 +255,7 @@ object CheckpointStore {
         // legacy flat layout (pre-versioned dirs written by older
         // builds): data files at the root. A root holding no data files
         // (empty, or only a crash's _temporary) reads as empty.
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hasData = fs.exists(p) && fs.listStatus(p).exists { s =>
+        val hasData = fs.exists(root) && fs.listStatus(root).exists { s =>
           s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith(".")
         }
         if (!hasData) Nil
@@ -239,25 +265,24 @@ object CheckpointStore {
     }
   }
 
-  /** Best-effort removal of version dirs ≤ maxStale and orphaned
-    * `_current.tmp*` pointer files; failures are ignored (a retained
-    * stale version costs bytes, never correctness). */
-  private def gcBelow(dir: String, maxStale: Long): Unit = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
+  /** Best-effort removal of everything except the two reachable
+    * versions {current, current-1} — superseded versions, crash-left
+    * versions above current (their pointer move never happened), and
+    * orphaned `_current.tmp*` pointer files; with `legacyToo`, also the
+    * pre-versioned flat-layout data files at the root (they were just
+    * absorbed into v=1). Failures are swallowed (a retained stale
+    * version costs bytes, never correctness). */
+  private def gcSweep(fs: FileSystem, root: HPath, current: Long, legacyToo: Boolean): Unit = {
     try {
-      Files.list(Paths.get(dir)).iterator().asScala.foreach { p =>
-        val name = p.getFileName.toString
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
         val stale =
-          (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ <= maxStale)) ||
-            name.startsWith("_current.tmp")
-        if (stale) {
-          if (Files.isDirectory(p))
-            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(f =>
-              Files.deleteIfExists(f))
-          else Files.deleteIfExists(p)
-        }
+          (name.startsWith("v=") &&
+            name.drop(2).toLongOption.exists(n => n != current && n != current - 1)) ||
+          name.startsWith("_current.tmp") ||
+          (legacyToo && name != "_current" && !name.startsWith("v="))
+        if (stale) fs.delete(s.getPath, true)
       }
-    } catch { case _: java.io.IOException => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

@@ -1144,6 +1144,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!Files.exists(Paths.get(dir, "_current.tmp99")))
   }
 
+  test("CheckpointStore: GC retains exactly {current, current-1}") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("cp-gc") + "/checkpoints"
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 1L) // v=1
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 2L) // v=2
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 3L) // v=3
+    // current-1 must survive the swap: a reader that resolved it just
+    // before the pointer move may still be scanning it (ADVICE r13)
+    assert(Files.exists(Paths.get(dir, "v=3")))
+    assert(Files.exists(Paths.get(dir, "v=2")))
+    assert(!Files.exists(Paths.get(dir, "v=1")))
+    // crash-leftover versions ABOVE current are junk (their pointer
+    // move never happened) and must be swept, not retained forever
+    Files.createDirectories(Paths.get(dir, "v=77"))
+    Files.write(Paths.get(dir, "v=77", "part-junk"), Array[Byte](9))
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 4L) // v=4
+    assert(!Files.exists(Paths.get(dir, "v=77")))
+    assert(Files.exists(Paths.get(dir, "v=4")) && Files.exists(Paths.get(dir, "v=3")))
+  }
+
+  test("CheckpointStore: legacy flat files are absorbed then removed on first versioned commit") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("cp-legacy-absorb") + "/checkpoints"
+    // write a legacy (pre-versioned) flat-layout store at the dir root
+    import spark.implicits._
+    List(("feed", "0", "g1", 41L)).toDF("source", "tranche", "group", "pos")
+      .coalesce(1).write.parquet(dir)
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").contains(41L))
+    // first versioned commit absorbs the legacy rows into v=1 ...
+    CheckpointStore.commit(spark, dir, "feed", "1", "g1", 7L)
+    assert(CheckpointStore.position(spark, dir, "feed", "0", "g1").contains(41L))
+    assert(CheckpointStore.position(spark, dir, "feed", "1", "g1").contains(7L))
+    // ... and removes the root data files, so a later lost pointer
+    // surfaces as "empty" instead of silently serving stale positions
+    val legacyLeft = Files.list(Paths.get(dir)).iterator()
+    val names = { val b = List.newBuilder[String]
+      while (legacyLeft.hasNext) b += legacyLeft.next().getFileName.toString; b.result() }
+    // (dot-files are the local ChecksumFileSystem's crc sidecars for
+    // the pointer itself — not legacy data; read() ignores them too)
+    assert(names.forall(n => n == "_current" || n.startsWith("v=") || n.startsWith(".")),
+      names.toString)
+    Files.delete(Paths.get(dir, "_current"))
+    assert(CheckpointStore.read(spark, dir).isEmpty)
+  }
+
   test("CheckpointStore: legacy flat dir with no data files reads as empty") {
     import java.nio.file.{Files, Paths}
     val dir = tmp("cp-legacy") + "/checkpoints"
