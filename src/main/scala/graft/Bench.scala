@@ -147,6 +147,16 @@ object Bench {
       catch { case e: Throwable =>
         preambleErrors(s"_preamble:$t") = s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
+    // shared derived corpus frames (fingerprinted parquet copies, same
+    // once-per-fixture discipline as the wide copies): force them here
+    // so their one-off build cost lands in copy_build_secs, not inside
+    // whichever consumer query a rep's shuffle happens to run first
+    try {
+      graft.operators.SimilarityQueries.docShingles(spark, sfDir)
+      graft.operators.TextQueries.hllShingles(spark, sfDir)
+    } catch { case e: Throwable =>
+      preambleErrors("_preamble:shingles") = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+    }
     val copyBuildSecs = (System.nanoTime() - copy0) / 1e9
 
     // warmup: touch every table + exercise codegen/shuffle once

@@ -86,31 +86,38 @@ object SimilarityQueries {
           .as("shingle"))
 
   /** ONE corpus-wide DISTINCT (doc_id, source, shingle) 3-gram frame
-    * per (session, corpus), shared by the operators that need the
+    * per corpus fingerprint, shared by the operators that need the
     * materialized corpus-wide shingle set: containment's rare-shingle
     * DF index and the HLL distinct-shingle pair
     * (TextQueries.hllShingles projects (source, shingle) off this) —
     * one explode and one distinct exchange build the frame; both
-    * consumers then aggregate over checkpoint blocks. Two deliberate
-    * NON-consumers, both measured at 60× (SCALING.md round-13 note):
-    * bandIndex's minhash pass — min() is duplicate-idempotent, so its
-    * explode→map-side-combine form needs no distinct exchange and
-    * forcing one would add a corpus-sized shuffle to the one pipeline
-    * that avoids it — and the exact confirms (exactOverlap), whose
-    * |candidates|-bounded docs-prune-then-explode is strictly cheaper
-    * than filtering this corpus-sized frame per audit. */
+    * consumers then aggregate over a parquet scan of it. Residence is
+    * a fingerprinted parquet copy ([[ScaleOps.materializedDerived]]),
+    * NOT a localCheckpoint: the round-13 checkpoint form pinned the
+    * corpus-sized frame as deserialized block-manager blocks for the
+    * rest of the session, which the round-14 solo A/B measured taxing
+    * all 143 NON-consumer queries 1.23× (storage-pool pressure + GC)
+    * while not even helping the three consumers at sf0.1. Two
+    * deliberate NON-consumers, both measured at 60× (SCALING.md
+    * round-13 note): bandIndex's minhash pass — min() is
+    * duplicate-idempotent, so its explode→map-side-combine form needs
+    * no distinct exchange and forcing one would add a corpus-sized
+    * shuffle to the one pipeline that avoids it — and the exact
+    * confirms (exactOverlap), whose |candidates|-bounded
+    * docs-prune-then-explode is strictly cheaper than filtering this
+    * corpus-sized frame per audit. */
   private val docShinglesCache = new SessionCache[String, DataFrame]()
 
-  private[operators] def docShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesCache.getOrElseUpdate(spark, dir) {
-      docs(spark, dir)
-        .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
-        .where(size(col("ws")) >= 3)
-        .select(col("doc_id"), col("source"), explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-          .as("shingle"))
-        .distinct()
-        .localCheckpoint()
+      ScaleOps.materializedDerived(spark, dir, "documents", "graft_shingles_") { d =>
+        d.select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+          .where(size(col("ws")) >= 3)
+          .select(col("doc_id"), col("source"), explode(expr(
+            "transform(sequence(0, size(ws)-3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+            .as("shingle"))
+          .distinct()
+      }
     }
 
   /** 8 minhashes computed as WIDE aggregates in one shingle pass with

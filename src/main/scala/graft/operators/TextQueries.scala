@@ -2594,25 +2594,29 @@ object TextQueries {
       |              ELSE least(25, 61 - length(bin(('0x' || substr(h, 3, 15))::BIGINT))) END AS rank
       |       FROM hv)""".stripMargin
 
-  /** Spark-side distinct (source, shingle) frame for the HLL queries —
-    * session-cached (the bandIndex/termFreq precedent): the corpus-wide
-    * distinct-shingle aggregate dominates both HLL queries' cost, and a
-    * production pipeline materializes the shingle set once per run.
-    * Round 13: derived off the SHARED SimilarityQueries.docShingles
-    * checkpoint (the one corpus-wide explode+distinct per suite run) —
-    * the (source, shingle) re-distinct here runs over the already-
-    * deduplicated (doc_id, source, shingle) frame, which only collapses
-    * cross-doc repeats within a source, never re-shingles the corpus.
-    * The <3-word guard lives in docShingles (oracle: range(1,
-    * len(ws)-1) is empty for short docs). */
+  /** Spark-side distinct (source, shingle) frame for the HLL queries:
+    * the corpus-wide distinct-shingle aggregate dominates both HLL
+    * queries' cost, and a production pipeline materializes the shingle
+    * set once per run. Round 13: derived off the SHARED
+    * SimilarityQueries.docShingles frame (the one corpus-wide
+    * explode+distinct per corpus) — the (source, shingle) re-distinct
+    * here runs over the already-deduplicated (doc_id, source, shingle)
+    * frame, which only collapses cross-doc repeats within a source,
+    * never re-shingles the corpus. Round 14: residence moved from a
+    * session localCheckpoint to a fingerprinted parquet copy for the
+    * same reason as docShingles (resident deserialized blocks taxed
+    * the whole suite — see [[ScaleOps.materializedDerived]]). The
+    * <3-word guard lives in docShingles (oracle: range(1, len(ws)-1)
+    * is empty for short docs). */
   private val hllShinglesCache = new SessionCache[String, DataFrame]()
 
-  private def hllShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def hllShingles(spark: SparkSession, dir: String): DataFrame =
     hllShinglesCache.getOrElseUpdate(spark, dir) {
-      SimilarityQueries.docShingles(spark, dir)
-        .select(col("source"), col("shingle").as("s"))
-        .distinct()
-        .localCheckpoint()
+      ScaleOps.materializedDerived(spark, dir, "documents", "graft_hllsh_") { _ =>
+        SimilarityQueries.docShingles(spark, dir)
+          .select(col("source"), col("shingle").as("s"))
+          .distinct()
+      }
     }
 
   val q18HllAudit: QueryDef = QueryDef(
