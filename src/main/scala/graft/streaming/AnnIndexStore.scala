@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Versioned persistence + atomic swap for the IVF serving index —
@@ -15,9 +13,20 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    writes — a crash mid-build leaves an unmarked dir that nothing
   *    reads (the compactIndex marker discipline, NearDupStream);
   *  - `_current` names the serving version and is swapped with an
-  *    ATOMIC_MOVE of a temp file, so a reader between micro-batches
-  *    flips from v=N to v=N+1 in one step and can never observe a
-  *    half-written index;
+  *    atomic overwrite-rename of a temp file, so a reader between
+  *    micro-batches flips from v=N to v=N+1 in one step and can never
+  *    observe a half-written index;
+  *  - GC after the swap retains exactly {current, current-1}: a
+  *    serving micro-batch that resolved `_current` = N just before a
+  *    swap to N+1 is still scanning v=N's parquet, so the
+  *    immediately-superseded version must outlive one refresh (the
+  *    [[CheckpointStore]] retention rule; AnnIndexRefreshSpec's
+  *    interleaved test drives a refresh INSIDE the resolve→read
+  *    window). Everything else goes: versions ≤ current-2, unsealed
+  *    crash leftovers above current, orphaned `_current.tmp*`. Two
+  *    refreshes inside ONE in-flight batch would collect that batch's
+  *    version — the serving cadence must be faster than the refresh
+  *    cadence, which it is by orders of magnitude in any real gate;
   *  - a `_refreshing` lease fail-fasts concurrent refreshes, exactly
   *    like compactIndex's `_compacting` (stale-lease remediation is
   *    the same: remove it if no refresher is running);
@@ -26,56 +35,108 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   *    equals a cold rebuild on the same rows bit-for-bit —
   *    AnnIndexRefreshSpec pins serve-across-refresh == cold rebuild.
   *
+  * Pointer, lease, markers and GC all go through the Hadoop
+  * FileSystem API — the same filesystem the parquet data lands on —
+  * so the store works unchanged on an hdfs:// index dir (the
+  * round-13 java.nio form silently split pointer state onto the
+  * local disk for any non-local dir).
+  *
   * At 100 TB the qn frame is the thing you'd bucket by label on disk;
   * the swap/lease protocol is unchanged — only the two parquet writes
   * grow with the corpus, and both are single-pass. */
 object AnnIndexStore {
 
-  private def currentFile(indexDir: String) = Paths.get(indexDir, "_current")
-  private def lease(indexDir: String) = Paths.get(indexDir, "_refreshing")
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readVersion(fs: FileSystem, root: HPath): Option[Long] = {
+    val f = new HPath(root, "_current")
+    if (!fs.exists(f)) None
+    else {
+      val len = fs.getFileStatus(f).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = fs.open(f)
+      try in.readFully(buf) finally in.close()
+      new String(buf, "UTF-8").trim.toLongOption
+    }
+  }
 
   /** Build (or refresh) the index from a (vec_id, label, embedding)
     * frame into a fresh version and atomically make it current.
     * Returns the new version number. */
   def refresh(spark: SparkSession, embeddings: DataFrame, indexDir: String): Long = {
-    Files.createDirectories(Paths.get(indexDir))
-    if (Files.exists(lease(indexDir)))
+    val (fs, root) = fsFor(spark, indexDir)
+    fs.mkdirs(root)
+    val leasePath = new HPath(root, "_refreshing")
+    if (fs.exists(leasePath) || !fs.createNewFile(leasePath))
       throw new IllegalStateException(
-        s"$indexDir is being refreshed (lease ${lease(indexDir)} present); " +
+        s"$indexDir is being refreshed (lease $indexDir/_refreshing present); " +
           "wait for the running refresh — or, if none is running, remove the stale lease")
-    Files.createFile(lease(indexDir))
     try {
-      val v = currentVersion(indexDir).getOrElse(0L) + 1L
+      val v = readVersion(fs, root).getOrElse(0L) + 1L
       val vdir = s"$indexDir/v=$v"
       val (qn, cent) = graft.operators.SimilarityQueries.ivfIndexOf(embeddings)
       qn.write.mode(SaveMode.Overwrite).parquet(s"$vdir/qn.parquet")
       cent.write.mode(SaveMode.Overwrite).parquet(s"$vdir/cent.parquet")
-      Files.createFile(Paths.get(vdir, "_complete")) // seal AFTER both writes
-      // atomic pointer swap: temp write + ATOMIC_MOVE, never a partial read
-      val tmp = Paths.get(indexDir, s"_current.tmp$v")
-      Files.write(tmp, v.toString.getBytes("UTF-8"))
-      Files.move(tmp, currentFile(indexDir),
-        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+      fs.createNewFile(new HPath(root, s"v=$v/_complete")) // seal AFTER both writes
+      // atomic pointer swap: temp write + overwrite-rename, never a partial read
+      val tmp = new HPath(root, s"_current.tmp$v")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      val fc = FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
+        Options.Rename.OVERWRITE)
+      gcSweep(fs, root, v)
       v
-    } finally Files.deleteIfExists(lease(indexDir))
+    } finally fs.delete(leasePath, false)
+  }
+
+  /** Best-effort removal of everything except {current, current-1}
+    * version dirs, the pointer and the lease: superseded versions,
+    * unsealed crash leftovers above current, orphaned `_current.tmp*`.
+    * Failures are swallowed — a retained stale version costs bytes,
+    * never correctness. */
+  private def gcSweep(fs: FileSystem, root: HPath, current: Long): Unit = {
+    try {
+      fs.listStatus(root).foreach { s =>
+        val name = s.getPath.getName
+        val stale =
+          (name.startsWith("v=") &&
+            name.drop(2).toLongOption.exists(n => n != current && n != current - 1)) ||
+          name.startsWith("_current.tmp")
+        if (stale) fs.delete(s.getPath, true)
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** The serving version `_current` points to, if any. */
-  def currentVersion(indexDir: String): Option[Long] = {
-    val f = currentFile(indexDir)
-    if (!Files.exists(f)) None
-    else Some(new String(Files.readAllBytes(f), "UTF-8").trim.toLong)
+  def currentVersion(spark: SparkSession, indexDir: String): Option[Long] = {
+    val (fs, root) = fsFor(spark, indexDir)
+    readVersion(fs, root)
   }
 
   /** Load the CURRENT index (qn, cent) for serving. Only a sealed
     * version can ever be current (refresh writes `_current` after the
     * `_complete` marker), so an unmarked crash-leftover dir is
-    * unreachable from here. */
-  def load(spark: SparkSession, indexDir: String): (DataFrame, DataFrame) = {
-    val v = currentVersion(indexDir).getOrElse(
+    * unreachable from here.
+    *
+    * `onResolve` is the resolve→read seam: it fires after `_current`
+    * has been resolved but before the version dir is opened —
+    * AnnIndexRefreshSpec injects a full refresh there to prove a
+    * batch in flight across the swap still completes on the version
+    * it resolved (GC retains current-1 precisely for that reader). */
+  def load(spark: SparkSession, indexDir: String,
+      onResolve: Long => Unit = _ => ()): (DataFrame, DataFrame) = {
+    val (fs, root) = fsFor(spark, indexDir)
+    val v = readVersion(fs, root).getOrElse(
       throw new IllegalStateException(s"no current index version under $indexDir"))
+    onResolve(v)
     val vdir = s"$indexDir/v=$v"
-    require(Files.exists(Paths.get(vdir, "_complete")),
+    require(fs.exists(new HPath(root, s"v=$v/_complete")),
       s"current version $v under $indexDir is not sealed — refusing to serve")
     (spark.read.parquet(s"$vdir/qn.parquet"),
       spark.read.parquet(s"$vdir/cent.parquet"))
@@ -85,10 +146,12 @@ object AnnIndexStore {
     * index version — re-resolves `_current` per call, so a refresh
     * completing between micro-batches takes effect on the next batch
     * with no gate restart (the refresh boundary AnnIndexRefreshSpec
-    * drives). */
+    * drives). `onResolve` threads through to [[load]]'s resolve→read
+    * seam. */
   def serveCurrent(spark: SparkSession, batch: DataFrame, indexDir: String,
-      k: Int, excludeSelf: Boolean = false): DataFrame = {
-    val (qn, cent) = load(spark, indexDir)
+      k: Int, excludeSelf: Boolean = false,
+      onResolve: Long => Unit = _ => ()): DataFrame = {
+    val (qn, cent) = load(spark, indexDir, onResolve)
     AnnServeGate.serve(batch, qn, cent, k, excludeSelf)
   }
 }

@@ -51,7 +51,7 @@ class AnnIndexRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("serve across a refresh boundary == cold rebuild on each side") {
     val indexDir = java.nio.file.Files.createTempDirectory("ann-index").toString
     val v1 = AnnIndexStore.refresh(spark, base, indexDir)
-    assert(v1 == 1L && AnnIndexStore.currentVersion(indexDir).contains(1L))
+    assert(v1 == 1L && AnnIndexStore.currentVersion(spark, indexDir).contains(1L))
 
     val probes = embsAll.where(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("vec"))
@@ -60,7 +60,7 @@ class AnnIndexRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // batch 1 against v1, then refresh on base+delta, then batch 2
     val got1 = answers(AnnIndexStore.serveCurrent(spark, probes, indexDir, k = 3))
     val v2 = AnnIndexStore.refresh(spark, grown, indexDir)
-    assert(v2 == 2L && AnnIndexStore.currentVersion(indexDir).contains(2L))
+    assert(v2 == 2L && AnnIndexStore.currentVersion(spark, indexDir).contains(2L))
     val got2 = answers(AnnIndexStore.serveCurrent(spark, probes, indexDir, k = 3))
 
     // each side equals a COLD index built directly from the same rows
@@ -109,6 +109,45 @@ class AnnIndexRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(results(1) == answers(AnnServeGate.serve(probes, qg, cg, k = 3)))
   }
 
+  test("a batch in flight ACROSS the swap completes on its resolved version; the next batch reads the new one") {
+    val indexDir = java.nio.file.Files.createTempDirectory("ann-index-interleave").toString
+    AnnIndexStore.refresh(spark, base, indexDir)
+
+    val probes = embsAll.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("vec"))
+      .localCheckpoint()
+
+    // the serving batch resolves _current = 1, and THEN — inside the
+    // resolve→read window, via the onResolve seam — a full refresh to
+    // v=2 completes, swapping the pointer and running GC. The in-
+    // flight batch must still complete on v=1 (GC retains current-1
+    // exactly for this reader) and answer as the v=1 index.
+    var resolvedAt = -1L
+    val inflight = AnnIndexStore.serveCurrent(spark, probes, indexDir, k = 3,
+      onResolve = { v =>
+        resolvedAt = v
+        val v2 = AnnIndexStore.refresh(spark, grown, indexDir)
+        assert(v2 == 2L)
+        assert(AnnIndexStore.currentVersion(spark, indexDir).contains(2L))
+      })
+    val gotInflight = answers(inflight) // action AFTER the swap
+    assert(resolvedAt == 1L)
+    val (qb, cb) = graft.operators.SimilarityQueries.ivfIndexOf(base)
+    val (qg, cg) = graft.operators.SimilarityQueries.ivfIndexOf(grown)
+    assert(gotInflight == answers(AnnServeGate.serve(probes, qb, cb, k = 3)),
+      "in-flight batch did not complete on the version it resolved")
+    // v=1 is still on disk (retained as current-1), v=2 is current
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "v=1", "_complete")))
+    // the NEXT batch re-resolves and reads the refreshed index
+    val gotNext = answers(AnnIndexStore.serveCurrent(spark, probes, indexDir, k = 3))
+    assert(gotNext == answers(AnnServeGate.serve(probes, qg, cg, k = 3)))
+    assert(gotInflight != gotNext, "refresh was a no-op — fixture exercises nothing")
+    // ...and one more refresh collects v=1 (now current-2)
+    AnnIndexStore.refresh(spark, grown, indexDir)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "v=1")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(indexDir, "v=2", "_complete")))
+  }
+
   test("refresh lease excludes concurrent refreshers; stale lease is explicit") {
     val indexDir = java.nio.file.Files.createTempDirectory("ann-index-lease").toString
     AnnIndexStore.refresh(spark, base, indexDir)
@@ -131,7 +170,7 @@ class AnnIndexRefreshSpec extends AnyFunSuite with BeforeAndAfterAll {
     // before sealing: v=2 exists, no _complete, _current still = 1
     val vdir = java.nio.file.Paths.get(indexDir, "v=2")
     java.nio.file.Files.createDirectories(vdir)
-    assert(AnnIndexStore.currentVersion(indexDir).contains(1L))
+    assert(AnnIndexStore.currentVersion(spark, indexDir).contains(1L))
     val (qn, _) = AnnIndexStore.load(spark, indexDir)
     assert(qn.count() > 0) // still serving v1
     // the NEXT refresh claims version 2? No: versions only move forward
