@@ -33,7 +33,11 @@ object StreamBench {
     // per-micro-batch task+commit overhead doesn't swamp small batches
     val statePartitions = args.lift(1).map(_.toInt).getOrElse(32)
     val engine = args.lift(2).getOrElse("fmgws")
-    if (engine == "chain") { chain(sfDir, batches, statePartitions); return }
+    if (engine == "chain") {
+      chain(sfDir, batches, statePartitions,
+        compactEvery = args.lift(3).map(_.toInt).getOrElse(0))
+      return
+    }
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", statePartitions)
@@ -104,8 +108,15 @@ object StreamBench {
     * to the packing gate and its micro-batch is driven to completion —
     * the synchronous per-page admission a composed ingest pipeline
     * performs. docs/sec is end-to-end: both gates' work plus all
-    * persistence, first feed to last pack commit. */
-  private def chain(sfDir: String, batches: Int, statePartitions: Int): Unit = {
+    * persistence, first feed to last pack commit.
+    *
+    * `compactEvery` > 0 folds the bucket index every N admitted pages
+    * (NearDupStream.compactIndex — safe here because the chain is the
+    * gate's only writer and runs it between pages, i.e. quiescent): a
+    * weeks-long ingestion otherwise accumulates one index partition
+    * per page and every page's scan re-lists them all. */
+  private def chain(sfDir: String, batches: Int, statePartitions: Int,
+      compactEvery: Int = 0): Unit = {
     val spark: SparkSession = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", statePartitions)
@@ -153,6 +164,8 @@ object StreamBench {
         pq.processAllAvailable()
       }
       bid += 1
+      if (compactEvery > 0 && bid % compactEvery == 0)
+        NearDupStream.compactIndex(spark, s"$root/index")
     }
     val wallS = (System.nanoTime() - t0) / 1e9
     pq.stop()

@@ -101,7 +101,9 @@ object NearDupStream {
     val bands = signature(docs).localCheckpoint() // one signature pass per batch
     val seen = readIndex(spark, indexDir, batchId)
     // drop if any bucket is in the corpus index, or holds a smaller
-    // doc_id within this batch (deterministic under any partitioning)
+    // doc_id within this batch (deterministic under any partitioning);
+    // index collisions outrank in-batch ties when both apply — the
+    // corpus side is the one the exact confirm must consult
     val inIndex = bands.join(seen, Seq("band", "bucket"), "left_semi")
       .select(col("doc_id")).distinct()
     val batchMin = bands
@@ -109,23 +111,42 @@ object NearDupStream {
     val underMin = bands.join(batchMin, Seq("band", "bucket"))
       .where(col("doc_id") > col("min_id"))
       .select(col("doc_id")).distinct()
-    val dropped = inIndex.union(underMin).distinct()
-    val kept = docs.join(dropped, Seq("doc_id"), "left_anti")
-    // batch-scoped subdirs make a redone batch overwrite, not double
-    kept.write.mode(SaveMode.Overwrite).parquet(s"$keptDir/batch=$batchId")
-    quarantineDir.foreach { qd =>
-      // index collisions outrank in-batch ties when both apply: the
-      // corpus side is the one the exact confirm must consult
-      docs.join(dropped, Seq("doc_id"), "left_semi")
-        .join(inIndex.select(col("doc_id"), lit("corpus_index").as("reason")),
-          Seq("doc_id"), "left")
-        .select(payload.map(col) :+
-          coalesce(col("reason"), lit("batch_min")).as("reason"): _*)
-        .write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
-    }
-    bands.join(kept.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("band"), col("bucket")).distinct()
-      .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
+    // the per-doc drop verdict, checkpointed ONCE (batch-bounded rows,
+    // reclaimed by the ContextCleaner when the batch's plans drop): all
+    // three persistence writes below consume it, so the ever-growing
+    // corpus-index scan inside inIndex runs once per batch — the
+    // round-13 form re-ran it inside each write, 3× per admitted page
+    val reasons = inIndex.select(col("doc_id"), lit("corpus_index").as("reason"))
+      .unionByName(underMin.join(inIndex, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit("batch_min").as("reason")))
+      .localCheckpoint()
+    val kept = docs.join(reasons, Seq("doc_id"), "left_anti")
+    // batch-scoped subdirs make a redone batch overwrite, not double.
+    // The three writes are independent jobs fenced by ONE marker — the
+    // marker lands only after ALL complete, so they form one logical
+    // transaction per page and can run CONCURRENTLY (wall cost of the
+    // slowest write, not the sum; a crash mid-any leaves the batch
+    // unmarked and the redo overwrites all three subdirs).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val writes = Seq(
+      Future {
+        kept.write.mode(SaveMode.Overwrite).parquet(s"$keptDir/batch=$batchId")
+      },
+      Future {
+        quarantineDir.foreach { qd =>
+          docs.join(reasons, Seq("doc_id"))
+            .select(payload.map(col) :+ col("reason"): _*)
+            .write.mode(SaveMode.Overwrite).parquet(s"$qd/batch=$batchId")
+        }
+      },
+      Future {
+        bands.join(reasons.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("band"), col("bucket")).distinct()
+          .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
     Files.createDirectories(marker.getParent)
     Files.createFile(marker)
   }
