@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   *                             # (NearDupStream.overDropReport)
   *   corpus-report <sfDir>     # curation report card (q18_corpus_report)
   *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
+  *   sync-feed <sfDir> <workDir> [--gate neardup] [--ranges N] [--max-items N]
+  *                             # the reference tool's flagship
+  *                             # (`sync kafka from cosmos`) composed
+  *                             # one-command: change-feed source
+  *                             # (fenced leases, manual checkpoints) →
+  *                             # per-page span fold / near-dup gate →
+  *                             # Kafka wire frame into a topic dir —
+  *                             # see [[syncFeed]]
   *   import-export <exportDir> <outDir> [eventsPerBatch]
   *                             # DynamoDB S3-export → index spans
   *                             # (reference DynamoDbExport importer)
@@ -27,7 +35,7 @@ object Tool {
     case "sync" :: rest => Pipeline.main(rest.toArray)
     case cmd :: rest => withSpark { spark => run(spark, cmd, rest) }
     case Nil =>
-      System.err.println("usage: checkpoint-show|checkpoint-override|stats|sync ...")
+      System.err.println("usage: checkpoint-show|checkpoint-override|stats|sync|sync-feed ...")
       sys.exit(2)
   }
 
@@ -73,6 +81,8 @@ object Tool {
       case ("corpus-report", sfDir :: Nil) =>
         operators.CurationQueries.q18CorpusReport.build(spark, sfDir)
           .show(200, truncate = false)
+      case ("sync-feed", rest1) if rest1.size >= 2 =>
+        syncFeed(spark, rest1)
       case ("import-export", exportDir :: outDir :: rest1) if rest1.size <= 1 =>
         val perBatch = rest1.headOption.map(_.toInt).getOrElse(1000)
         val (ready, pending) =
@@ -88,11 +98,130 @@ object Tool {
         sys.exit(2)
     }
 
+  /** One-command composed sync — the reference tool's flagship
+    * (`propulsion sync kafka from cosmos`,
+    * tools/Propulsion.Tool/Sync.fs): change-feed source → processor →
+    * producer sink, driven to tail, exactly-once.
+    *
+    *   - SOURCE: the fixture table staged ONCE as a range-partitioned
+    *     change feed (ChangeFeed.withRanges — the Cosmos token-range
+    *     analogue; re-runs resume, never restage), consumed by
+    *     ChangeFeedProcessor: fenced CAS leases, per-range
+    *     continuations, manual checkpoints — the full §2.1 protocol,
+    *     not a shortcut scan.
+    *   - PROCESSOR: default = the per-page span fold
+    *     (SpanCodec.renderSpans — per-stream coalescing, the batch
+    *     form of StreamProcessor's group fold; a stream hashes
+    *     entirely into one range, so its events arrive in idx order
+    *     and spans render contiguously). `--gate neardup` instead
+    *     routes DOCUMENT pages through the NearDupStream admission
+    *     gate (bucket index + quarantine + marker protocol) and syncs
+    *     only the kept set.
+    *   - SINK: SpanCodec.toKafkaFrame rows (key/value/topic — the
+    *     exact columns `writeStream.format("kafka")` consumes) landed
+    *     in `$workDir/topic/batch=<rangeId:epoch>` — the
+    *     partition-faithful parquet topic KafkaTransportSpec pins; on
+    *     a clustered deployment the same frame goes to the broker
+    *     writer verbatim.
+    *
+    * Exactly-once: every per-page write (topic; with the gate also
+    * kept/quarantine/index) is a batch-scoped overwrite subdir keyed
+    * by (rangeId, page epoch), and the lease continuation advances by
+    * fenced CAS only AFTER the writes — a crash replays the page into
+    * the same subdirs (overwrite, not double), a fenced-off owner
+    * loses the CAS and stops. Same marker discipline the crash-resume
+    * drive proves for graft.Pipeline. */
+  private def syncFeed(spark: SparkSession, args: List[String]): Unit = {
+    import graft.sources.{ChangeFeed, ChangeFeedProcessor, LeaseStore}
+    val (pos0, flags) = args.partition(!_.startsWith("--"))
+    val (sfDir, work) = (pos0.head, pos0(1))
+    def flag(name: String): Option[String] =
+      flags.zipWithIndex.collectFirst { case (f, _) if f == s"--$name" =>
+        args.drop(args.indexOf(f) + 1).headOption }.flatten
+    val gate = flag("gate").getOrElse("none")
+    val nRanges = flag("ranges").map(_.toInt).getOrElse(4)
+    val maxItems = flag("max-items").map(_.toInt).getOrElse(2500)
+    require(gate == "none" || gate == "neardup", s"unknown --gate '$gate' (neardup)")
+
+    val feedDir = s"$work/feed"
+    val topicDir = s"$work/topic"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$feedDir/_SUCCESS"))) {
+      println(s"[sync-feed] feed already staged, resuming: $feedDir")
+    } else {
+      val src =
+        if (gate == "neardup")
+          ChangeFeed.withRanges(
+            spark.read.parquet(s"$sfDir/documents.parquet")
+              .select(col("doc_id"), col("source"), col("text")),
+            "doc_id", nRanges)
+            .withColumn("pos", col("doc_id"))
+        else {
+          import org.apache.spark.sql.expressions.Window
+          ChangeFeed.withRanges(
+            graft.model.Envelope.fromEvents(
+              graft.model.Envelope.readTable(spark, sfDir, "events"))
+              .select(col("stream_name"), col("idx"), col("event_type"),
+                col("props").as("data")),
+            "stream_name", nRanges)
+            // per-range position: strictly increasing, stream-ordered —
+            // a stream's events page out in idx order (ordering contract)
+            .withColumn("pos", row_number().over(
+              Window.partitionBy(col("range_id"))
+                .orderBy(col("stream_name"), col("idx"))).cast("long"))
+        }
+      src.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(feedDir)
+      println(s"[sync-feed] staged $feedDir (gate=$gate, ranges=$nRanges)")
+    }
+
+    var pages = 0L
+    var rows = 0L
+    val handler: (graft.sources.ChangeFeedContext, org.apache.spark.sql.DataFrame, () => Unit) => Unit =
+      (ctx, page, checkpoint) => {
+        // (rangeId, epoch) is unique per admitted page and stable
+        // across a replay of the same continuation — the batch key of
+        // every write below
+        val batchId = (ctx.rangeId.toLong << 40) | ctx.epoch
+        val rendered =
+          if (gate == "neardup") {
+            graft.streaming.NearDupStream.processBatch(
+              page.select(col("doc_id"), col("source"), col("text")), batchId,
+              s"$work/index", s"$work/kept", Some(s"$work/quar"),
+              Seq("doc_id", "source", "text"))
+            spark.read.parquet(s"$work/kept/batch=$batchId")
+              .select(concat(col("source"), lit("-"), col("doc_id")).as("stream_name"),
+                to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
+          } else
+            functions.SpanCodec.renderSpans(
+              page.select(col("stream_name"), col("idx"), col("event_type"), col("data")))
+        functions.SpanCodec.toKafkaFrame(rendered, if (gate == "neardup") "corpus" else "events")
+          .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(s"$topicDir/batch=$batchId")
+        pages += 1; rows += ctx.items
+        checkpoint() // fenced CAS: continuation advances only after the writes
+      }
+
+    val leases = new LeaseStore(s"$work/leases")
+    val proc = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", nRanges,
+      leases, "sync-feed", "tool-1", leaseTtlMs = 60000L, maxItems = maxItems,
+      handler = handler, clock = () => System.currentTimeMillis())
+    val t0 = System.nanoTime()
+    val polls = proc.runUntilCaughtUp()
+    val secs = (System.nanoTime() - t0) / 1e9
+    proc.stop()
+    val produced = spark.read.parquet(topicDir).count()
+    println(s"[sync-feed] caught up: polls=$polls pages=$pages rows=$rows " +
+      s"produced=$produced secs=${math.round(secs * 1000) / 1000.0} " +
+      s"rows_per_sec=${if (secs > 0) (rows / secs).round else 0} topic=$topicDir")
+  }
+
   private def withSpark[A](f: SparkSession => A): A = {
     val spark = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .appName("graft-tool")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

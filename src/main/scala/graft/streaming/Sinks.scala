@@ -226,9 +226,11 @@ object CheckpointStore {
     val tmp = new HPath(root, s"_current.tmp$v")
     val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    CrashPoint.maybe("ckpt-pre-swap") // v=N written+tmp staged, pointer still old
     val fc = FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
       Options.Rename.OVERWRITE)
+    CrashPoint.maybe("ckpt-pre-gc") // pointer swapped, stale versions not yet GC'd
     // first versioned commit over a legacy flat layout: the legacy root
     // data files were absorbed into v=1 above — remove them so a later
     // lost/corrupt pointer surfaces as "empty" rather than silently
@@ -281,7 +283,10 @@ object CheckpointStore {
             name.drop(2).toLongOption.exists(n => n != current && n != current - 1)) ||
           name.startsWith("_current.tmp") ||
           (legacyToo && name != "_current" && !name.startsWith("v="))
-        if (stale) fs.delete(s.getPath, true)
+        if (stale) {
+          CrashPoint.maybe("ckpt-mid-gc") // pointer live, sweep partially done
+          fs.delete(s.getPath, true)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }

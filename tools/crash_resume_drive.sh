@@ -1,17 +1,32 @@
 #!/usr/bin/env bash
-# Exactly-once crash-resume drive at tier scale (SCALING.md round-13):
-# run graft.Pipeline over a tier's events table, SIGKILL the JVM
-# mid-batch, resume against the same workDir, and assert the resumed
-# store is IDENTICAL to a single uninterrupted run's store.
+# Exactly-once crash-resume gate at tier scale (SCALING.md rounds 13/14):
+# run graft.Pipeline over a tier's events table, kill the JVM, resume
+# against the same workDir, and assert the resumed store is IDENTICAL
+# to a single uninterrupted run's store.
 #
-# Usage: tools/crash_resume_drive.sh <sfDir> <workRoot> [killAfterSecs]
+# Two kill families per invocation:
+#   - SEED kills: external SIGKILL at jittered wall-clock offsets
+#     (base + seed*jitter), landing mid-batch / mid-shuffle / mid-write
+#     wherever the clock falls — exercises Spark's WAL/commit recovery;
+#   - PROTOCOL kills: in-process Runtime.halt at exact CheckpointStore
+#     windows via SPARK_GRAFT_CRASH_POINT (graft.streaming.CrashPoint):
+#     ckpt-pre-swap  = version written, pointer still old
+#     ckpt-pre-gc    = pointer swapped, stale versions not yet swept
+#     ckpt-mid-gc    = sweep partially done
+#     — exercises the external store's atomicity at its weakest
+#     instants, which timed kills almost never hit.
+#
+# Usage: tools/crash_resume_drive.sh <sfDir> <workRoot> [seeds] [baseKillSecs]
+#   seeds        number of jittered external-kill runs (default 5)
+#   baseKillSecs first kill offset; seed s kills at base + 11*s (default 30)
 #
 # Runs the class directly (the build.sbt fork flags replicated below)
 # so the kill hits the exact Spark JVM, not an sbt wrapper.
 set -u
 SF=${1:?sfDir}
 ROOT=${2:?workRoot}
-KILL_AFTER=${3:-45}
+SEEDS=${3:-5}
+BASE_KILL=${4:-30}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA_FLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-8g}"
@@ -21,48 +36,76 @@ run_pipeline() { # $1 = workDir, $2 = logfile
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$1" >"$2" 2>&1
 }
 
-rm -rf "$ROOT"; mkdir -p "$ROOT"
-
-echo "== reference: single uninterrupted run =="
-run_pipeline "$ROOT/single" "$ROOT/single.log" || { tail -5 "$ROOT/single.log"; exit 1; }
-grep '^\[pipeline\]' "$ROOT/single.log" | tail -3
-
-echo "== crash run: SIGKILL after ${KILL_AFTER}s =="
-java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$ROOT/crash" \
-  >"$ROOT/crash1.log" 2>&1 &
-PID=$!
-sleep "$KILL_AFTER"
-if kill -0 "$PID" 2>/dev/null; then
-  kill -9 "$PID"
-  wait "$PID" 2>/dev/null
-  echo "killed pid $PID after ${KILL_AFTER}s; batches seen:"
-  grep -c '^\[pipeline\] batch=' "$ROOT/crash1.log" || true
-else
-  wait "$PID" 2>/dev/null
-  echo "WARNING: run finished before the kill (${KILL_AFTER}s too late to interrupt)"
-  grep -c '^\[pipeline\] batch=' "$ROOT/crash1.log" || true
-fi
-
-echo "== resume run (same workDir) =="
-run_pipeline "$ROOT/crash" "$ROOT/crash2.log" || { tail -5 "$ROOT/crash2.log"; exit 1; }
-grep '^\[pipeline\]' "$ROOT/crash2.log" | tail -3
-
-echo "== compare stores =="
-python3 - "$ROOT" <<'EOF'
+compare_store() { # $1 = crashed+resumed workDir; prints md5 line, exits 1 on mismatch
+  python3 - "$ROOT" "$1" <<'EOF'
 import sys
 import duckdb
-root = sys.argv[1]
+root, crashed = sys.argv[1], sys.argv[2]
 q = lambda d: duckdb.sql(
     f"SELECT count(*), count(DISTINCT (stream_name, idx)), "
     f"md5(string_agg(stream_name || ':' || idx || ':' || result, '|' "
     f"ORDER BY stream_name, idx)) FROM read_parquet('{d}/store/*.parquet')"
 ).fetchone()
-single, resumed = q(f"{root}/single"), q(f"{root}/crash")
-print(f"single : rows={single[0]} distinct={single[1]} hash={single[2]}")
-print(f"resumed: rows={resumed[0]} distinct={resumed[1]} hash={resumed[2]}")
-assert resumed[1] == single[1], "distinct (stream, idx) sets differ — LOSS or PHANTOM"
-assert resumed[2] == single[2], "store content hash differs"
-# rows == distinct proves the sink admitted no duplicate positions
-assert single[0] == single[1] and resumed[0] == resumed[1], "duplicate rows in a store"
-print("OK: resumed store byte-identical to the single-run store, no dup positions")
+single, resumed = q(f"{root}/single"), q(crashed)
+ok = (resumed[1] == single[1] and resumed[2] == single[2]
+      and single[0] == single[1] and resumed[0] == resumed[1])
+print(f"  single  rows={single[0]} hash={single[2]}")
+print(f"  resumed rows={resumed[0]} hash={resumed[2]}  -> {'IDENTICAL' if ok else 'MISMATCH'}")
+sys.exit(0 if ok else 1)
 EOF
+}
+
+kill_run() { # $1 = workDir, $2 = log, $3 = killAfterSecs, extra env via CRASH_ENV
+  if [ -n "${CRASH_ENV:-}" ]; then
+    env "$CRASH_ENV" java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$1" >"$2" 2>&1 &
+  else
+    java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$1" >"$2" 2>&1 &
+  fi
+  PID=$!
+  if [ "$3" -gt 0 ]; then
+    sleep "$3"
+    if kill -0 "$PID" 2>/dev/null; then
+      kill -9 "$PID"; wait "$PID" 2>/dev/null
+      echo "  external SIGKILL after $3 s; batches before kill: $(grep -c '^\[pipeline\] batch=' "$2" || true)"
+    else
+      wait "$PID" 2>/dev/null
+      echo "  WARNING: run finished before the ${3}s kill"
+    fi
+  else
+    wait "$PID" 2>/dev/null # crash-point run: the JVM halts itself
+    echo "  crash-point halt; batches before halt: $(grep -c '^\[pipeline\] batch=' "$2" || true); $(grep '\[crashpoint\]' "$2" || echo 'NO HALT FIRED')"
+  fi
+}
+
+rm -rf "$ROOT"; mkdir -p "$ROOT"
+FAILS=0
+
+echo "== reference: single uninterrupted run =="
+run_pipeline "$ROOT/single" "$ROOT/single.log" || { tail -5 "$ROOT/single.log"; exit 1; }
+grep '^\[pipeline\]' "$ROOT/single.log" | tail -2
+
+for s in $(seq 1 "$SEEDS"); do
+  K=$((BASE_KILL + 11 * (s - 1)))
+  echo "== seed $s: external SIGKILL at ${K}s =="
+  kill_run "$ROOT/seed$s" "$ROOT/seed$s.crash.log" "$K"
+  run_pipeline "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; FAILS=$((FAILS+1)); continue; }
+  compare_store "$ROOT/seed$s" || FAILS=$((FAILS+1))
+done
+
+# hit counts: pre-swap/pre-gc fire once per commit -> 3rd = batch 3;
+# mid-gc fires once per swept stale entry, and the first commit with a
+# stale version (current-2) is commit 3 -> 1st hit = batch 3's sweep
+for spec in ckpt-pre-swap:3 ckpt-pre-gc:3 ckpt-mid-gc:1; do
+  point=${spec%%:*}
+  echo "== protocol kill: $spec =="
+  CRASH_ENV="SPARK_GRAFT_CRASH_POINT=$spec" kill_run "$ROOT/$point" "$ROOT/$point.crash.log" 0
+  if ! grep -q '\[crashpoint\]' "$ROOT/$point.crash.log"; then
+    echo "  FAIL: crash point $spec never fired — protocol window untested"
+    FAILS=$((FAILS+1)); continue
+  fi
+  CRASH_ENV="" run_pipeline "$ROOT/$point" "$ROOT/$point.resume.log" || { tail -5 "$ROOT/$point.resume.log"; FAILS=$((FAILS+1)); continue; }
+  compare_store "$ROOT/$point" || FAILS=$((FAILS+1))
+done
+
+echo "== summary: $((SEEDS + 3)) kill/resume cycles, $FAILS failures =="
+exit "$FAILS"
