@@ -534,6 +534,21 @@ object ScaleOps {
       build(wideRead(spark, dir, table)).write.mode("overwrite").parquet(staging)
     })
 
+  /** Content fingerprint of one fixture table's files (name + length
+    * + mtime): the key every materialized derived artifact carries in
+    * its path, so a regenerated fixture can never pair with a stale
+    * copy. */
+  private def fixtureFingerprint(dir: String, table: String): String = {
+    val src = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (src.isDirectory) Option(src.listFiles()).map(_.toVector).getOrElse(Vector.empty)
+      else Vector(src)
+    java.lang.Long.toHexString(
+      files.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
+        31 * (31 * h + f.getName.hashCode) + f.length() + f.lastModified()
+      })
+  }
+
   private def materialized(spark: SparkSession, dir: String, table: String,
       prefix: String)(write: (DataFrame, String) => Unit): String = {
     val safe = s"${dir}_$table".replaceAll("[^A-Za-z0-9]", "_")
@@ -544,15 +559,7 @@ object ScaleOps {
         f.lastModified() < System.currentTimeMillis() - 3600_000L)
       .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
         catch { case _: java.io.IOException => () })
-    val src = new java.io.File(s"$dir/$table.parquet")
-    val files =
-      if (src.isDirectory) Option(src.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-      else Vector(src)
-    val fp = java.lang.Long.toHexString(
-      files.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
-        31 * (31 * h + f.getName.hashCode) + f.length() + f.lastModified()
-      })
-    val out = s"${System.getProperty("java.io.tmpdir")}/$prefix${safe}_$fp"
+    val out = s"${System.getProperty("java.io.tmpdir")}/$prefix${safe}_${fixtureFingerprint(dir, table)}"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val staging = s"$out.stage.${java.util.UUID.randomUUID().toString.take(8)}"
       write(Envelope.readTable(spark, dir, table), staging)
@@ -627,25 +634,44 @@ object ScaleOps {
 
   private val bucketTables = new SessionCache[String, (String, String)]()
 
-  /** (ordersTable, lineitemTable) bucketed by the join key, written on
-    * first use per (session, dir). */
+  /** (ordersTable, lineitemTable) bucketed by the join key. The files
+    * are written ONCE per fixture fingerprint (the ingest job's output,
+    * like the wide copies); later sessions re-REGISTER the existing
+    * bucketed layout with a DDL CREATE TABLE … CLUSTERED BY over the
+    * same location instead of re-running the CTAS — the catalog entry
+    * is session-scoped, the layout is not, and paying the two-table
+    * rewrite once per bench session showed up as a recurring 2 s
+    * first-rep spike on q20_bucket_join (round-14 A/B forensics). */
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     bucketTables.getOrElseUpdate(spark, dir) {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket$safe"
+      val fpO = fixtureFingerprint(dir, "orders")
+      val fpL = fixtureFingerprint(dir, "lineitem")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket${safe}_${fpO}_$fpL"
       val oTbl = s"graft_bucket_orders$safe"
       val lTbl = s"graft_bucket_lineitem$safe"
-      Envelope.readTable(spark, dir, "orders")
-        .select(col("o_orderkey"), col("o_orderpriority"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
-      wideRead(spark, dir, "lineitem")
-        .select(col("l_orderkey").as("o_orderkey"),
-          col("l_extendedprice"), col("l_discount"))
-        .write.mode(SaveMode.Overwrite)
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .option("path", s"$base/lineitem").format("parquet").saveAsTable(lTbl)
+      def ready(sub: String) = new java.io.File(s"$base/$sub/_SUCCESS").exists()
+      def register(tbl: String, sub: String): Unit = {
+        val schema = spark.read.parquet(s"$base/$sub").schema.toDDL
+        spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet " +
+          s"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS " +
+          s"LOCATION '$base/$sub'")
+      }
+      if (ready("orders") && ready("lineitem")) {
+        register(oTbl, "orders"); register(lTbl, "lineitem")
+      } else {
+        Envelope.readTable(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/orders").format("parquet").saveAsTable(oTbl)
+        wideRead(spark, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"),
+            col("l_extendedprice"), col("l_discount"))
+          .write.mode(SaveMode.Overwrite)
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$base/lineitem").format("parquet").saveAsTable(lTbl)
+      }
       (oTbl, lTbl)
     }
 
