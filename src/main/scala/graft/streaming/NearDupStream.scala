@@ -1,9 +1,8 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import graft.operators.SimilarityQueries
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -38,14 +37,20 @@ object NearDupStream {
   private def bucketIndex(docs: DataFrame): DataFrame =
     SimilarityQueries.bandBuckets(docs).select(col("doc_id"), col("band"), col("bucket"))
 
-  private def readIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+  // all marker/lease/listing I/O goes through the Hadoop FileSystem of
+  // the index dir itself (the round-14 CheckpointStore/AnnIndexStore
+  // discipline): the protocol works unchanged when the index lives on
+  // hdfs:// instead of silently writing markers to the local disk
+  private def fsFor(spark: SparkSession, dir: String): (FileSystem, HPath) = {
+    val p = new HPath(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def readIndex(spark: SparkSession, indexDir: String,
       excludeBatchId: Long): DataFrame = {
-    val p = Paths.get(indexDir)
-    val hasBatches = Files.exists(p) && {
-      val s = Files.list(p)
-      try s.anyMatch(f => f.getFileName.toString.startsWith("batch="))
-      finally s.close()
-    }
+    val (fs, root) = fsFor(spark, indexDir)
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
     if (hasBatches)
       // exclude the current batch's partition: a crash between the
       // index write and the marker must not make the redone batch see
@@ -88,13 +93,14 @@ object NearDupStream {
     // files mid-job (no data loss either way — the marker protocol
     // redoes the batch — but this turns a confusing mid-job
     // FileNotFound into an immediate, explicit error)
-    if (Files.exists(Paths.get(s"$indexDir/_compacting")))
+    val (ifs, iroot) = fsFor(spark, indexDir)
+    if (ifs.exists(new HPath(iroot, "_compacting")))
       throw new IllegalStateException(
         s"$indexDir is being compacted (lease file $indexDir/_compacting present); " +
           "retry the batch after compactIndex finishes — or, if no compactor is " +
           "running, remove the stale lease left by a crashed compaction")
-    val marker = Paths.get(s"$indexDir/_batches/batch-$batchId")
-    if (Files.exists(marker)) return // redelivered batch: no-op
+    val marker = new HPath(iroot, s"_batches/batch-$batchId")
+    if (ifs.exists(marker)) return // redelivered batch: no-op
     // payload head must be doc_id; the rest travels to kept/quarantine
     // (text for the text/modality gates, embedding for the vector gate)
     val docs = batch.select(payload.map(col): _*)
@@ -147,8 +153,8 @@ object NearDupStream {
           .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$batchId")
       })
     Await.result(Future.sequence(writes), Duration.Inf)
-    Files.createDirectories(marker.getParent)
-    Files.createFile(marker)
+    ifs.mkdirs(marker.getParent)
+    ifs.createNewFile(marker)
   }
 
   /** Minhash-LSH batch processing (the original surface). Exposed for
@@ -204,45 +210,35 @@ object NearDupStream {
     * stale lease, which then blocks batches with an explicit
     * remove-the-stale-lease message — fail-fast, never data loss.
     * Returns the number of partitions folded (0 = nothing to do). */
-  def compactIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
-    val p = Paths.get(indexDir)
-    if (!Files.exists(p)) return 0L
-    val lease = p.resolve("_compacting")
-    try Files.createFile(lease)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new IllegalStateException(
-          s"$lease already exists: another compaction is running (or crashed " +
-            "mid-fold — verify none is, then remove the lease and rerun)")
-    }
-    try compactIndexLocked(spark, indexDir, p)
-    finally Files.deleteIfExists(lease)
+  def compactIndex(spark: SparkSession, indexDir: String): Long = {
+    val (fs, root) = fsFor(spark, indexDir)
+    if (!fs.exists(root)) return 0L
+    val lease = new HPath(root, "_compacting")
+    if (fs.exists(lease) || !fs.createNewFile(lease))
+      throw new IllegalStateException(
+        s"$lease already exists: another compaction is running (or crashed " +
+          "mid-fold — verify none is, then remove the lease and rerun)")
+    try compactIndexLocked(spark, indexDir, fs, root)
+    finally fs.delete(lease, false)
   }
 
-  private def compactIndexLocked(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, p: java.nio.file.Path): Long = {
-    def ls(dir: java.nio.file.Path): Vector[java.nio.file.Path] = {
-      if (!Files.exists(dir)) return Vector.empty
-      val s = Files.list(dir)
-      try { import scala.jdk.CollectionConverters._; s.iterator().asScala.toVector }
-      finally s.close()
-    }
-    val markers: Set[Long] = ls(p.resolve("_batches"))
-      .flatMap(f => f.getFileName.toString.stripPrefix("batch-").toLongOption).toSet
-    val parts: Vector[(Long, java.nio.file.Path)] = ls(p)
-      .filter(_.getFileName.toString.startsWith("batch="))
-      .flatMap(d => d.getFileName.toString.stripPrefix("batch=").toLongOption.map(_ -> d))
+  private def compactIndexLocked(spark: SparkSession,
+      indexDir: String, fs: FileSystem, root: HPath): Long = {
+    def ls(dir: HPath): Vector[HPath] =
+      if (!fs.exists(dir)) Vector.empty
+      else fs.listStatus(dir).map(_.getPath).toVector
+    val markers: Set[Long] = ls(new HPath(root, "_batches"))
+      .flatMap(f => f.getName.stripPrefix("batch-").toLongOption).toSet
+    val parts: Vector[(Long, HPath)] = ls(root)
+      .filter(_.getName.startsWith("batch="))
+      .flatMap(d => d.getName.stripPrefix("batch=").toLongOption.map(_ -> d))
     val sources = parts.filter { case (n, _) => n < 0 || markers(n) }
     if (sources.size <= 1) return 0L
     val outId = math.min(sources.map(_._1).min, 0L) - 1L
     spark.read.parquet(sources.map(_._2.toString): _*)
       .select(col("band"), col("bucket")).distinct()
       .write.mode(SaveMode.Overwrite).parquet(s"$indexDir/batch=$outId")
-    def rm(d: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(d)) ls(d).foreach(rm)
-      Files.delete(d)
-    }
-    sources.foreach { case (_, d) => rm(d) }
+    sources.foreach { case (_, d) => fs.delete(d, true) }
     sources.size.toLong
   }
 
