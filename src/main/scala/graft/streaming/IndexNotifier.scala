@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
@@ -96,14 +94,15 @@ object IndexNotifier {
     * subdir). Returns the number of newly published notifications. */
   def notify(tails: DataFrame, topicDir: String, batchId: Long): Long = {
     val spark = tails.sparkSession
-    val marker = Paths.get(s"$topicDir/_batches/batch-$batchId")
-    if (Files.exists(marker)) return 0L
-    val p = Paths.get(topicDir)
-    val hasBatches = Files.exists(p) && {
-      val s = Files.list(p)
-      try s.anyMatch(f => f.getFileName.toString.startsWith("batch="))
-      finally s.close()
-    }
+    // marker/listing I/O through the topic dir's own Hadoop FileSystem
+    // (the CheckpointStore/NearDupStream discipline): works unchanged
+    // for an hdfs:// topic instead of writing markers to local disk
+    val root = new org.apache.hadoop.fs.Path(topicDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(root, s"_batches/batch-$batchId")
+    if (fs.exists(marker)) return 0L
+    val hasBatches = fs.exists(root) &&
+      fs.listStatus(root).exists(_.getPath.getName.startsWith("batch="))
     val fresh =
       if (!hasBatches) tails
       else {
@@ -115,8 +114,8 @@ object IndexNotifier {
     val out = fresh.localCheckpoint() // count + write read one materialization
     val n = out.count()
     out.write.mode(SaveMode.Overwrite).parquet(s"$topicDir/batch=$batchId")
-    Files.createDirectories(marker.getParent)
-    Files.createFile(marker)
+    fs.mkdirs(marker.getParent)
+    fs.createNewFile(marker)
     n
   }
 }
