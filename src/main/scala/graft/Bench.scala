@@ -119,7 +119,13 @@ object Bench {
     // should scale ∝ data there, as they would on a real cluster.
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTS", cpus)
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // local[N, 2] = one task retry, like a cluster (maxFailures
+      // defaults to 4 there, but to 1 in local mode): a transient
+      // spill-read flake (JDK NativeThreadSet race under the
+      // ReadAheadInputStream prefetcher, seen once at the 60× tier)
+      // costs one retried task, not the whole query; a deterministic
+      // failure still fails both attempts and reports.
+      .master(s"local[$cpus,2]")
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffleParts)
       .config("spark.sql.adaptive.enabled", "true")

@@ -8,7 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // one task retry, like a cluster (see Bench: the 60×-tier JDK
+      // spill-read flake) — the correctness gate must not lose a
+      // round to a transient infrastructure race
+      .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
