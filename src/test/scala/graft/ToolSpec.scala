@@ -144,6 +144,31 @@ class ToolSpec extends AnyFunSuite {
     } finally spark.stop()
     val again = runTool("sync-feed", "/root/testdata/sf0.001", work, "--gate", "neardup")
     assert(again.contains("pages=0"), again)
+
+    // a REPLAYED page must overwrite, never double: rewind range 0's
+    // continuation (a lost-checkpoint / failed-over consumer) and
+    // re-run — same pages, same epochs, same batch subdirs; the gate's
+    // markers short-circuit its writes, the topic subdirs are
+    // overwritten with identical content
+    val spark2 = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    val (topicBefore, keptBefore) =
+      try (spark2.read.parquet(s"$work/topic").count(),
+        spark2.read.parquet(s"$work/kept").count())
+      finally spark2.stop()
+    val leases = new graft.sources.LeaseStore(s"$work/leases")
+    val l0 = leases.read(0).get
+    assert(leases.tryWrite(Some(l0), l0.copy(fence = l0.fence + 1, continuation = -1L)))
+    val replay = runTool("sync-feed", "/root/testdata/sf0.001", work, "--gate", "neardup")
+    assert(!replay.contains("pages=0"), replay) // range 0 genuinely re-paged
+    val spark3 = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      assert(spark3.read.parquet(s"$work/topic").count() == topicBefore)
+      assert(spark3.read.parquet(s"$work/kept").count() == keptBefore)
+    } finally spark3.stop()
   }
 
   test("import-export parses a DynamoDB export and writes ready/pending span sets") {
