@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   *                             # (NearDupStream.overDropReport)
   *   corpus-report <sfDir>     # curation report card (q18_corpus_report)
   *   sync <sfDir> <workDir>    # delegates to graft.Pipeline
-  *   sync-feed <sfDir> <workDir> [--gate neardup] [--ranges N] [--max-items N]
+  *   sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow]
+  *             [--ranges N] [--max-items N]
   *                             # the reference tool's flagship
   *                             # (`sync kafka from cosmos`) composed
   *                             # one-command: change-feed source
@@ -113,10 +114,12 @@ object Tool {
     *     (SpanCodec.renderSpans — per-stream coalescing, the batch
     *     form of StreamProcessor's group fold; a stream hashes
     *     entirely into one range, so its events arrive in idx order
-    *     and spans render contiguously). `--gate neardup` instead
-    *     routes DOCUMENT pages through the NearDupStream admission
-    *     gate (bucket index + quarantine + marker protocol) and syncs
-    *     only the kept set.
+    *     and spans render contiguously). `--gate <g>` instead routes
+    *     DOCUMENT pages through an admission gate on the shared
+    *     marker protocol — minhash-LSH near-dup, md5 exact, simhash
+    *     pigeonhole, or winnowing passage fingerprints (bucket index
+    *     + quarantine where the gate is lossy) — and syncs only the
+    *     kept set.
     *   - SINK: SpanCodec.toKafkaFrame rows (key/value/topic — the
     *     exact columns `writeStream.format("kafka")` consumes) landed
     *     in `$workDir/topic/batch=<rangeId:epoch>` — the
@@ -141,7 +144,29 @@ object Tool {
     val gate = flag("gate").getOrElse("none")
     val nRanges = flag("ranges").map(_.toInt).getOrElse(4)
     val maxItems = flag("max-items").map(_.toInt).getOrElse(2500)
-    require(gate == "none" || gate == "neardup", s"unknown --gate '$gate' (neardup)")
+    // every admission gate on the shared marker protocol composes here:
+    // minhash-LSH near-dup, md5 exact, simhash pigeonhole, winnowing
+    // passage fingerprints — same feed, same exactly-once shape, the
+    // gate is one batch function
+    val gatePayload = Seq("doc_id", "source", "text")
+    val gateBatch: Option[(org.apache.spark.sql.DataFrame, Long, String, String) => Unit] =
+      gate match {
+        case "none" => None
+        case "neardup" => Some((df, bid, idx, kept) =>
+          graft.streaming.NearDupStream.processBatch(df, bid, idx, kept,
+            Some(s"$work/quar"), gatePayload))
+        case "exact" => Some((df, bid, idx, kept) =>
+          graft.streaming.ExactDupStream.processBatch(df, bid, idx, kept, gatePayload))
+        case "simhash" => Some((df, bid, idx, kept) =>
+          graft.streaming.SimhashDupStream.processBatch(df, bid, idx, kept,
+            Some(s"$work/quar"), gatePayload))
+        case "winnow" => Some((df, bid, idx, kept) =>
+          graft.streaming.WinnowDupStream.processBatch(df, bid, idx, kept,
+            Some(s"$work/quar"), gatePayload))
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown --gate '$other' (neardup|exact|simhash|winnow)")
+      }
 
     val feedDir = s"$work/feed"
     val topicDir = s"$work/topic"
@@ -151,7 +176,7 @@ object Tool {
       println(s"[sync-feed] feed already staged, resuming: $feedDir")
     } else {
       val src =
-        if (gate == "neardup")
+        if (gateBatch.isDefined)
           ChangeFeed.withRanges(
             spark.read.parquet(s"$sfDir/documents.parquet")
               .select(col("doc_id"), col("source"), col("text")),
@@ -183,19 +208,18 @@ object Tool {
         // across a replay of the same continuation — the batch key of
         // every write below
         val batchId = (ctx.rangeId.toLong << 40) | ctx.epoch
-        val rendered =
-          if (gate == "neardup") {
-            graft.streaming.NearDupStream.processBatch(
-              page.select(col("doc_id"), col("source"), col("text")), batchId,
-              s"$work/index", s"$work/kept", Some(s"$work/quar"),
-              Seq("doc_id", "source", "text"))
+        val rendered = gateBatch match {
+          case Some(run) =>
+            run(page.select(gatePayload.map(col): _*), batchId,
+              s"$work/index", s"$work/kept")
             spark.read.parquet(s"$work/kept/batch=$batchId")
               .select(concat(col("source"), lit("-"), col("doc_id")).as("stream_name"),
                 to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
-          } else
+          case None =>
             functions.SpanCodec.renderSpans(
               page.select(col("stream_name"), col("idx"), col("event_type"), col("data")))
-        functions.SpanCodec.toKafkaFrame(rendered, if (gate == "neardup") "corpus" else "events")
+        }
+        functions.SpanCodec.toKafkaFrame(rendered, if (gateBatch.isDefined) "corpus" else "events")
           .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
           .parquet(s"$topicDir/batch=$batchId")
         pages += 1; rows += ctx.items

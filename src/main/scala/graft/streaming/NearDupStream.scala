@@ -325,8 +325,9 @@ object ExactDupStream {
     docs.select(col("doc_id"), lit(0).as("band"), md5(col("text")).as("bucket"))
 
   def processBatch(batch: DataFrame, batchId: Long,
-      indexDir: String, keptDir: String): Unit =
-    NearDupStream.processBatchWith(md5Buckets)(batch, batchId, indexDir, keptDir)
+      indexDir: String, keptDir: String,
+      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+    NearDupStream.processBatchWith(md5Buckets, payload)(batch, batchId, indexDir, keptDir)
 
   /** Start the streaming exact-dedup filter over a (doc_id, text)
     * stream. */
@@ -379,8 +380,9 @@ object SimhashDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
-    NearDupStream.processBatchWith(simhashKeys)(batch, batchId, indexDir, keptDir, quarantineDir)
+      quarantineDir: Option[String] = None,
+      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+    NearDupStream.processBatchWith(simhashKeys, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming simhash near-dup filter over a
     * (doc_id, text) stream. */
@@ -411,8 +413,9 @@ object WinnowDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
-    NearDupStream.processBatchWith(winnowKeys)(batch, batchId, indexDir, keptDir, quarantineDir)
+      quarantineDir: Option[String] = None,
+      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+    NearDupStream.processBatchWith(winnowKeys, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming winnowing-fingerprint filter over a
     * (doc_id, text) stream. */

@@ -171,6 +171,37 @@ class ToolSpec extends AnyFunSuite {
     } finally spark3.stop()
   }
 
+  test("sync-feed composes every shared-protocol gate; exact gate partitions the corpus") {
+    // exact: a bucket collision IS a duplicate (md5 full-text), so
+    // kept = one doc per distinct text as seen in doc_id order across
+    // pages — pinned against the corpus-wide distinct-count identity
+    val work = Files.createTempDirectory("graft-tool-syncexact").toString + "/w"
+    val out = runTool("sync-feed", "/root/testdata/sf0.001", work, "--gate", "exact")
+    assert(out.contains("caught up"), out)
+    val spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    try {
+      import org.apache.spark.sql.functions._
+      val kept = spark.read.parquet(s"$work/kept")
+      val total = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      // per-text: exactly one kept representative (no quarantine stage —
+      // md5 collisions are the only false-positive mode)
+      assert(kept.select("text").distinct().count() == kept.count())
+      assert(kept.select("text").distinct().count() ==
+        total.select("text").distinct().count())
+    } finally spark.stop()
+    // simhash and winnow compose on the same protocol: drive one page
+    // end-to-end each (full-corpus runs are the near-dup/exact tests'
+    // job; this pins the CLI wiring of the other two gates)
+    for (g <- Seq("simhash", "winnow")) {
+      val w2 = Files.createTempDirectory(s"graft-tool-sync$g").toString + "/w"
+      val o2 = runTool("sync-feed", "/root/testdata/sf0.001", w2,
+        "--gate", g, "--ranges", "1", "--max-items", "100000")
+      assert(o2.contains("caught up") && !o2.contains("pages=0"), o2)
+    }
+  }
+
   test("import-export parses a DynamoDB export and writes ready/pending span sets") {
     val dir = Files.createTempDirectory("graft-tool-ddb")
     val outDir = Files.createTempDirectory("graft-tool-ddb-out").toString + "/idx"
