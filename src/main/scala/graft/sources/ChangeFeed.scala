@@ -189,12 +189,20 @@ final class ChangeFeedProcessor(
     val live = all.flatten.filter(_.expiresAtMs > now)
     val owners = live.map(_.owner).toSet + ownerId
     val fairShare = math.ceil(nRanges.toDouble / owners.size).toInt
-    // acquire unowned / expired ranges (continuation preserved)
+    // acquire unowned / expired ranges (continuation preserved). A
+    // live lease BEARING OUR OWN NAME but absent from ownedFences is a
+    // previous incarnation of this instance (we crashed and restarted
+    // inside the TTL — found by the sync-feed crash drive: the resume
+    // spun 100 polls waiting out its own 60 s leases); the reference
+    // processor re-acquires its own leases immediately on restart, so
+    // re-adopt it with a fence bump — a same-named clone racing us
+    // loses the CAS and drops, exactly the shared-instance-name hazard
+    // the reference documents.
     var i = 0
     while (ownedFences.size < fairShare && i < nRanges) {
       if (!ownedFences.contains(i)) {
         val cur = all(i)
-        if (cur.forall(_.expiresAtMs <= now)) {
+        if (cur.forall(l => l.expiresAtMs <= now || l.owner == ownerId)) {
           val next = LeaseState(i, ownerId, cur.map(_.fence + 1).getOrElse(1L),
             now + leaseTtlMs, cur.map(_.continuation).getOrElse(initialContinuation(i)))
           if (leases.tryWrite(cur, next)) ownedFences += i -> next.fence

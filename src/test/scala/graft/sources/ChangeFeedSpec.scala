@@ -92,6 +92,37 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cap.batches > N_RANGES)
   }
 
+  test("a restarted instance re-adopts its own un-expired leases immediately") {
+    val feedDir = tmp("feed-restart"); val all = writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases-restart"))
+    var now = 1000L
+    val cap1 = new Capture()
+    val a1 = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", leaseTtlMs = 60000L, maxItems = 25,
+      handler = cap1.handler, clock = () => now)
+    a1.pollOnce() // claims all ranges, checkpoints one page each
+    val claimed = cap1.seen.toSet
+    assert(claimed.nonEmpty && a1.owned == (0 until N_RANGES).toSet)
+    // CRASH: no stop(), leases stay live for the full TTL. A restart
+    // with the SAME instance name must resume NOW, not after 60 s —
+    // the reference processor re-acquires its own leases on startup
+    // (found by tools/sync_feed_crash_drive.sh: the resume spun its
+    // poll budget waiting out its own leases)
+    now += 1000 // well inside the TTL
+    val cap2 = new Capture()
+    val a2 = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", leaseTtlMs = 60000L, maxItems = 25,
+      handler = cap2.handler, clock = () => now)
+    var rounds = 0
+    while (totalGap(feedDir, leases) > 0 && rounds < 30) {
+      a2.pollOnce(); now += 100; rounds += 1
+    }
+    assert(a2.owned == (0 until N_RANGES).toSet, "restart re-adopted its own leases")
+    // continuation preserved: the restart delivers exactly the suffix
+    assert(cap2.seen.toSet == (all -- claimed), "resume = exact un-checkpointed suffix")
+    assert(totalGap(feedDir, leases) == 0L)
+  }
+
   test("a second instance steals to an even split; fenced loser drops silently") {
     val feedDir = tmp("feed2"); writeFeed(feedDir, 120)
     val leases = new LeaseStore(tmp("leases2"))

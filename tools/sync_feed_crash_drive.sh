@@ -1,0 +1,71 @@
+#!/usr/bin/env bash
+# Crash-resume gate for the one-command composed sync (graft.Tool
+# sync-feed): run the plain span sync over a tier's events feed,
+# SIGKILL the JVM mid-sync at jittered offsets, re-run against the
+# same workDir, and assert the produced topic is IDENTICAL to a single
+# uninterrupted run's — the lease-CAS-after-write + batch-scoped
+# overwrite argument, proven under a real kill rather than the
+# ToolSpec's logical replay.
+#
+# Usage: tools/sync_feed_crash_drive.sh <sfDir> <workRoot> [seeds] [baseKillSecs]
+set -u
+SF=${1:?sfDir}
+ROOT=${2:?workRoot}
+SEEDS=${3:-2}
+BASE_KILL=${4:-25}
+CP="target/scala-2.13/classes:/opt/spark/jars/*"
+OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
+JAVA_FLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-8g}"
+export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
+ARGS="--ranges 8 --max-items 25000"
+
+run_sync() { # $1 = workDir, $2 = logfile
+  java $OPENS $JAVA_FLAGS -cp "$CP" graft.Tool sync-feed "$SF" "$1" $ARGS >"$2" 2>&1
+}
+
+compare_topic() { # $1 = crashed+resumed workDir
+  python3 - "$ROOT" "$1" <<'EOF'
+import sys
+import duckdb
+root, crashed = sys.argv[1], sys.argv[2]
+q = lambda d: duckdb.sql(
+    f"SELECT count(*), md5(string_agg(CAST(key AS VARCHAR) || '=' || CAST(value AS VARCHAR), '|' "
+    f"ORDER BY CAST(key AS VARCHAR), CAST(value AS VARCHAR))) "
+    f"FROM read_parquet('{d}/topic/*/*.parquet')"
+).fetchone()
+single, resumed = q(f"{root}/single"), q(crashed)
+ok = single == resumed
+print(f"  single  msgs={single[0]} hash={single[1]}")
+print(f"  resumed msgs={resumed[0]} hash={resumed[1]}  -> {'IDENTICAL' if ok else 'MISMATCH'}")
+sys.exit(0 if ok else 1)
+EOF
+}
+
+rm -rf "$ROOT"; mkdir -p "$ROOT"
+FAILS=0
+
+echo "== reference: single uninterrupted sync =="
+run_sync "$ROOT/single" "$ROOT/single.log" || { tail -5 "$ROOT/single.log"; exit 1; }
+grep '\[sync-feed\] caught' "$ROOT/single.log"
+
+for s in $(seq 1 "$SEEDS"); do
+  K=$((BASE_KILL + 9 * (s - 1)))
+  echo "== seed $s: SIGKILL at ${K}s =="
+  java $OPENS $JAVA_FLAGS -cp "$CP" graft.Tool sync-feed "$SF" "$ROOT/seed$s" $ARGS \
+    >"$ROOT/seed$s.crash.log" 2>&1 &
+  PID=$!
+  sleep "$K"
+  if kill -0 "$PID" 2>/dev/null; then
+    kill -9 "$PID"; wait "$PID" 2>/dev/null
+    echo "  killed after ${K}s"
+  else
+    wait "$PID" 2>/dev/null
+    echo "  WARNING: sync finished before the ${K}s kill"
+  fi
+  run_sync "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; FAILS=$((FAILS+1)); continue; }
+  grep '\[sync-feed\] caught' "$ROOT/seed$s.resume.log"
+  compare_topic "$ROOT/seed$s" || FAILS=$((FAILS+1))
+done
+
+echo "== summary: $SEEDS kill/resume cycles, $FAILS failures =="
+exit "$FAILS"
