@@ -662,6 +662,60 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .as[Long].collect().toSet == Set(10L))
   }
 
+  test("compactIndex crash debris converges: superset after mid-delete, subset after mid-write") {
+    import spark.implicits._
+    val indexDir = tmp("ci-crash-index"); val keptDir = tmp("ci-crash-kept")
+    def docs(rows: (Long, String)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("doc_id", "text")
+    ExactDupStream.processBatch(docs(1L -> "alpha", 2L -> "beta"), 0L, indexDir, keptDir)
+    ExactDupStream.processBatch(docs(3L -> "gamma"), 1L, indexDir, keptDir)
+    assert(NearDupStream.compactIndex(spark, indexDir) == 2L) // -> batch=-1
+    ExactDupStream.processBatch(docs(4L -> "delta"), 2L, indexDir, keptDir)
+
+    // (a) crash BETWEEN the consolidated write and the source deletes:
+    // the fresh negative partition exists NEXT TO its intact sources —
+    // a superset. The gate must behave identically (dup (band, bucket)
+    // rows are harmless under the semi-join)...
+    spark.read.parquet(s"$indexDir/batch=-1", s"$indexDir/batch=2")
+      .select(col("band"), col("bucket")).distinct()
+      .write.parquet(s"$indexDir/batch=-2")
+    ExactDupStream.processBatch(docs(5L -> "alpha", 6L -> "epsilon"), 3L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=3").select("doc_id")
+      .as[Long].collect().toSet == Set(6L), "superset debris changed gate behavior")
+    // ...and the next compaction folds the debris (negatives are
+    // always sources) into one partition
+    assert(NearDupStream.compactIndex(spark, indexDir) == 4L) // -2, -1, 2, 3
+    val dirs1 = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(indexDir))
+      try { import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("batch=")).toSet }
+      finally s.close()
+    }
+    assert(dirs1 == Set("batch=-3"), dirs1.toString)
+
+    // (b) crash MID-consolidated-write: task-commit atomicity means
+    // the dir holds whole part-files for a SUBSET of rows plus
+    // _temporary junk and no _SUCCESS — readable (underscore paths are
+    // filtered), duplicates-of-a-subset harmless, and the next
+    // compaction folds it because a negative id is always a source
+    spark.read.parquet(s"$indexDir/batch=-3").limit(1)
+      .write.parquet(s"$indexDir/batch=-4")
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$indexDir/batch=-4/_SUCCESS"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$indexDir/batch=-4/_temporary/0"))
+    ExactDupStream.processBatch(docs(7L -> "beta", 8L -> "zeta"), 4L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=4").select("doc_id")
+      .as[Long].collect().toSet == Set(8L), "partial-subset debris changed gate behavior")
+    assert(NearDupStream.compactIndex(spark, indexDir) == 3L) // -4, -3, 4
+    // converged: everything ever admitted still gates
+    ExactDupStream.processBatch(
+      docs(9L -> "alpha", 10L -> "gamma", 11L -> "delta", 12L -> "epsilon",
+        13L -> "zeta", 14L -> "theta"), 5L, indexDir, keptDir)
+    assert(spark.read.parquet(s"$keptDir/batch=5").select("doc_id")
+      .as[Long].collect().toSet == Set(14L), "post-convergence gate lost history")
+  }
+
   test("WinnowDupStream: a shared >=8-word passage gates a doc; short docs pass; idempotent redo") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
