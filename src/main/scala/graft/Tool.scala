@@ -136,11 +136,33 @@ object Tool {
     * drive proves for graft.Pipeline. */
   private def syncFeed(spark: SparkSession, args: List[String]): Unit = {
     import graft.sources.{ChangeFeed, ChangeFeedProcessor, LeaseStore}
-    val (pos0, flags) = args.partition(!_.startsWith("--"))
+    // consume each flag WITH its value token, then take what's left as
+    // the two positionals — the earlier partition-by-startsWith("--")
+    // left flag VALUES ('neardup', '4') in the positional list, so
+    // `sync-feed --gate neardup <sf> <work>` silently bound
+    // sfDir='neardup' instead of failing with a usage error
+    val known = Set("gate", "ranges", "max-items")
+    def usage(msg: String): Nothing = {
+      System.err.println(s"sync-feed: $msg\n" +
+        "usage: sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow] " +
+        "[--ranges N] [--max-items N]")
+      sys.exit(2)
+    }
+    @annotation.tailrec
+    def parse(rest: List[String], pos: List[String],
+        flags: Map[String, String]): (List[String], Map[String, String]) =
+      rest match {
+        case Nil => (pos.reverse, flags)
+        case f :: v :: tail if f.startsWith("--") && known(f.drop(2)) =>
+          parse(tail, pos, flags + (f.drop(2) -> v))
+        case f :: _ if f.startsWith("--") =>
+          usage(s"unknown or value-less flag '$f'")
+        case p :: tail => parse(tail, p :: pos, flags)
+      }
+    val (pos0, flags) = parse(args, Nil, Map.empty)
+    if (pos0.size != 2) usage(s"expected 2 positionals, got ${pos0.mkString(", ")}")
     val (sfDir, work) = (pos0.head, pos0(1))
-    def flag(name: String): Option[String] =
-      flags.zipWithIndex.collectFirst { case (f, _) if f == s"--$name" =>
-        args.drop(args.indexOf(f) + 1).headOption }.flatten
+    def flag(name: String): Option[String] = flags.get(name)
     val gate = flag("gate").getOrElse("none")
     val nRanges = flag("ranges").map(_.toInt).getOrElse(4)
     val maxItems = flag("max-items").map(_.toInt).getOrElse(2500)
@@ -199,6 +221,15 @@ object Tool {
       src.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(feedDir)
       println(s"[sync-feed] staged $feedDir (gate=$gate, ranges=$nRanges)")
     }
+    // batch keys below pack (rangeId << 40) | epoch; a position at or
+    // above 2^40 would alias another range's subdirs — two ranges then
+    // overwrite each other's kept/topic/index batches and the gate's
+    // shared marker silently short-circuits one range's page. Checked
+    // ONCE at staging (epoch = max pos a page can carry), not per page.
+    val maxPos = spark.read.parquet(feedDir).agg(max(col("pos"))).first().getLong(0)
+    require(maxPos < (1L << 40),
+      s"sync-feed: feed position $maxPos exceeds 2^40-1; the packed (range,epoch) " +
+        "batch key would collide across ranges — re-key the feed position")
 
     var pages = 0L
     var rows = 0L

@@ -652,8 +652,20 @@ object ScaleOps {
       val lTbl = s"graft_bucket_lineitem$safe"
       def ready(sub: String) = new java.io.File(s"$base/$sub/_SUCCESS").exists()
       def register(tbl: String, sub: String): Unit = {
+        // the catalog entry can outlive the fixture (same JVM catalog, a
+        // regenerated fixture → new fingerprint → new base path): a bare
+        // CREATE TABLE IF NOT EXISTS would no-op on the stale entry and
+        // q20 would silently read the OLD location's data — drop and
+        // re-register whenever the existing entry's location differs
+        if (spark.catalog.tableExists(tbl)) {
+          val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl")
+            .where(col("col_name") === "Location")
+            .select(col("data_type")).collect().headOption.map(_.getString(0))
+          if (loc.exists(l => new java.net.URI(l).getPath == s"$base/$sub")) return
+          spark.sql(s"DROP TABLE $tbl")
+        }
         val schema = spark.read.parquet(s"$base/$sub").schema.toDDL
-        spark.sql(s"CREATE TABLE IF NOT EXISTS $tbl ($schema) USING parquet " +
+        spark.sql(s"CREATE TABLE $tbl ($schema) USING parquet " +
           s"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) INTO 8 BUCKETS " +
           s"LOCATION '$base/$sub'")
       }

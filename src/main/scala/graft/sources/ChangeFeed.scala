@@ -75,9 +75,15 @@ object ChangeFeed {
 /** Per-range lease record: `fence` is a monotonic write counter (the
   * etag analogue — every successful mutation bumps it), `continuation`
   * the checkpointed feed position (reference: the ContinuationToken
-  * epoch, ChangeFeedProcessor.fs:24-25). */
+  * epoch, ChangeFeedProcessor.fs:24-25), `incarnation` the writing
+  * instance's startup stamp — a restart of the same-named instance
+  * carries a LATER incarnation, which is what lets it re-adopt its
+  * crashed predecessor's live leases without two genuinely concurrent
+  * same-named clones fence-stealing from each other every poll (each
+  * clone's incarnation is ≥ the other's writes, so neither re-adopts;
+  * leases written by pre-incarnation builds parse as 0 = any prior). */
 final case class LeaseState(rangeId: Int, owner: String, fence: Long,
-    expiresAtMs: Long, continuation: Long)
+    expiresAtMs: Long, continuation: Long, incarnation: Long = 0L)
 
 /** Batch context handed to the handler — group/range/epoch mirror the
   * reference's ChangeFeedContext (FeedObserver.fs:26). */
@@ -104,7 +110,8 @@ final class LeaseStore(dir: String) {
         .linesIterator.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
       Some(LeaseState(rangeId, kv("owner"), kv("fence").toLong,
-        kv("expires").toLong, kv("continuation").toLong))
+        kv("expires").toLong, kv("continuation").toLong,
+        kv.get("incarnation").map(_.toLong).getOrElse(0L)))
     }
   }
 
@@ -119,7 +126,8 @@ final class LeaseStore(dir: String) {
     else {
       val tmp = Files.createTempFile(Paths.get(dir), s".lease-${next.rangeId}-", ".tmp")
       Files.write(tmp,
-        s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\ncontinuation=${next.continuation}\n"
+        (s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\n" +
+          s"continuation=${next.continuation}\nincarnation=${next.incarnation}\n")
           .getBytes(StandardCharsets.UTF_8))
       Files.move(tmp, path(next.rangeId), StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
@@ -141,10 +149,23 @@ final class ChangeFeedProcessor(
     clock: () => Long,
     startFromTail: Boolean = false) {
 
+  // Startup stamp carried on every lease this instance writes: a
+  // restart of the same-named instance has a LATER incarnation and may
+  // re-adopt this one's live leases; a genuinely concurrent same-named
+  // clone does NOT (its incarnation is not later than our writes), so
+  // the misconfiguration self-throttles with a loud warning instead of
+  // the two clones fence-stealing each other's ranges every poll
+  // (sustained duplicate page processing, safety held only by CAS).
+  private val incarnation: Long = clock()
+
   // rangeId -> the fence value we hold; losing a CAS (or seeing the
   // fence moved) drops the entry — fencing makes stale ownership
   // self-correcting
   private var ownedFences = Map.empty[Int, Long]
+
+  // warn once per range about a live same-named peer we refuse to
+  // re-adopt from (concurrent clone — an operator misconfiguration)
+  private val warnedClone = collection.mutable.Set.empty[Int]
 
   def owned: Set[Int] = ownedFences.keySet
 
@@ -181,7 +202,8 @@ final class ChangeFeedProcessor(
     // renew what we still hold
     for ((r, f) <- ownedFences) {
       val cur = before(r).get
-      val next = cur.copy(fence = f + 1, expiresAtMs = now + leaseTtlMs)
+      val next = cur.copy(fence = f + 1, expiresAtMs = now + leaseTtlMs,
+        incarnation = incarnation)
       if (leases.tryWrite(Some(cur), next)) ownedFences += r -> next.fence
       else ownedFences -= r
     }
@@ -190,22 +212,34 @@ final class ChangeFeedProcessor(
     val owners = live.map(_.owner).toSet + ownerId
     val fairShare = math.ceil(nRanges.toDouble / owners.size).toInt
     // acquire unowned / expired ranges (continuation preserved). A
-    // live lease BEARING OUR OWN NAME but absent from ownedFences is a
-    // previous incarnation of this instance (we crashed and restarted
-    // inside the TTL — found by the sync-feed crash drive: the resume
-    // spun 100 polls waiting out its own 60 s leases); the reference
-    // processor re-acquires its own leases immediately on restart, so
-    // re-adopt it with a fence bump — a same-named clone racing us
-    // loses the CAS and drops, exactly the shared-instance-name hazard
-    // the reference documents.
+    // live lease BEARING OUR OWN NAME but absent from ownedFences and
+    // stamped with an EARLIER incarnation is a previous incarnation of
+    // this instance (we crashed and restarted inside the TTL — found
+    // by the sync-feed crash drive: the resume spun 100 polls waiting
+    // out its own 60 s leases); the reference processor re-acquires
+    // its own leases immediately on restart, so re-adopt it with a
+    // fence bump. A live same-named lease at OUR OR A LATER
+    // incarnation is a concurrent clone (shared-instance-name
+    // misconfiguration): re-adopting it would have the two clones
+    // fence-stealing each other's ranges every poll — sustained
+    // duplicate page processing — so skip it and warn loudly instead.
     var i = 0
     while (ownedFences.size < fairShare && i < nRanges) {
       if (!ownedFences.contains(i)) {
         val cur = all(i)
-        if (cur.forall(l => l.expiresAtMs <= now || l.owner == ownerId)) {
+        if (cur.forall(l => l.expiresAtMs <= now ||
+            (l.owner == ownerId && l.incarnation < incarnation))) {
           val next = LeaseState(i, ownerId, cur.map(_.fence + 1).getOrElse(1L),
-            now + leaseTtlMs, cur.map(_.continuation).getOrElse(initialContinuation(i)))
+            now + leaseTtlMs, cur.map(_.continuation).getOrElse(initialContinuation(i)),
+            incarnation)
           if (leases.tryWrite(cur, next)) ownedFences += i -> next.fence
+        } else if (cur.exists(l => l.owner == ownerId && l.expiresAtMs > now) &&
+            warnedClone.add(i)) {
+          System.err.println(
+            s"[changefeed] WARNING: range $i is held live by another instance named " +
+              s"'$ownerId' at incarnation >= ours — a concurrent same-named clone " +
+              "(misconfiguration); refusing to re-adopt. Give each instance a " +
+              "unique instance name.")
         }
       }
       i += 1
@@ -219,7 +253,7 @@ final class ChangeFeedProcessor(
         .toVector.sortBy(_.rangeId)
       for (l <- surplus if ownedFences.size < fairShare) {
         val next = l.copy(owner = ownerId, fence = l.fence + 1,
-          expiresAtMs = now + leaseTtlMs)
+          expiresAtMs = now + leaseTtlMs, incarnation = incarnation)
         if (leases.tryWrite(Some(l), next)) ownedFences += l.rangeId -> next.fence
       }
     }
@@ -253,7 +287,7 @@ final class ChangeFeedProcessor(
             .filter(l => l.owner == ownerId && ownedFences.get(r).contains(l.fence))
             .foreach { l =>
               val next = l.copy(fence = l.fence + 1, continuation = epoch,
-                expiresAtMs = clock() + leaseTtlMs)
+                expiresAtMs = clock() + leaseTtlMs, incarnation = incarnation)
               if (leases.tryWrite(Some(l), next)) ownedFences += r -> next.fence
               else ownedFences -= r // fenced off mid-batch: new owner wins
             }

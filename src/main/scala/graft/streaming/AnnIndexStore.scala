@@ -53,17 +53,10 @@ object AnnIndexStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def readVersion(fs: FileSystem, root: HPath): Option[Long] = {
-    val f = new HPath(root, "_current")
-    if (!fs.exists(f)) None
-    else {
-      val len = fs.getFileStatus(f).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(f)
-      try in.readFully(buf) finally in.close()
-      new String(buf, "UTF-8").trim.toLongOption
-    }
-  }
+  // read-to-EOF, never a pre-stat'd fixed length (PointerFile scaladoc:
+  // a concurrent swap growing the digit count would truncate the parse)
+  private def readVersion(fs: FileSystem, root: HPath): Option[Long] =
+    PointerFile.readString(fs, new HPath(root, "_current")).flatMap(_.trim.toLongOption)
 
   /** Build (or refresh) the index from a (vec_id, label, embedding)
     * frame into a fresh version and atomically make it current.

@@ -161,6 +161,31 @@ object AppendSink {
   }
 }
 
+/** Tiny-pointer-file reads, shared by [[CheckpointStore]] and
+  * [[AnnIndexStore]]. Reads to EOF rather than a pre-stat'd length:
+  * a concurrent atomic pointer swap between getFileStatus and open
+  * that GROWS the byte count (v=9 → v=10) would truncate a
+  * fixed-length readFully to a parse of the stale prefix ("1"),
+  * naming a version GC already deleted — a serving batch then fails
+  * spuriously. EOF is whatever the open() resolved to, which on an
+  * atomic-rename pointer is always one complete version string. */
+private[streaming] object PointerFile {
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  def readString(fs: FileSystem, f: HPath): Option[String] =
+    if (!fs.exists(f)) None
+    else {
+      val out = new java.io.ByteArrayOutputStream(32)
+      val buf = new Array[Byte](256)
+      val in = fs.open(f)
+      try {
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally in.close()
+      Some(new String(out.toByteArray, "UTF-8"))
+    }
+}
+
 /** External checkpoint parity table (IFeedCheckpointStore,
   * src/Propulsion/Feed/Feed.fs:31-35): (source, tranche, group) → pos,
   * latest-wins. Structured Streaming's own offset/commit log is the
@@ -197,17 +222,8 @@ object CheckpointStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def currentVersion(fs: FileSystem, root: HPath): Option[Long] = {
-    val f = new HPath(root, "_current")
-    if (!fs.exists(f)) None
-    else {
-      val len = fs.getFileStatus(f).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = fs.open(f)
-      try in.readFully(buf) finally in.close()
-      new String(buf, "UTF-8").trim.toLongOption
-    }
-  }
+  private def currentVersion(fs: FileSystem, root: HPath): Option[Long] =
+    PointerFile.readString(fs, new HPath(root, "_current")).flatMap(_.trim.toLongOption)
 
   def commit(spark: SparkSession, dir: String,
       source: String, tranche: String, group: String, pos: Long): Unit = {

@@ -176,7 +176,10 @@ class ToolSpec extends AnyFunSuite {
     // kept = one doc per distinct text as seen in doc_id order across
     // pages — pinned against the corpus-wide distinct-count identity
     val work = Files.createTempDirectory("graft-tool-syncexact").toString + "/w"
-    val out = runTool("sync-feed", "/root/testdata/sf0.001", work, "--gate", "exact")
+    // flags BEFORE the positionals: the arg parser must consume each
+    // flag's value token (the old startsWith("--") partition silently
+    // bound sfDir='exact' in this order)
+    val out = runTool("sync-feed", "--gate", "exact", "/root/testdata/sf0.001", work)
     assert(out.contains("caught up"), out)
     val spark = SparkSession.builder().master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")

@@ -47,6 +47,41 @@ class ScaleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(colocated.count() == plain)
   }
 
+  test("q20 bucketed re-register drops a stale catalog entry at an old location") {
+    // scenario: a fixture regenerated within a JVM whose catalog
+    // persists across sessions — the table NAME is fingerprint-free, so
+    // a stale entry can point at an older fingerprint's location; a
+    // bare CREATE TABLE IF NOT EXISTS would no-op on it and q20 would
+    // silently read the stale data
+    val dir = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    val want = graft.SparkEntry.queries("q20_bucket_join")(s2, dir)
+      .collect().map(_.toString).toVector
+    assert(want.nonEmpty)
+    // plant a decoy: same table names, DIFFERENT location with 1-row
+    // decoy data of the right shape (the in-memory external catalog is
+    // shared across newSession(), like a persistent metastore)
+    val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val bogus = Files.createTempDirectory("graft-bogus-bucket").toString
+    val s3 = spark.newSession()
+    s3.sql("SELECT 1L AS o_orderkey, 'X' AS o_orderpriority")
+      .write.mode("overwrite").parquet(s"$bogus/orders")
+    s3.sql("SELECT 1L AS o_orderkey, CAST(1.0 AS DOUBLE) AS l_extendedprice, " +
+        "CAST(0.0 AS DOUBLE) AS l_discount")
+      .write.mode("overwrite").parquet(s"$bogus/lineitem")
+    for ((t, sub) <- Seq(s"graft_bucket_orders$safe" -> "orders",
+        s"graft_bucket_lineitem$safe" -> "lineitem")) {
+      s3.sql(s"DROP TABLE IF EXISTS $t")
+      val schema = s3.read.parquet(s"$bogus/$sub").schema.toDDL
+      s3.sql(s"CREATE TABLE $t ($schema) USING parquet LOCATION '$bogus/$sub'")
+    }
+    // a fresh session (cache miss) must detect the location mismatch,
+    // drop the stale entry and re-register the fingerprinted layout
+    val got = graft.SparkEntry.queries("q20_bucket_join")(s3, dir)
+      .collect().map(_.toString).toVector
+    assert(got == want, s"stale catalog entry served: got ${got.take(3)}")
+  }
+
   test("prefixMaxOfPrevious matches the global running max; no unpartitioned window") {
     import org.apache.spark.sql.expressions.Window
     // ords with gaps + duplicated max values + a null-valued row; small

@@ -123,6 +123,37 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(totalGap(feedDir, leases) == 0L)
   }
 
+  test("concurrent same-named clones do not churn: a later incarnation adopts once, an equal one self-throttles") {
+    val feedDir = tmp("feed-clone"); writeFeed(feedDir, 120)
+    val leases = new LeaseStore(tmp("leases-clone"))
+    var now = 1000L
+    val capA = new Capture(); val capB = new Capture(); val capC = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25, capA.handler, () => now)
+    a.pollOnce()
+    assert(a.owned == (0 until N_RANGES).toSet)
+    // clone at the SAME incarnation instant (same clock value): must
+    // NOT re-adopt A's live leases — it self-throttles (the pre-fix
+    // behavior for misconfigured shared names), never fence-steals
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25, capB.handler, () => now)
+    b.pollOnce()
+    assert(b.owned.isEmpty, "an equal-incarnation clone must not adopt live leases")
+    a.pollOnce()
+    assert(a.owned == (0 until N_RANGES).toSet, "A keeps every range — no churn")
+    // a LATER incarnation (restart semantics) adopts exactly once; the
+    // elder then drops and does NOT steal back — ownership converges
+    now += 1000
+    val c = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", N_RANGES,
+      leases, "grp", "instance-A", 60000L, 25, capC.handler, () => now)
+    c.pollOnce()
+    assert(c.owned == (0 until N_RANGES).toSet, "later incarnation re-adopts")
+    a.pollOnce(); a.pollOnce()
+    assert(a.owned.isEmpty, "the elder incarnation drops and never steals back")
+    c.pollOnce()
+    assert(c.owned == (0 until N_RANGES).toSet)
+  }
+
   test("a second instance steals to an even split; fenced loser drops silently") {
     val feedDir = tmp("feed2"); writeFeed(feedDir, 120)
     val leases = new LeaseStore(tmp("leases2"))

@@ -1181,6 +1181,22 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CheckpointStore.position(spark, dir, "feed", "2", "g1").isEmpty)
   }
 
+  test("PointerFile reads to EOF across buffer boundaries, never a pre-stat'd length") {
+    // the defect class: stat-then-readFully truncates if a concurrent
+    // atomic swap grows the byte count between stat and open (v=9 →
+    // v=10 parsed as "1", naming a GC'd version); the EOF loop reads
+    // whatever the open() resolved, complete — pinned here across
+    // multiple internal buffer fills
+    val dir = tmp("ptr-eof")
+    val p = new org.apache.hadoop.fs.Path(dir, "_current")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val content = "9" * 1000 // > the reader's 256-byte buffer
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    assert(PointerFile.readString(fs, p).contains(content))
+    assert(PointerFile.readString(fs, new org.apache.hadoop.fs.Path(dir, "absent")).isEmpty)
+  }
+
   test("CheckpointStore: crash-leftover junk never loses or corrupts positions") {
     import java.nio.file.{Files, Paths}
     val dir = tmp("cp-crash") + "/checkpoints"
