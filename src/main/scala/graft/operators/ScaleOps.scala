@@ -86,11 +86,7 @@ object ScaleOps {
       // full parallelism. The width is folded into the copy's path:
       // a resized source or a changed formula can never pair with a
       // stale copy.
-      val src = new java.io.File(s"$dir/$name.parquet")
-      val bytes =
-        if (src.isDirectory)
-          Option(src.listFiles()).map(_.map(_.length).sum).getOrElse(0L)
-        else src.length()
+      val bytes = fixtureFiles(spark, dir, name).map(_.getLen).sum
       // clamp order matters: the parallelism CAP must win over the
       // size floor, or a small session (or executor) would demand more
       // splits than it has cores and materialize a copy it can't use
@@ -534,48 +530,105 @@ object ScaleOps {
       build(wideRead(spark, dir, table)).write.mode("overwrite").parquet(staging)
     })
 
+  import org.apache.hadoop.fs.{FileStatus, FileSystem, Path => HPath}
+
+  /** The fixture table's file listing through the FIXTURE DIR's OWN
+    * Hadoop FileSystem — a `java.io.File` listing silently returns
+    * empty for any non-local fixture URI (hdfs://, s3a://), which
+    * would collapse every fingerprint to the same constant and pair
+    * regenerated fixtures with stale derived copies. Same discipline
+    * the round-14 port applied to all four coordination stores. */
+  private def fixtureFiles(spark: SparkSession, dir: String, table: String): Vector[FileStatus] = {
+    val p = new HPath(s"$dir/$table.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Vector.empty
+    else if (fs.getFileStatus(p).isDirectory) fs.listStatus(p).toVector
+    else Vector(fs.getFileStatus(p))
+  }
+
   /** Content fingerprint of one fixture table's files (name + length
     * + mtime): the key every materialized derived artifact carries in
     * its path, so a regenerated fixture can never pair with a stale
-    * copy. */
-  private def fixtureFingerprint(dir: String, table: String): String = {
-    val src = new java.io.File(s"$dir/$table.parquet")
-    val files =
-      if (src.isDirectory) Option(src.listFiles()).map(_.toVector).getOrElse(Vector.empty)
-      else Vector(src)
+    * copy. (Formula unchanged from the java.io form — local-path
+    * fingerprints, and therefore existing warm copies, stay valid.) */
+  private def fixtureFingerprint(spark: SparkSession, dir: String, table: String): String =
     java.lang.Long.toHexString(
-      files.sortBy(_.getName).foldLeft(1125899906842597L) { (h, f) =>
-        31 * (31 * h + f.getName.hashCode) + f.length() + f.lastModified()
-      })
-  }
+      fixtureFiles(spark, dir, table).sortBy(_.getPath.getName)
+        .foldLeft(1125899906842597L) { (h, f) =>
+          31 * (31 * h + f.getPath.getName.hashCode) + f.getLen + f.getModificationTime
+        })
+
+  /** Root for materialized derived copies (override with
+    * SPARK_GRAFT_DERIVED_DIR — e.g. an hdfs:// scratch dir on a
+    * cluster; defaults to java.io.tmpdir on the local rig). */
+  private def derivedRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_DERIVED_DIR", System.getProperty("java.io.tmpdir"))
 
   private def materialized(spark: SparkSession, dir: String, table: String,
       prefix: String)(write: (DataFrame, String) => Unit): String = {
     val safe = s"${dir}_$table".replaceAll("[^A-Za-z0-9]", "_")
-    val tmpDir = new java.io.File(System.getProperty("java.io.tmpdir"))
-    Option(tmpDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith(s"$prefix$safe") &&
-        f.getName.contains(".stage.") &&
-        f.lastModified() < System.currentTimeMillis() - 3600_000L)
-      .foreach(f => try org.apache.commons.io.FileUtils.deleteDirectory(f)
-        catch { case _: java.io.IOException => () })
-    val out = s"${System.getProperty("java.io.tmpdir")}/$prefix${safe}_${fixtureFingerprint(dir, table)}"
-    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
-      val staging = s"$out.stage.${java.util.UUID.randomUUID().toString.take(8)}"
-      write(Envelope.readTable(spark, dir, table), staging)
-      try
-        java.nio.file.Files.move(java.nio.file.Paths.get(staging),
-          java.nio.file.Paths.get(out),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.AccessDeniedException |
-             _: java.nio.file.FileSystemException =>
-          // another JVM won the rename; use its copy
-          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(staging))
+    val root = new HPath(derivedRoot)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // sweep ORPHANED staging dirs (a crash between write and publish):
+    // only ones older than 1h, so a concurrent JVM's live staging
+    // write is never yanked mid-copy
+    try fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (n.startsWith(s"$prefix$safe") && n.contains(".stage.") &&
+          s.getModificationTime < System.currentTimeMillis() - 3600_000L)
+        try fs.delete(s.getPath, true)
+        catch { case scala.util.control.NonFatal(_) => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    val out = new HPath(root, s"$prefix${safe}_${fixtureFingerprint(spark, dir, table)}")
+    val done = new HPath(out, "_SUCCESS")
+    val claim = new HPath(root, s"${out.getName}.claim")
+    // Concurrent builders race: each writes a PRIVATE staging dir, then
+    // exactly one publishes. Publication is an atomic-exclusive
+    // createNewFile claim followed by the winner's staging→out rename —
+    // NOT a rename onto a possibly-existing destination, whose failure
+    // mode is FS-dependent (some FileSystems fall back to a recursive
+    // copy, which would MERGE two builders' part files into one dir =
+    // duplicated rows). Losers discard their staging and wait for the
+    // winner's _SUCCESS; a claim orphaned by a crash (held normally
+    // only for the sub-second rename window) is broken after 60 s and
+    // the loser retries the build.
+    var attempts = 0
+    while (!fs.exists(done) && attempts < 3) {
+      attempts += 1
+      val staging = new HPath(root,
+        s"${out.getName}.stage.${java.util.UUID.randomUUID().toString.take(8)}")
+      write(Envelope.readTable(spark, dir, table), staging.toString)
+      val claimed =
+        try fs.createNewFile(claim)
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (claimed) {
+        if (fs.exists(done)) fs.delete(staging, true) // a prior winner published while we built
+        else require(fs.rename(staging, out),
+          s"materialize publish failed: rename $staging -> $out")
+        fs.delete(claim, false)
+      } else {
+        fs.delete(staging, true)
+        var stale = false
+        val deadline = System.currentTimeMillis() + 120_000L
+        while (!fs.exists(done) && !stale && System.currentTimeMillis() < deadline) {
+          try {
+            if (fs.exists(claim) &&
+                fs.getFileStatus(claim).getModificationTime <
+                  System.currentTimeMillis() - 60_000L) {
+              fs.delete(claim, false) // winner crashed pre-rename: break and retry
+              stale = true
+            }
+          } catch { case scala.util.control.NonFatal(_) => () }
+          if (!stale && !fs.exists(done)) Thread.sleep(100L)
+        }
       }
     }
-    out
+    require(fs.exists(done), s"materialize failed to publish $out after $attempts attempts")
+    // a winner killed between rename and claim-delete leaves an
+    // orphaned claim next to a published copy — harmless, but sweep it
+    try if (fs.exists(claim)) fs.delete(claim, false)
+    catch { case scala.util.control.NonFatal(_) => () }
+    out.toString
   }
 
   /** DPP probe, oracle-checked: join the event_type-partitioned fact
@@ -645,8 +698,8 @@ object ScaleOps {
   private def bucketedTables(spark: SparkSession, dir: String): (String, String) =
     bucketTables.getOrElseUpdate(spark, dir) {
       val safe = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val fpO = fixtureFingerprint(dir, "orders")
-      val fpL = fixtureFingerprint(dir, "lineitem")
+      val fpO = fixtureFingerprint(spark, dir, "orders")
+      val fpL = fixtureFingerprint(spark, dir, "lineitem")
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucket${safe}_${fpO}_$fpL"
       val oTbl = s"graft_bucket_orders$safe"
       val lTbl = s"graft_bucket_lineitem$safe"
