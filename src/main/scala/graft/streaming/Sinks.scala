@@ -211,8 +211,28 @@ private[streaming] object PointerFile {
   * Rename.OVERWRITE is the atomic publish on HDFS and local; on S3 the
   * rename is copy+delete — there, point this at an HDFS/EFS scratch dir
   * or swap the table for a JDBC/Delta upsert, as the original delegated
-  * to DynamoDB/SQL). Single-writer read-modify-write, like the
-  * original. */
+  * to DynamoDB/SQL).
+  *
+  * Multi-writer fencing (round 15): the reference delegates checkpoint
+  * concurrency to transactional stores (Cosmos etag / SQL `on conflict
+  * do update`); the parquet store applies the [[graft.sources.LeaseStore]]
+  * fence pattern to its pointer instead. Each commit (a) writes its
+  * table to a PRIVATE `v=<N>-<nonce>` dir — two interleaved committers
+  * can never interleave part files in one dir — and (b) publishes by
+  * verify-rename-verify on `_current`: snapshot the pointer it read,
+  * re-check it is unchanged immediately before the overwrite-rename,
+  * and re-read after; a committer that finds another's content at
+  * either check LOSES CLEANLY (deletes its unreferenced data dir,
+  * throws ConcurrentModificationException — the caller re-reads and
+  * reapplies). As with LeaseStore, the read-compare-rename window is
+  * the documented local-FS caveat vs a true conditional write: a
+  * microsecond-interleaved double rename can drop the first loser's
+  * update silently, but the store can never mix versions or regress
+  * the pointer to a half-written dir, and every detected race throws.
+  * GC keeps {current, previous} by NAME and otherwise deletes only
+  * strictly-older VERSIONS immediately; same-or-newer-version debris
+  * (a racing committer's in-flight dir) is age-gated (1 h) so a sweep
+  * can never yank a live competitor's staging. */
 object CheckpointStore {
 
   import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
@@ -222,37 +242,90 @@ object CheckpointStore {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def currentVersion(fs: FileSystem, root: HPath): Option[Long] =
-    PointerFile.readString(fs, new HPath(root, "_current")).flatMap(_.trim.toLongOption)
+  /** Parsed pointer: (version, current dir name, previous dir name).
+    * Two generations: a plain integer `N` (pre-fencing layout — dirs
+    * named `v=N`) and the fenced `N:curDir:prevDir` (prevDir `-` when
+    * none). */
+  private[streaming] final case class Pointer(version: Long, cur: String, prev: Option[String])
+
+  private def parsePointer(s: String): Option[Pointer] = {
+    val t = s.trim
+    t.toLongOption match {
+      case Some(n) => Some(Pointer(n, s"v=$n", if (n > 1) Some(s"v=${n - 1}") else None))
+      case None => t.split(':') match {
+        case Array(n, cur, prev) =>
+          n.toLongOption.map(v => Pointer(v, cur, Some(prev).filter(_ != "-")))
+        case _ => None
+      }
+    }
+  }
+
+  private def currentPointer(fs: FileSystem, root: HPath): Option[(String, Pointer)] =
+    PointerFile.readString(fs, new HPath(root, "_current"))
+      .flatMap(raw => parsePointer(raw).map(p => (raw, p)))
+
+  /** Version number encoded in a data dir's name (`v=N` legacy or
+    * `v=N-<nonce>` fenced); None for anything else. */
+  private def dirVersion(name: String): Option[Long] =
+    if (!name.startsWith("v=")) None
+    else name.drop(2).takeWhile(_ != '-').toLongOption
+
+  /** Test seam (spec-only): runs between a commit's data write and its
+    * publish CAS — the window an interleaved competing commit lands in. */
+  private[streaming] var beforePublish: () => Unit = () => ()
 
   def commit(spark: SparkSession, dir: String,
       source: String, tranche: String, group: String, pos: Long): Unit = {
     import spark.implicits._
-    val updated = read(spark, dir)
-      .filter(r => !(r._1 == source && r._2 == tranche && r._3 == group))
-      .appended((source, tranche, group, pos))
     val (fs, root) = fsFor(spark, dir)
     fs.mkdirs(root)
-    val prev = currentVersion(fs, root)
-    // a crash-leftover half-written v=N dir (no pointer move happened)
-    // is simply overwritten by the retry of the same version number
-    val v = prev.getOrElse(0L) + 1L
+    // snapshot the pointer FIRST, then read the table AT that snapshot:
+    // the publish CAS below verifies against these exact bytes, so a
+    // competing commit landing anywhere after this line is detected
+    val snapshot = currentPointer(fs, root)
+    val updated = readAt(spark, dir, fs, root, snapshot.map(_._2))
+      .filter(r => !(r._1 == source && r._2 == tranche && r._3 == group))
+      .appended((source, tranche, group, pos))
+    val v = snapshot.map(_._2.version).getOrElse(0L) + 1L
+    // PRIVATE data dir per attempt: interleaved committers can race the
+    // pointer but never interleave part files in one dir
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val dirName = s"v=$v-$nonce"
     updated.toDF("source", "tranche", "group", "pos")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/v=$v")
-    val tmp = new HPath(root, s"_current.tmp$v")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$dirName")
+    beforePublish()
+    val newContent = s"$v:$dirName:${snapshot.map(_._2.cur).getOrElse("-")}"
+    val tmp = new HPath(root, s"_current.tmp$nonce")
     val out = fs.create(tmp, true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    CrashPoint.maybe("ckpt-pre-swap") // v=N written+tmp staged, pointer still old
+    try out.write(newContent.getBytes("UTF-8")) finally out.close()
+    CrashPoint.maybe("ckpt-pre-swap") // data written+tmp staged, pointer still old
+    def lose(): Nothing = {
+      try { fs.delete(new HPath(root, dirName), true); fs.delete(tmp, false) }
+      catch { case scala.util.control.NonFatal(_) => () }
+      throw new java.util.ConcurrentModificationException(
+        s"checkpoint commit fenced off: another committer moved $dir/_current " +
+          "(re-read and reapply)")
+    }
+    // fenced CAS (LeaseStore discipline): verify unchanged → rename →
+    // verify ours. The verify-rename window is the documented local-FS
+    // caveat; every race outside it throws here or at the re-read.
+    if (PointerFile.readString(fs, new HPath(root, "_current")) != snapshot.map(_._1)) lose()
     val fc = FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
+    try fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
       Options.Rename.OVERWRITE)
+    catch {
+      // a winner's sweep may have collected our staged tmp in the
+      // verify→rename window — that's a detected race, lose cleanly
+      case _: java.io.FileNotFoundException => lose()
+    }
+    if (!PointerFile.readString(fs, new HPath(root, "_current")).contains(newContent)) lose()
     CrashPoint.maybe("ckpt-pre-gc") // pointer swapped, stale versions not yet GC'd
     // first versioned commit over a legacy flat layout: the legacy root
     // data files were absorbed into v=1 above — remove them so a later
     // lost/corrupt pointer surfaces as "empty" rather than silently
     // serving the stale pre-versioned positions
-    if (prev.isEmpty) gcSweep(fs, root, v, legacyToo = true)
-    else gcSweep(fs, root, v, legacyToo = false)
+    gcSweep(fs, root, keep = Set(dirName) ++ snapshot.map(_._2.cur),
+      prevVersion = v - 1, legacyToo = snapshot.isEmpty)
   }
 
   def position(spark: SparkSession, dir: String,
@@ -262,11 +335,16 @@ object CheckpointStore {
     }
 
   def read(spark: SparkSession, dir: String): List[(String, String, String, Long)] = {
-    import spark.implicits._
     val (fs, root) = fsFor(spark, dir)
-    currentVersion(fs, root) match {
-      case Some(v) =>
-        spark.read.parquet(s"$dir/v=$v")
+    readAt(spark, dir, fs, root, currentPointer(fs, root).map(_._2))
+  }
+
+  private def readAt(spark: SparkSession, dir: String, fs: FileSystem, root: HPath,
+      ptr: Option[Pointer]): List[(String, String, String, Long)] = {
+    import spark.implicits._
+    ptr match {
+      case Some(p) =>
+        spark.read.parquet(s"$dir/${p.cur}")
           .select("source", "tranche", "group", "pos")
           .as[(String, String, String, Long)].collect().toList
       case None =>
@@ -284,21 +362,32 @@ object CheckpointStore {
   }
 
   /** Best-effort removal of everything except the two reachable
-    * versions {current, current-1} — superseded versions, crash-left
-    * versions above current (their pointer move never happened), and
-    * orphaned `_current.tmp*` pointer files; with `legacyToo`, also the
+    * version dirs {current, previous} — superseded versions, orphaned
+    * `_current.tmp*` pointer files, and (with `legacyToo`) the
     * pre-versioned flat-layout data files at the root (they were just
-    * absorbed into v=1). Failures are swallowed (a retained stale
-    * version costs bytes, never correctness). */
-  private def gcSweep(fs: FileSystem, root: HPath, current: Long, legacyToo: Boolean): Unit = {
+    * absorbed into v=1). Deletion is IMMEDIATE only for dirs whose
+    * encoded version is strictly below the previous version — those
+    * can only be superseded history or junk. A dir at the same or a
+    * newer version that is not reachable (a racing committer's
+    * in-flight data dir, a crash's unreferenced attempt, a tmp pointer
+    * file) is deleted only once it is an hour old, so a sweep can
+    * never yank a LIVE competitor's staging out from under its
+    * publish. Failures are swallowed (a retained stale version costs
+    * bytes, never correctness). */
+  private def gcSweep(fs: FileSystem, root: HPath, keep: Set[String],
+      prevVersion: Long, legacyToo: Boolean): Unit = {
     try {
+      val ageCutoff = System.currentTimeMillis() - 3600_000L
       fs.listStatus(root).foreach { s =>
         val name = s.getPath.getName
         val stale =
-          (name.startsWith("v=") &&
-            name.drop(2).toLongOption.exists(n => n != current && n != current - 1)) ||
-          name.startsWith("_current.tmp") ||
-          (legacyToo && name != "_current" && !name.startsWith("v="))
+          if (keep.contains(name) || name == "_current") false
+          else dirVersion(name) match {
+            case Some(n) => n < prevVersion || s.getModificationTime < ageCutoff
+            case None =>
+              name.startsWith("_current.tmp") ||
+                (legacyToo && !name.startsWith("v="))
+          }
         if (stale) {
           CrashPoint.maybe("ckpt-mid-gc") // pointer live, sweep partially done
           fs.delete(s.getPath, true)

@@ -1217,21 +1217,75 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("CheckpointStore: GC retains exactly {current, current-1}") {
     import java.nio.file.{Files, Paths}
     val dir = tmp("cp-gc") + "/checkpoints"
+    def versions: Seq[Long] = {
+      val it = Files.list(Paths.get(dir)).iterator()
+      val b = List.newBuilder[Long]
+      while (it.hasNext) {
+        val n = it.next().getFileName.toString
+        if (n.startsWith("v=")) b += n.drop(2).takeWhile(_ != '-').toLong
+      }
+      b.result().sorted
+    }
     CheckpointStore.commit(spark, dir, "feed", "0", "g1", 1L) // v=1
     CheckpointStore.commit(spark, dir, "feed", "0", "g1", 2L) // v=2
     CheckpointStore.commit(spark, dir, "feed", "0", "g1", 3L) // v=3
     // current-1 must survive the swap: a reader that resolved it just
     // before the pointer move may still be scanning it (ADVICE r13)
-    assert(Files.exists(Paths.get(dir, "v=3")))
-    assert(Files.exists(Paths.get(dir, "v=2")))
-    assert(!Files.exists(Paths.get(dir, "v=1")))
+    assert(versions == Seq(2L, 3L), s"retained $versions")
     // crash-leftover versions ABOVE current are junk (their pointer
-    // move never happened) and must be swept, not retained forever
-    Files.createDirectories(Paths.get(dir, "v=77"))
-    Files.write(Paths.get(dir, "v=77", "part-junk"), Array[Byte](9))
+    // move never happened); a FRESH one is indistinguishable from a
+    // racing committer's in-flight dir, so the sweep age-gates it —
+    // only an hour-old orphan is collected
+    val junk = Paths.get(dir, "v=77-deadbeef")
+    Files.createDirectories(junk)
+    Files.write(junk.resolve("part-junk"), Array[Byte](9))
     CheckpointStore.commit(spark, dir, "feed", "0", "g1", 4L) // v=4
-    assert(!Files.exists(Paths.get(dir, "v=77")))
-    assert(Files.exists(Paths.get(dir, "v=4")) && Files.exists(Paths.get(dir, "v=3")))
+    assert(versions == Seq(3L, 4L, 77L), s"fresh above-current junk must survive: $versions")
+    Files.setLastModifiedTime(junk,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200_000L))
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 5L) // v=5
+    assert(versions == Seq(4L, 5L), s"aged orphan must be collected: $versions")
+  }
+
+  test("CheckpointStore: two interleaved committers — one loses cleanly, versions never mix") {
+    import java.nio.file.{Files, Paths}
+    val dir = tmp("cp-fence") + "/checkpoints"
+    CheckpointStore.commit(spark, dir, "feed", "0", "g1", 10L)
+    // committer A snapshots the pointer and writes its data dir; the
+    // test seam then lands a FULL commit B in A's write→publish window;
+    // A's publish CAS must detect the moved pointer and lose cleanly
+    CheckpointStore.beforePublish = () => {
+      CheckpointStore.beforePublish = () => ()
+      CheckpointStore.commit(spark, dir, "feed", "9", "gB", 77L) // B wins
+    }
+    val err = intercept[java.util.ConcurrentModificationException] {
+      CheckpointStore.commit(spark, dir, "feed", "1", "gA", 55L)
+    }
+    assert(err.getMessage.contains("fenced off"))
+    // the store holds B's update and the base row; A's row is absent
+    // (A re-reads and reapplies — the lost-update rule of a CAS loser)
+    val rows = CheckpointStore.read(spark, dir).toSet
+    assert(rows == Set(("feed", "0", "g1", 10L), ("feed", "9", "gB", 77L)), rows.toString)
+    // no mixed dir: every retained version dir is a single complete
+    // commit (exactly one _SUCCESS, one part file set from one job)
+    val it = Files.list(Paths.get(dir)).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      val n = p.getFileName.toString
+      if (n.startsWith("v=")) {
+        val parts = Files.list(p).iterator()
+        val uuids = collection.mutable.Set.empty[String]
+        while (parts.hasNext) {
+          val f = parts.next().getFileName.toString
+          if (f.startsWith("part-")) uuids += f.split("-", 3)(2)
+        }
+        assert(uuids.size <= 1, s"$n mixes part files from two jobs: $uuids")
+      }
+    }
+    // A's retry (a fresh read-modify-write) lands normally
+    CheckpointStore.commit(spark, dir, "feed", "1", "gA", 55L)
+    assert(CheckpointStore.position(spark, dir, "feed", "1", "gA").contains(55L))
+    assert(CheckpointStore.position(spark, dir, "feed", "9", "gB").contains(77L))
   }
 
   test("CheckpointStore: legacy flat files are absorbed then removed on first versioned commit") {
