@@ -80,9 +80,11 @@ object AnnIndexStore {
       val tmp = new HPath(root, s"_current.tmp$v")
       val out = fs.create(tmp, true)
       try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      CrashPoint.maybe("ann-pre-swap") // v sealed + tmp staged, pointer still old
       val fc = FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
       fc.rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(root, "_current")),
         Options.Rename.OVERWRITE)
+      CrashPoint.maybe("ann-pre-gc") // pointer swapped, stale versions not yet swept
       gcSweep(fs, root, v)
       v
     } finally fs.delete(leasePath, false)
@@ -101,7 +103,10 @@ object AnnIndexStore {
           (name.startsWith("v=") &&
             name.drop(2).toLongOption.exists(n => n != current && n != current - 1)) ||
           name.startsWith("_current.tmp")
-        if (stale) fs.delete(s.getPath, true)
+        if (stale) {
+          CrashPoint.maybe("ann-mid-gc") // pointer live, sweep partially done
+          fs.delete(s.getPath, true)
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
   }
