@@ -53,3 +53,23 @@ final class SessionCache[K, V] {
 
   private[operators] def size: Int = map.size
 }
+
+/** A/B instrument for session-resident localCheckpoint caches (the
+  * round-14 adjudication method, SCALING.md follow-up 1): the env knob
+  * `SPARK_GRAFT_NO_CACHE` names residence CLASSES (comma-separated:
+  * `band`, `simhash`, `modality`, `termfreq`) whose frames are then
+  * returned LAZY — consumers recompute per action instead of reading
+  * resident block-manager blocks. Correctness is identical either way
+  * (the frames are deterministic); the knob exists so one binary can
+  * run the suite with a cache class resident vs excluded on ONE quiet
+  * boot and measure what the residency costs the 140+ NON-consumer
+  * queries (storage-pool + GC pressure is invisible to per-query plan
+  * audits — it taxed the whole round-13 suite 1.23×). */
+private[operators] object CacheResidence {
+  private val excluded: Set[String] = sys.env.get("SPARK_GRAFT_NO_CACHE")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  /** `df.localCheckpoint()` unless the residence class is excluded. */
+  def resident(cls: String, df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (excluded(cls)) df else df.localCheckpoint()
+}

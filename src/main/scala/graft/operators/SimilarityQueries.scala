@@ -175,12 +175,12 @@ object SimilarityQueries {
   private def minhashIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
     minhashCache.getOrElseUpdate(spark, (dir, dupes)) {
       val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
-      minhashes(corpus).localCheckpoint()
+      CacheResidence.resident("band", minhashes(corpus))
     }
 
   private def bandIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
     bandIndexCache.getOrElseUpdate(spark, (dir, dupes)) {
-      bandsOf(minhashIndex(spark, dir, dupes)).localCheckpoint()
+      CacheResidence.resident("band", bandsOf(minhashIndex(spark, dir, dupes)))
     }
 
   private val minhashSql =
@@ -351,7 +351,7 @@ object SimilarityQueries {
 
   private def simhashSigsCached(spark: SparkSession, dir: String): DataFrame =
     simhashSigCache.getOrElseUpdate(spark, dir) {
-      simhashSigs(docs(spark, dir)).localCheckpoint()
+      CacheResidence.resident("simhash", simhashSigs(docs(spark, dir)))
     }
 
   /** The hamming ≤ 2 pair frame, materialized once per (session,
@@ -1447,7 +1447,7 @@ object SimilarityQueries {
     * large/small-star contraction to a min-rooted star union, then a
     * label join back over the original node set. Nodes outside any
     * edge never appear (callers left-join and coalesce to self). */
-  private[operators] def componentMapFromEdges(edges: DataFrame): DataFrame = {
+  private[graft] def componentMapFromEdges(edges: DataFrame): DataFrame = {
     val sym = flatCheckpoint(
       edges.union(edges.select(col("b").as("a"), col("a").as("b"))))
 

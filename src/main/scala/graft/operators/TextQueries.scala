@@ -39,10 +39,10 @@ object TextQueries {
 
   private[operators] def termFreq(spark: SparkSession, dir: String): DataFrame =
     termFreqCache.getOrElseUpdate(spark, dir) {
-      docs(spark, dir)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
-        .localCheckpoint()
+      CacheResidence.resident("termfreq",
+        docs(spark, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf")))
     }
 
   // ---- language ID: marker-stopword voting (n-gram heuristic) ----
@@ -423,7 +423,7 @@ object TextQueries {
 
   private def imageSigIndex(spark: SparkSession, dir: String): DataFrame =
     imageSigCache.getOrElseUpdate(spark, dir) {
-      imageFeatures(rawAssets(spark, dir)).localCheckpoint()
+      CacheResidence.resident("modality", imageFeatures(rawAssets(spark, dir)))
     }
 
   val q18ImageDedup: QueryDef = QueryDef(
@@ -540,7 +540,7 @@ object TextQueries {
 
   private def videoSigIndex(spark: SparkSession, dir: String): DataFrame =
     videoSigCache.getOrElseUpdate(spark, dir) {
-      videoFeatures(rawAssets(spark, dir)).localCheckpoint()
+      CacheResidence.resident("modality", videoFeatures(rawAssets(spark, dir)))
     }
 
   val q18VideoDedup: QueryDef = QueryDef(
@@ -732,7 +732,7 @@ object TextQueries {
 
   private def decodedAudioIndex(spark: SparkSession, dir: String): DataFrame =
     decodedAudioCache.getOrElseUpdate(spark, dir) {
-      decodeAudioFrame(rawAssets(spark, dir)).localCheckpoint()
+      CacheResidence.resident("modality", decodeAudioFrame(rawAssets(spark, dir)))
     }
 
   /** The standard asset projection of the documents corpus (bytes =
