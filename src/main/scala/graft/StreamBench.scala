@@ -147,26 +147,43 @@ object StreamBench {
     val t0 = System.nanoTime()
     var bid = 0L
     var keptTotal = 0L
+    // software-pipelined composed chain (round 15): the gate's
+    // admission (page N+1) overlaps the Pack state commit (page N) —
+    // the two touch DISJOINT state (gate: index/kept/quar dirs under
+    // the marker fence; Pack: its own streaming checkpoint), so the
+    // per-page wall cost is max(admission, pack-commit) instead of the
+    // sum. Feed order into Pack is unchanged (one outstanding commit,
+    // awaited before the next feed), so the packed output is
+    // bit-identical to the sequential form.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    var packCommit: Option[Future[Unit]] = None
     docs.grouped(per).foreach { chunk =>
       val batchDf = chunk.toIndexedSeq
         .toDF("doc_id", "source", "text", "n_words")
-      NearDupStream.processBatch(batchDf, bid, s"$root/index", s"$root/kept",
+      // the returned kept frame IS the verdict the gate just paid for —
+      // no per-page parquet read-back of kept/batch=N (half the
+      // round-14 per-page floor). K-bounded collect: |kept| ≤ batch.
+      val kept = NearDupStream.processBatch(batchDf, bid, s"$root/index", s"$root/kept",
         Some(s"$root/quar"), Seq("doc_id", "source", "text", "n_words"))
-      // the kept set (batch-scoped subdir) feeds the packing gate —
-      // K-bounded collect: |kept| ≤ |admitted batch| by construction
-      val kept = spark.read.parquet(s"$root/kept/batch=$bid")
         .select(col("source"), col("doc_id"), col("n_words"))
         .as[(String, Long, Long)].collect()
         .map { case (s, d, w) => PackInput(s, d, w) }
       keptTotal += kept.length
+      packCommit.foreach(Await.result(_, Duration.Inf)) // page N-1's commit
       if (kept.nonEmpty) {
         packIn.addData(kept.toIndexedSeq)
-        pq.processAllAvailable()
+        packCommit = Some(Future { pq.processAllAvailable() })
       }
       bid += 1
+      // compaction may overlap the in-flight Pack commit (disjoint
+      // state) but never an admission — the loop is past this page's
+      // gate and the next page's hasn't started
       if (compactEvery > 0 && bid % compactEvery == 0)
         NearDupStream.compactIndex(spark, s"$root/index")
     }
+    packCommit.foreach(Await.result(_, Duration.Inf))
     val wallS = (System.nanoTime() - t0) / 1e9
     pq.stop()
     val nQuar = spark.read.parquet(s"$root/quar").count()

@@ -142,6 +142,7 @@ object Tool {
     // `sync-feed --gate neardup <sf> <work>` silently bound
     // sfDir='neardup' instead of failing with a usage error
     val known = Set("gate", "ranges", "max-items")
+    val boolFlags = Set("canonical")
     def usage(msg: String): Nothing = {
       System.err.println(s"sync-feed: $msg\n" +
         "usage: sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow] " +
@@ -153,6 +154,8 @@ object Tool {
         flags: Map[String, String]): (List[String], Map[String, String]) =
       rest match {
         case Nil => (pos.reverse, flags)
+        case f :: tail if f.startsWith("--") && boolFlags(f.drop(2)) =>
+          parse(tail, pos, flags + (f.drop(2) -> "true"))
         case f :: v :: tail if f.startsWith("--") && known(f.drop(2)) =>
           parse(tail, pos, flags + (f.drop(2) -> v))
         case f :: _ if f.startsWith("--") =>
@@ -166,12 +169,17 @@ object Tool {
     val gate = flag("gate").getOrElse("none")
     val nRanges = flag("ranges").map(_.toInt).getOrElse(4)
     val maxItems = flag("max-items").map(_.toInt).getOrElse(2500)
+    val canonical = flag("canonical").contains("true")
+    if (canonical && gate == "none")
+      usage("--canonical requires a --gate (it re-resolves the gate's dedup clusters)")
     // every admission gate on the shared marker protocol composes here:
     // minhash-LSH near-dup, md5 exact, simhash pigeonhole, winnowing
     // passage fingerprints — same feed, same exactly-once shape, the
     // gate is one batch function
     val gatePayload = Seq("doc_id", "source", "text")
-    val gateBatch: Option[(org.apache.spark.sql.DataFrame, Long, String, String) => Unit] =
+    // each gate returns its KEPT frame (the verdict it just computed),
+    // so the topic render below never re-reads kept/batch=N from disk
+    val gateBatch: Option[(org.apache.spark.sql.DataFrame, Long, String, String) => org.apache.spark.sql.DataFrame] =
       gate match {
         case "none" => None
         case "neardup" => Some((df, bid, idx, kept) =>
@@ -243,7 +251,6 @@ object Tool {
           case Some(run) =>
             run(page.select(gatePayload.map(col): _*), batchId,
               s"$work/index", s"$work/kept")
-            spark.read.parquet(s"$work/kept/batch=$batchId")
               .select(concat(col("source"), lit("-"), col("doc_id")).as("stream_name"),
                 to_json(struct(col("doc_id"), col("source"), col("text"))).as("value"))
           case None =>
@@ -269,6 +276,63 @@ object Tool {
     println(s"[sync-feed] caught up: polls=$polls pages=$pages rows=$rows " +
       s"produced=$produced secs=${math.round(secs * 1000) / 1000.0} " +
       s"rows_per_sec=${if (secs > 0) (rows / secs).round else 0} topic=$topicDir")
+    if (canonical) canonicalize(spark, work, gate)
+  }
+
+  /** `--canonical` post-pass (SCALING.md round-14 follow-up 4
+    * addendum): gated sync-feed resume is SET-equivalent by design —
+    * first-admitted-wins dedup across independently checkpointed
+    * ranges may keep a different cluster representative after a crash
+    * changes the inter-range admission interleaving. This pass makes
+    * the output content-identical when an operator wants
+    * md5-comparable reruns: over kept ∪ quarantine (which partition
+    * the corpus — the gate's invariant), rebuild the gate's signature
+    * buckets, connect docs sharing any bucket (the bounded CC batch
+    * job), and keep the deterministic min-doc_id representative per
+    * component. The result is a pure function of the corpus, not of
+    * admission order, so ANY run — killed, resumed, or uninterrupted —
+    * lands the same `canonical/kept` set. (Count may differ slightly
+    * from the streaming gate's kept count: CC resolves transitive
+    * chains the pessimistic in-batch tie rule over-drops, exactly as
+    * the batch resolver does.) */
+  private def canonicalize(spark: SparkSession, work: String, gate: String): Unit = {
+    import graft.streaming.{ExactDupStream, NearDupStream, SimhashDupStream, WinnowDupStream}
+    val sig: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = gate match {
+      case "neardup" => NearDupStream.bucketIndex
+      case "exact" => ExactDupStream.md5Buckets
+      case "simhash" => SimhashDupStream.simhashKeys
+      case "winnow" => WinnowDupStream.winnowKeys
+      case other => throw new IllegalArgumentException(s"no canonical pass for gate '$other'")
+    }
+    val cols = Seq("doc_id", "source", "text").map(col)
+    val kept = spark.read.parquet(s"$work/kept").select(cols: _*)
+    val qPath = new org.apache.hadoop.fs.Path(s"$work/quar")
+    val qfs = qPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val all = (if (qfs.exists(qPath))
+      kept.unionByName(spark.read.parquet(s"$work/quar").select(cols: _*))
+    else kept).localCheckpoint() // corpus partition: scanned by sig + join + write
+    val buckets = sig(all.select(col("doc_id"), col("text")))
+    // one edge per (doc, bucket) to the bucket's min doc: the standard
+    // star edge set, |edges| ≤ |bucket rows|, never pairwise
+    val bmin = buckets.groupBy(col("band"), col("bucket")).agg(min(col("doc_id")).as("m"))
+    val edges = buckets.join(bmin, Seq("band", "bucket"))
+      .where(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b")).distinct()
+    val comp = graft.operators.SimilarityQueries.componentMapFromEdges(edges)
+    val canonical = all.join(comp, all("doc_id") === comp("node"), "left")
+      // a doc outside every cluster keeps itself; in a cluster, only
+      // the component root (= min doc_id) survives
+      .where(col("component").isNull || col("component") === col("doc_id"))
+      .select(cols: _*)
+    canonical.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(s"$work/canonical/kept")
+    // order-independent digest (bit-xor of per-row hashes — ANSI-safe,
+    // no overflow): cluster-scale safe, no driver-side sort/collect
+    val row = spark.read.parquet(s"$work/canonical/kept")
+      .agg(count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(doc_id, source, text))").as("digest"))
+      .first()
+    println(s"[sync-feed] canonical kept=${row.getLong(0)} digest=${row.getLong(1)}")
   }
 
   private def withSpark[A](f: SparkSession => A): A = {

@@ -34,7 +34,7 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object NearDupStream {
 
-  private def bucketIndex(docs: DataFrame): DataFrame =
+  private[graft] def bucketIndex(docs: DataFrame): DataFrame =
     SimilarityQueries.bandBuckets(docs).select(col("doc_id"), col("band"), col("bucket"))
 
   // all marker/lease/listing I/O goes through the Hadoop FileSystem of
@@ -81,12 +81,21 @@ object NearDupStream {
     * resolver can re-run the exact confirm over quarantined docs and
     * re-admit false positives — nothing is silently destroyed. The
     * subdir is batch-scoped-overwrite like kept/index, so crash-redo
-    * idempotency covers it too. */
+    * idempotency covers it too.
+    *
+    * Returns the KEPT frame (the admitted payload rows) so a composed
+    * consumer (PackStream feed, sync-feed's topic render) reads the
+    * verdict it already paid for instead of a per-page parquet
+    * read-back of `$keptDir/batch=N` — that synchronous read-back was
+    * half the chain's remaining per-page floor (BASELINE.md round 14).
+    * The plan is batch-bounded (input rows anti-joined to the
+    * checkpointed verdict frame), bit-identical to the persisted
+    * subdir; a REDELIVERED batch returns the persisted subdir itself. */
   private[streaming] def processBatchWith(signature: DataFrame => DataFrame,
       payload: Seq[String] = Seq("doc_id", "text"))(
       batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit = {
+      quarantineDir: Option[String] = None): DataFrame = {
     val spark = batch.sparkSession
     // fail fast under an active compaction lease: a batch whose index
     // scan was planned before the fold would chase deleted source
@@ -100,7 +109,8 @@ object NearDupStream {
           "retry the batch after compactIndex finishes — or, if no compactor is " +
           "running, remove the stale lease left by a crashed compaction")
     val marker = new HPath(iroot, s"_batches/batch-$batchId")
-    if (ifs.exists(marker)) return // redelivered batch: no-op
+    if (ifs.exists(marker)) // redelivered batch: no-op, serve the persisted verdict
+      return spark.read.parquet(s"$keptDir/batch=$batchId")
     // payload head must be doc_id; the rest travels to kept/quarantine
     // (text for the text/modality gates, embedding for the vector gate)
     val docs = batch.select(payload.map(col): _*)
@@ -155,13 +165,14 @@ object NearDupStream {
     Await.result(Future.sequence(writes), Duration.Inf)
     ifs.mkdirs(marker.getParent)
     ifs.createNewFile(marker)
+    kept
   }
 
   /** Minhash-LSH batch processing (the original surface). Exposed for
     * direct batch use and tests; `start` wires it into foreachBatch. */
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None): DataFrame =
     processBatchWith(bucketIndex)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** [[processBatch]] with a custom payload column set (head must be
@@ -170,7 +181,7 @@ object NearDupStream {
     * carried through the kept set instead of re-deriving them. */
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String], payload: Seq[String]): Unit =
+      quarantineDir: Option[String], payload: Seq[String]): DataFrame =
     processBatchWith(bucketIndex, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Compact the persisted bucket index: a weeks-long ingestion leaves
@@ -300,6 +311,7 @@ object NearDupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         processBatchWith(signature, payload)(batch.toDF(), batchId, indexDir, keptDir, quarantineDir)
+        () // foreachBatch wants Unit; the kept frame is for composed callers
       }
       .start()
 
@@ -321,12 +333,12 @@ object NearDupStream {
   * no quarantine is needed: a bucket collision IS a duplicate. */
 object ExactDupStream {
 
-  private def md5Buckets(docs: DataFrame): DataFrame =
+  private[graft] def md5Buckets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), lit(0).as("band"), md5(col("text")).as("bucket"))
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+      payload: Seq[String] = Seq("doc_id", "text")): DataFrame =
     NearDupStream.processBatchWith(md5Buckets, payload)(batch, batchId, indexDir, keptDir)
 
   /** Start the streaming exact-dedup filter over a (doc_id, text)
@@ -355,7 +367,7 @@ object EmbedDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None): DataFrame =
     NearDupStream.processBatchWith(lshBuckets, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming embedding near-dup filter over a
@@ -375,13 +387,13 @@ object EmbedDupStream {
   * operator, and `quarantineDir` records gated docs for it. */
 object SimhashDupStream {
 
-  private def simhashKeys(docs: DataFrame): DataFrame =
+  private[graft] def simhashKeys(docs: DataFrame): DataFrame =
     SimilarityQueries.simhashBuckets(docs)
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None,
-      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+      payload: Seq[String] = Seq("doc_id", "text")): DataFrame =
     NearDupStream.processBatchWith(simhashKeys, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming simhash near-dup filter over a
@@ -407,14 +419,14 @@ object SimhashDupStream {
   * count; the per-batch join is fingerprint-keyed, never pairwise. */
 object WinnowDupStream {
 
-  private def winnowKeys(docs: DataFrame): DataFrame =
+  private[graft] def winnowKeys(docs: DataFrame): DataFrame =
     graft.operators.TextQueries.winnowFingerprints(docs)
       .select(col("doc_id"), lit(0).as("band"), col("fh").as("bucket"))
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
       quarantineDir: Option[String] = None,
-      payload: Seq[String] = Seq("doc_id", "text")): Unit =
+      payload: Seq[String] = Seq("doc_id", "text")): DataFrame =
     NearDupStream.processBatchWith(winnowKeys, payload)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming winnowing-fingerprint filter over a
@@ -452,7 +464,7 @@ object ImageDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None): DataFrame =
     NearDupStream.processBatchWith(imageBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming image near-dup filter over a (doc_id, text)
@@ -495,7 +507,7 @@ object AudioDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None): DataFrame =
     NearDupStream.processBatchWith(audioBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming audio near-dup filter over a (doc_id, text)
@@ -541,7 +553,7 @@ object VideoDupStream {
 
   def processBatch(batch: DataFrame, batchId: Long,
       indexDir: String, keptDir: String,
-      quarantineDir: Option[String] = None): Unit =
+      quarantineDir: Option[String] = None): DataFrame =
     NearDupStream.processBatchWith(videoBuckets)(batch, batchId, indexDir, keptDir, quarantineDir)
 
   /** Start the streaming video near-dup filter over a (doc_id, text)

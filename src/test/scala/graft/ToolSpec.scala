@@ -205,6 +205,26 @@ class ToolSpec extends AnyFunSuite {
     }
   }
 
+  test("sync-feed --canonical: the canonical kept set is invariant to admission interleaving") {
+    // gated resume is SET-equivalent by design: which cluster
+    // representative survives depends on inter-range admission order,
+    // which is exactly what a crash/resume perturbs. The canonical
+    // post-pass must erase that freedom: runs whose interleaving
+    // differs STRUCTURALLY (1 range × 1 page vs 4 ranges × many pages)
+    // land bit-identical canonical/kept digests.
+    val digests = for ((ranges, items) <- Seq(("1", "100000"), ("4", "120"))) yield {
+      val w = Files.createTempDirectory(s"graft-tool-canon$ranges").toString + "/w"
+      val out = runTool("sync-feed", "--gate", "neardup", "--ranges", ranges,
+        "--max-items", items, "--canonical", "/root/testdata/sf0.001", w)
+      val m = "canonical kept=(\\d+) digest=(-?\\d+)".r.findFirstMatchIn(out)
+      assert(m.isDefined, s"no canonical line in: ${out.takeRight(400)}")
+      (m.get.group(1).toLong, m.get.group(2))
+    }
+    assert(digests.distinct.size == 1,
+      s"canonical output depends on admission interleaving: $digests")
+    assert(digests.head._1 > 0)
+  }
+
   test("import-export parses a DynamoDB export and writes ready/pending span sets") {
     val dir = Files.createTempDirectory("graft-tool-ddb")
     val outDir = Files.createTempDirectory("graft-tool-ddb-out").toString + "/idx"

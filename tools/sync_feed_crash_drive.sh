@@ -7,20 +7,36 @@
 # overwrite argument, proven under a real kill rather than the
 # ToolSpec's logical replay.
 #
+# With GATE set (e.g. GATE=neardup), drives the GATED sync with
+# --canonical instead: the plain kept set is only SET-equivalent across
+# a resume (first-admitted-wins across ranges — SCALING.md r14
+# follow-up 4 addendum), so the gated gate compares the CANONICAL kept
+# digest, which must be bit-identical across kill/resume.
+#
 # Usage: tools/sync_feed_crash_drive.sh <sfDir> <workRoot> [seeds] [baseKillSecs]
 set -u
 SF=${1:?sfDir}
 ROOT=${2:?workRoot}
 SEEDS=${3:-2}
 BASE_KILL=${4:-25}
+GATE=${GATE:-}
 CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA_FLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-8g}"
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
 ARGS="--ranges 8 --max-items 25000"
+[ -n "$GATE" ] && ARGS="--gate $GATE --canonical --ranges 8 --max-items 1000"
 
 run_sync() { # $1 = workDir, $2 = logfile
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.Tool sync-feed "$SF" "$1" $ARGS >"$2" 2>&1
+}
+
+compare_canonical() { # $1 = crashed+resumed workDir: canonical digests must match
+  S=$(grep -o 'canonical kept=[0-9]* digest=-\?[0-9]*' "$ROOT/single.log" | tail -1)
+  R=$(grep -o 'canonical kept=[0-9]* digest=-\?[0-9]*' "$1" | tail -1)
+  echo "  single  $S"
+  echo "  resumed $R"
+  [ -n "$S" ] && [ "$S" = "$R" ] && echo "  -> IDENTICAL" || { echo "  -> MISMATCH"; return 1; }
 }
 
 compare_topic() { # $1 = crashed+resumed workDir
@@ -64,7 +80,11 @@ for s in $(seq 1 "$SEEDS"); do
   fi
   run_sync "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; FAILS=$((FAILS+1)); continue; }
   grep '\[sync-feed\] caught' "$ROOT/seed$s.resume.log"
-  compare_topic "$ROOT/seed$s" || FAILS=$((FAILS+1))
+  if [ -n "$GATE" ]; then
+    compare_canonical "$ROOT/seed$s.resume.log" || FAILS=$((FAILS+1))
+  else
+    compare_topic "$ROOT/seed$s" || FAILS=$((FAILS+1))
+  fi
 done
 
 echo "== summary: $SEEDS kill/resume cycles, $FAILS failures =="
