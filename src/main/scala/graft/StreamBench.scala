@@ -54,6 +54,14 @@ object StreamBench {
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         (engine != "tws-nocl").toString)
     }
+    // snapshot cadence (versions between full-snapshot uploads): under
+    // changelog checkpointing this bounds how many changelog files a
+    // cold restart must REPLAY on top of the last snapshot — the
+    // ingest-throughput-vs-recovery-time knob a cluster operator tunes
+    // (round-15 frontier measurement, BASELINE.md)
+    sys.env.get("SPARK_GRAFT_MIN_DELTAS").foreach { d =>
+      builder.config("spark.sql.streaming.stateStore.minDeltasForSnapshot", d)
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -90,6 +98,29 @@ object StreamBench {
     val wallS = (System.nanoTime() - t0) / 1e9
     q.stop()
 
+    // Recovery half of the frontier (SPARK_GRAFT_MEASURE_RECOVERY=1):
+    // stop the query, force-unload every loaded state-store provider
+    // (cold executor, as after a real failure — the restarted query
+    // must re-download the last snapshot and replay the changelog
+    // suffix for all partitions), then restart from the SAME
+    // checkpoint and time restart→first-batch-complete. The fed chunk
+    // replays already-seen events; writePos dedupe makes that a no-op
+    // for output, so the measured wall is state reload + one
+    // micro-batch, the cluster's fail-over number.
+    val recoveryS: Option[Double] =
+      if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
+      else {
+        org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+        val r0 = System.nanoTime()
+        val q2 = out.writeStream.format("noop")
+          .outputMode("append").option("checkpointLocation", cp).start()
+        input.addData(evs.take(math.min(1000, n)).toIndexedSeq)
+        q2.processAllAvailable()
+        val r = (System.nanoTime() - r0) / 1e9
+        q2.stop()
+        Some(math.round(r * 1000) / 1000.0)
+      }
+
     val eps = n / wallS
     // report the batches actually fed (grouped() yields ceil(n/per))
     println(
@@ -97,6 +128,8 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
+        recoveryS.map(r => s""""recovery_s":$r,""").getOrElse("") +
+        sys.env.get("SPARK_GRAFT_MIN_DELTAS").map(d => s""""min_deltas":$d,""").getOrElse("") +
         s""""sf":"$sfDir"}""")
     spark.stop()
   }
