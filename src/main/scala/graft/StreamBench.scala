@@ -62,6 +62,15 @@ object StreamBench {
     sys.env.get("SPARK_GRAFT_MIN_DELTAS").foreach { d =>
       builder.config("spark.sql.streaming.stateStore.minDeltasForSnapshot", d)
     }
+    // snapshot uploads happen on the background maintenance thread
+    // (default every 60 s — longer than a whole bench run, which would
+    // make every changelog config replay the full history on restart
+    // and hide the cadence knob); the frontier runs set this to a few
+    // seconds, approximating a cluster executor's continuous background
+    // maintenance over a long-lived job
+    sys.env.get("SPARK_GRAFT_MAINTENANCE_MS").foreach { ms =>
+      builder.config("spark.sql.streaming.stateStore.maintenanceInterval", s"${ms}ms")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
