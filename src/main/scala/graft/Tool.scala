@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object Tool {
 
+  /** The sync-feed usage line, exposed so ToolSpec pins it: every flag
+    * the parser accepts (including the r15 `--canonical` post-pass)
+    * must be discoverable from the usage error that gates it. */
+  private[graft] val syncFeedUsage: String =
+    "usage: sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow] " +
+      "[--ranges N] [--max-items N] [--canonical]"
+
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: rest => Pipeline.main(rest.toArray)
     case cmd :: rest => withSpark { spark => run(spark, cmd, rest) }
@@ -144,9 +151,7 @@ object Tool {
     val known = Set("gate", "ranges", "max-items")
     val boolFlags = Set("canonical")
     def usage(msg: String): Nothing = {
-      System.err.println(s"sync-feed: $msg\n" +
-        "usage: sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow] " +
-        "[--ranges N] [--max-items N]")
+      System.err.println(s"sync-feed: $msg\n$syncFeedUsage")
       sys.exit(2)
     }
     @annotation.tailrec

@@ -592,6 +592,16 @@ object ScaleOps {
     // winner's _SUCCESS; a claim orphaned by a crash (held normally
     // only for the sub-second rename window) is broken after 60 s and
     // the loser retries the build.
+    //
+    // CONSTRAINT (round 16, same as CheckpointStore's): the 60 s
+    // claim-break assumes the winner's staging→out rename is a
+    // metadata move, i.e. a RENAME-ATOMIC FileSystem (local, HDFS,
+    // EFS). On an object store where rename is copy+delete (S3A) a
+    // large copy can outlive the claim and get it broken mid-publish;
+    // the failure mode is still a clean crash — the loser's rename
+    // onto the now-existing dest fails the `require` below, never
+    // merged data — but the fix is to point SPARK_GRAFT_DERIVED_DIR
+    // at rename-atomic scratch, not to raise the timeout.
     var attempts = 0
     while (!fs.exists(done) && attempts < 3) {
       attempts += 1

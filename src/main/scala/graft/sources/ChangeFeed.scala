@@ -1,10 +1,12 @@
 package graft.sources
 
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.streaming.PointerFile
 
 /** Lease-based change-feed processing over a partitioned feed — the
   * Spark-native form of the reference's CosmosStoreSource /
@@ -92,28 +94,40 @@ final case class ChangeFeedContext(group: String, rangeId: Int, epoch: Long,
 
 /** One lease file per range; all mutations go through a fenced CAS
   * (read → compare (owner, fence) → write temp → atomic rename).
-  * On a local/shared POSIX filesystem the rename is atomic; the
-  * read-compare-rename window is the documented local-FS caveat vs a
-  * true conditional write — the fence still detects every lost race
-  * after the fact (the loser's next CAS fails), so safety degrades to
-  * at-least-once, never to lost checkpoints. */
-final class LeaseStore(dir: String) {
-  Files.createDirectories(Paths.get(dir))
+  *
+  * All I/O goes through the lease dir's OWN Hadoop FileSystem (round
+  * 16 — the last coordination store off java.nio): lease-balanced
+  * multi-instance processing is exactly the seam that must share a
+  * filesystem on a cluster, so `hdfs://` / shared-mount lease dirs now
+  * behave identically to local ones. Reads use the shared
+  * [[graft.streaming.PointerFile]] EOF read (a concurrent atomic
+  * rename between stat and read can otherwise truncate to a stale
+  * prefix); writes stage to a nonce temp file and publish with
+  * `FileContext.rename(OVERWRITE)` — atomic on local and HDFS. On an
+  * object store where rename is copy+delete (S3A) the CAS loses
+  * atomicity: point the lease dir at HDFS/EFS scratch, or swap this
+  * class for a conditional PUT / transactional table — the protocol
+  * above it is unchanged. The read-compare-rename window is the
+  * documented caveat vs a true conditional write — the fence still
+  * detects every lost race after the fact (the loser's next CAS
+  * fails), so safety degrades to at-least-once, never to lost
+  * checkpoints. Lease traffic is O(nRanges) tiny files per poll, so
+  * per-call FileContext setup is noise. */
+final class LeaseStore(dir: String, conf: Configuration = new Configuration()) {
+  private val root = new HPath(dir)
+  private val fs = root.getFileSystem(conf)
+  fs.mkdirs(root)
 
-  private def path(rangeId: Int): Path = Paths.get(dir, s"lease-$rangeId")
+  private def path(rangeId: Int): HPath = new HPath(root, s"lease-$rangeId")
 
-  def read(rangeId: Int): Option[LeaseState] = {
-    val p = path(rangeId)
-    if (!Files.exists(p)) None
-    else {
-      val kv = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
-        .linesIterator.map(_.split("=", 2))
+  def read(rangeId: Int): Option[LeaseState] =
+    PointerFile.readString(fs, path(rangeId)).map { s =>
+      val kv = s.linesIterator.map(_.split("=", 2))
         .collect { case Array(k, v) => k -> v }.toMap
-      Some(LeaseState(rangeId, kv("owner"), kv("fence").toLong,
+      LeaseState(rangeId, kv("owner"), kv("fence").toLong,
         kv("expires").toLong, kv("continuation").toLong,
-        kv.get("incarnation").map(_.toLong).getOrElse(0L)))
+        kv.get("incarnation").map(_.toLong).getOrElse(0L))
     }
-  }
 
   def readAll(nRanges: Int): Vector[Option[LeaseState]] =
     (0 until nRanges).toVector.map(read)
@@ -124,13 +138,17 @@ final class LeaseStore(dir: String) {
     val cur = read(next.rangeId)
     if (cur.map(l => (l.owner, l.fence)) != expected.map(l => (l.owner, l.fence))) false
     else {
-      val tmp = Files.createTempFile(Paths.get(dir), s".lease-${next.rangeId}-", ".tmp")
-      Files.write(tmp,
+      val nonce = java.util.UUID.randomUUID().toString.take(8)
+      val tmp = new HPath(root, s".lease-${next.rangeId}-$nonce.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
         (s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\n" +
           s"continuation=${next.continuation}\nincarnation=${next.incarnation}\n")
-          .getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, path(next.rangeId), StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
+          .getBytes("UTF-8"))
+      finally out.close()
+      val fc = FileContext.getFileContext(fs.getUri, conf)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(path(next.rangeId)),
+        Options.Rename.OVERWRITE)
       true
     }
   }

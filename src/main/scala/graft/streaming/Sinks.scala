@@ -161,15 +161,16 @@ object AppendSink {
   }
 }
 
-/** Tiny-pointer-file reads, shared by [[CheckpointStore]] and
-  * [[AnnIndexStore]]. Reads to EOF rather than a pre-stat'd length:
+/** Tiny-pointer-file reads, shared by [[CheckpointStore]],
+  * [[AnnIndexStore]] and [[graft.sources.LeaseStore]]. Reads to EOF
+  * rather than a pre-stat'd length:
   * a concurrent atomic pointer swap between getFileStatus and open
   * that GROWS the byte count (v=9 → v=10) would truncate a
   * fixed-length readFully to a parse of the stale prefix ("1"),
   * naming a version GC already deleted — a serving batch then fails
   * spuriously. EOF is whatever the open() resolved to, which on an
   * atomic-rename pointer is always one complete version string. */
-private[streaming] object PointerFile {
+private[graft] object PointerFile {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
   def readString(fs: FileSystem, f: HPath): Option[String] =

@@ -90,6 +90,18 @@ class ToolSpec extends AnyFunSuite {
     assert(nums(0) == nums(1) + nums(2), row)
   }
 
+  test("sync-feed usage line names every flag the parser accepts") {
+    // r15 shipped --canonical but the usage error omitted it — the
+    // round's flagship flag was undiscoverable from the very message
+    // that gates it. Pin the full usage text so a parser/usage drift
+    // fails here instead of in an operator's terminal.
+    assert(Tool.syncFeedUsage ==
+      "usage: sync-feed <sfDir> <workDir> [--gate neardup|exact|simhash|winnow] " +
+        "[--ranges N] [--max-items N] [--canonical]")
+    for (flag <- Seq("--gate", "--ranges", "--max-items", "--canonical"))
+      assert(Tool.syncFeedUsage.contains(flag), s"usage omits $flag")
+  }
+
   test("sync-feed round-trips every event through change-feed -> spans -> kafka frame") {
     val work = Files.createTempDirectory("graft-tool-syncfeed").toString + "/w"
     val out = runTool("sync-feed", "/root/testdata/sf0.001", work)

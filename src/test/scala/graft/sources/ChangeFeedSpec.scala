@@ -278,4 +278,26 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capT.seen.isEmpty, s"startFromTail must skip the ${all.size}-doc backlog")
     assert(totalGap(feedDir, tailLeases) == 0L)
   }
+
+  test("a scheme-qualified lease-dir URI shares state with the plain-path store") {
+    // Round 16: LeaseStore went through the lease dir's OWN Hadoop
+    // FileSystem (the last coordination store off java.nio). The
+    // contract that matters on a cluster: two instances given the same
+    // dir under different spellings (plain path vs file:-scheme URI —
+    // the local stand-in for hdfs://) coordinate through ONE store.
+    val dir = tmp("leases-scheme")
+    val plain = new LeaseStore(dir)
+    val viaUri = new LeaseStore(s"file:$dir")
+    val l1 = LeaseState(0, "owner-A", 1L, 99999L, 42L, 7L)
+    assert(plain.tryWrite(None, l1), "initial write via plain path")
+    assert(viaUri.read(0).contains(l1), "URI store reads the plain store's lease")
+    // fenced CAS across the two spellings: viaUri bumps, plain's stale
+    // expectation then fails — one shared fence, not two stores
+    val l2 = l1.copy(owner = "owner-B", fence = 2L, continuation = 50L)
+    assert(viaUri.tryWrite(Some(l1), l2), "CAS via URI store against plain store's state")
+    assert(!plain.tryWrite(Some(l1), l1.copy(fence = 2L)),
+      "plain store's stale (owner, fence) expectation must lose")
+    assert(plain.read(0).contains(l2))
+    assert(viaUri.readAll(N_RANGES).flatten.map(_.rangeId) == Vector(0))
+  }
 }
