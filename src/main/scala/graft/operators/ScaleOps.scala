@@ -262,19 +262,25 @@ object ScaleOps {
 
   /** Exact interpolated percentiles (sort-based `percentile`, not the
     * sketch) — deterministic, so oracle-checkable unlike approx
-    * variants. */
+    * variants. Output is integer 1e-4 units (the q13 integer-cents
+    * rule, one decimal finer): a linear interpolation between
+    * 2-decimal prices at a 2-decimal quantile fraction (0.95·k mod 1 ∈
+    * {0, .05, …, .95}) has a TRUE grain of 1e-4, and emitting the raw
+    * double let a ~1e-10 summation-order ulp in either engine fail the
+    * hash compare (first seen on the ×10 density-constant twin
+    * fixture, round 16: duckdb 99728.63999999998 vs spark 99728.64). */
   val q20Percentiles: QueryDef = QueryDef(
     "q20_percentiles",
     """SELECT l_returnflag,
-      |       quantile_cont(l_quantity, 0.5) AS p50_qty,
-      |       quantile_cont(l_extendedprice, 0.95) AS p95_price
+      |       CAST(round(quantile_cont(l_quantity, 0.5) * 10000) AS BIGINT) AS p50_qty_e4,
+      |       CAST(round(quantile_cont(l_extendedprice, 0.95) * 10000) AS BIGINT) AS p95_price_e4
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
     wideRead(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95_price"))
+      .agg(expr("CAST(round(percentile(l_quantity, 0.5) * 10000, 0) AS BIGINT)").as("p50_qty_e4"),
+        expr("CAST(round(percentile(l_extendedprice, 0.95) * 10000, 0) AS BIGINT)").as("p95_price_e4"))
       .orderBy(col("l_returnflag"))
   }
 
@@ -449,25 +455,29 @@ object ScaleOps {
   val q20ApproxPercentiles: QueryDef = QueryDef(
     "q20_approx_percentiles",
     """SELECT l_returnflag,
-      |       quantile_cont(l_quantity, 0.5) AS p50_qty_exact,
-      |       quantile_cont(l_extendedprice, 0.95) AS p95_price_exact,
+      |       CAST(round(quantile_cont(l_quantity, 0.5) * 10000) AS BIGINT) AS p50_qty_e4,
+      |       CAST(round(quantile_cont(l_extendedprice, 0.95) * 10000) AS BIGINT) AS p95_price_e4,
       |       CAST(1 AS BIGINT) AS p50_within_tol,
       |       CAST(1 AS BIGINT) AS p95_within_tol
       |FROM lineitem
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+    // exact anchors in integer 1e-4 units (ulp-robust, q20_percentiles
+    // rationale); the tolerance flags compare engine-side doubles only
     wideRead(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_quantity, 0.5)").as("p50_qty_exact"),
-        expr("percentile(l_extendedprice, 0.95)").as("p95_price_exact"),
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50d"),
+        expr("percentile(l_extendedprice, 0.95)").as("p95d"),
         expr("approx_percentile(l_quantity, 0.5, 10000)").as("ap50"),
         expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("ap95"))
-      .select(col("l_returnflag"), col("p50_qty_exact"), col("p95_price_exact"),
-        when(abs(col("ap50") - col("p50_qty_exact"))
-          <= greatest(lit(1.0), col("p50_qty_exact") * 0.1), 1L).otherwise(0L)
+      .select(col("l_returnflag"),
+        expr("CAST(round(p50d * 10000, 0) AS BIGINT)").as("p50_qty_e4"),
+        expr("CAST(round(p95d * 10000, 0) AS BIGINT)").as("p95_price_e4"),
+        when(abs(col("ap50") - col("p50d"))
+          <= greatest(lit(1.0), col("p50d") * 0.1), 1L).otherwise(0L)
           .as("p50_within_tol"),
-        when(abs(col("ap95") - col("p95_price_exact"))
-          <= greatest(lit(1.0), col("p95_price_exact") * 0.1), 1L).otherwise(0L)
+        when(abs(col("ap95") - col("p95d"))
+          <= greatest(lit(1.0), col("p95d") * 0.1), 1L).otherwise(0L)
           .as("p95_within_tol"))
       .orderBy(col("l_returnflag"))
   }

@@ -3,6 +3,23 @@
 study (SCALING.md): sfX = N disjoint copies of sf0.1 with shifted ids.
 
 Usage: python3 tools/make_scale.py <src_sf_dir> <out_dir> <n_copies>
+           [--time-axis] [--tables t1,t2]
+
+--time-axis (round 16): grow the EVENT TIME AXIS with the tier instead
+of packing every copy into the source's fixed ~30-day span — copy i's
+events.ts shifts by i*31 days, so events-per-time-bin (and therefore
+the OUTPUT of any time-window join, e.g. q20_range_join's 15-minute
+activation windows) stays ~constant per tier instead of growing ∝ tier.
+This is the production shape — history grows the axis with the data —
+and it turns the r15 "range-join output grows ∝ tier², exponent 1.81"
+adjudication into a measurement: the density-constant twin should land
+~1.0. The default (packed) fixture stays the stress shape for
+bin-density behavior. 31 days > every window/session/watermark width in
+the suite, so copies can never join across the seam.
+
+--tables: emit only the named tables (e.g. `--tables events` for a
+range-join twin — the only table that query reads), skipping the
+expensive documents/embeddings mutations.
 
 Design rules (so the workload GROWS instead of degenerating):
 - id columns shift by i*1e8 per copy (preserves doc_id % 10/20 and
@@ -50,7 +67,13 @@ ID_SHIFTS = {
 }
 
 
-def shifted_copy(tbl: pa.Table, name: str, i: int) -> pa.Table:
+# --time-axis: per-copy events.ts shift. 31 days in the ts column's own
+# unit — wider than any window/session/watermark in the suite, so no
+# time-window operator can pair rows across the copy seam.
+AXIS_DAYS = 31
+
+
+def shifted_copy(tbl: pa.Table, name: str, i: int, time_axis: bool = False) -> pa.Table:
     if i == 0:
         return tbl
     for col in ID_SHIFTS.get(name, []):
@@ -60,6 +83,14 @@ def shifted_copy(tbl: pa.Table, name: str, i: int) -> pa.Table:
         idx = tbl.schema.get_field_index("user_id")
         tbl = tbl.set_column(idx, "user_id",
                              pc.add(tbl.column("user_id"), i * USER_SHIFT))
+        if time_axis:
+            tidx = tbl.schema.get_field_index("ts")
+            tcol = tbl.column("ts")
+            ttype = tcol.type  # timestamp, unit varies by fixture generation
+            per_day = {"s": 86_400, "ms": 86_400_000,
+                       "us": 86_400_000_000, "ns": 86_400_000_000_000}[ttype.unit]
+            shifted = pc.add(tcol.cast(pa.int64()), i * AXIS_DAYS * per_day)
+            tbl = tbl.set_column(tidx, "ts", shifted.cast(ttype))
     if name == "documents":
         idx = tbl.schema.get_field_index("text")
         mutated = pc.replace_substring_regex(
@@ -79,20 +110,33 @@ def shifted_copy(tbl: pa.Table, name: str, i: int) -> pa.Table:
     return tbl
 
 
-def main(src: str, out: str, n: int) -> None:
+def main(src: str, out: str, n: int, time_axis: bool = False,
+         tables: set | None = None) -> None:
     import os
     os.makedirs(out, exist_ok=True)
     for name in COPY_AS_IS:
+        if tables and name not in tables:
+            continue
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{out}/{name}.parquet", version="2.6")
         print(f"{name}: {t.num_rows} rows (dim, unscaled)")
     for name in ID_SHIFTS:
+        if tables and name not in tables:
+            continue
         t = pq.read_table(f"{src}/{name}.parquet")
-        parts = [shifted_copy(t, name, i) for i in range(n)]
+        parts = [shifted_copy(t, name, i, time_axis) for i in range(n)]
         big = pa.concat_tables(parts)
         pq.write_table(big, f"{out}/{name}.parquet", version="2.6")
-        print(f"{name}: {t.num_rows} -> {big.num_rows} rows")
+        print(f"{name}: {t.num_rows} -> {big.num_rows} rows"
+              + (" (time axis grown)" if time_axis and name == "events" else ""))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    argv = sys.argv[1:]
+    time_axis = "--time-axis" in argv
+    tables = None
+    if "--tables" in argv:
+        tables = set(argv[argv.index("--tables") + 1].split(","))
+        del argv[argv.index("--tables"):argv.index("--tables") + 2]
+    argv = [a for a in argv if a != "--time-axis"]
+    main(argv[0], argv[1], int(argv[2]), time_axis, tables)
