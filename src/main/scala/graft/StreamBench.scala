@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
   * the pack state commit per micro-batch.
   */
 object StreamBench {
+  // dispatched-event counter for the recovery probe. OBJECT-level, not
+  // a main() local: a local is captured BY VALUE into the serialized
+  // task closure, so the executor-side deserialized copy increments and
+  // the driver's stays 0 (observed: released_dispatch=0 against an
+  // expected 496k) — a module-field reference resolves through the
+  // singleton, which in local mode is the same JVM instance.
+  private val dispatched = new java.util.concurrent.atomic.LongAdder
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val batches = args.headOption.map(_.toInt).getOrElse(20)
@@ -78,22 +86,72 @@ object StreamBench {
     // events → InputEvent in stream order (the envelope's per-stream
     // contiguous index), collected locally: MemoryStream is fed from
     // the driver by design, like the reference's MemoryStoreSource
-    val evs = Envelope.fromEvents(Envelope.readTable(spark, sfDir, "events"))
+    val evsAll = Envelope.fromEvents(Envelope.readTable(spark, sfDir, "events"))
       .select(col("stream_name"), col("idx"), col("event_type"),
         col("props").as("data"))
       .as[(String, Long, String, String)]
       .collect()
       .map { case (s, i, t, d) => InputEvent(s, i, t, d, d.length.toLong, isUnfold = false) }
+    // SPARK_GRAFT_GAP_HOLD=<pct>: withhold the index-0 event for pct% of
+    // streams, so everything behind the gap BUFFERS in the state store
+    // (the gap hold-back semantic) instead of dispatching and draining.
+    // This is the state-GROWTH knob the recovery-slope measurement
+    // needs: in-order feeds leave ~50 bytes/stream (writePos only) —
+    // restart cost is then all fixed overhead, and the changelog-replay
+    // slope is invisible (the r15 frontier's honest caveat). Held
+    // streams carry their full event payloads in BufferState.queue, so
+    // state scales with the held fraction of the corpus (~100s of MB at
+    // the 10x events tier), the replay-dominated regime.
+    // murmur, not String.hashCode: the synthetic "user-N" names make
+    // hashCode%100 wildly non-uniform (7.5% held where 50% was asked)
+    val gapHoldPct = sys.env.get("SPARK_GRAFT_GAP_HOLD").map(_.toInt).getOrElse(0)
+    def heldStream(s: String): Boolean = gapHoldPct > 0 &&
+      math.floorMod(scala.util.hashing.MurmurHash3.stringHash(s), 100) < gapHoldPct
+    // SPARK_GRAFT_PAD_BYTES: inflate each HELD stream's event payload by
+    // this many bytes. The fixture's props are ~tens of bytes, so even a
+    // fully-buffered half-corpus is ~20 MB of store — far below the
+    // replay-dominated regime the recovery-slope measurement needs;
+    // production event bodies are KB-sized, and this knob restores that
+    // mass where it matters (the buffered state) without touching the
+    // dispatch path.
+    val padBytes = sys.env.get("SPARK_GRAFT_PAD_BYTES").map(_.toInt).getOrElse(0)
+    // INCOMPRESSIBLE per-event pad (seeded by the event identity, so
+    // redelivery reproduces the same payload): a constant filler
+    // compresses to ~nothing inside the store's snapshot zips and
+    // changelog files — the first padded drive grew the on-disk state
+    // 53 MB where ~270 MB was intended, keeping recovery floor-bound
+    def padFor(e: InputEvent): String = {
+      val rnd = new java.util.Random(e.streamName.hashCode.toLong << 32 | e.index)
+      val sb = new java.lang.StringBuilder(padBytes + 16)
+      while (sb.length < padBytes) sb.append(java.lang.Long.toHexString(rnd.nextLong()))
+      sb.substring(0, padBytes)
+    }
+    val evs = evsAll
+      .filterNot(e => e.index == 0L && heldStream(e.streamName))
+      .map(e => if (padBytes > 0 && heldStream(e.streamName))
+        e.copy(data = e.data + padFor(e), size = e.size + padBytes) else e)
+    val nHeld = evsAll.length - evs.length
     val n = evs.length
     val per = math.max(1, n / batches)
 
     val cp = java.nio.file.Files.createTempDirectory("streambench").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[InputEvent]
-    val handle: (String, Seq[InputEvent]) => Long = (_, events) => events.map(_.size).sum
+    // handler counts dispatched events through the module singleton —
+    // observable despite the noop sink (local mode shares the JVM)
+    val handle: (String, Seq[InputEvent]) => Long = (_, events) => {
+      StreamBench.dispatched.add(events.size)
+      events.map(_.size).sum
+    }
+    // gap-held streams only actually BUFFER under requireAll: with the
+    // default island dispatch a gapped stream dispatches past the gap
+    // and drains (the first padded drive measured 19 MB of state where
+    // ~300 MB was intended — the knob without requireAll is a no-op)
+    val requireAll = gapHoldPct > 0
     val out =
-      if (engine.startsWith("tws")) graft.streaming.StreamProcessorTws.process[Long](input.toDS(), handle)
-      else StreamProcessor.process[Long](input.toDS(), handle)
+      if (engine.startsWith("tws")) graft.streaming.StreamProcessorTws.process[Long](
+        input.toDS(), handle, requireAll = requireAll)
+      else StreamProcessor.process[Long](input.toDS(), handle, requireAll = requireAll)
     val q = out.writeStream.format("noop")
       .outputMode("append").option("checkpointLocation", cp).start()
 
@@ -116,18 +174,82 @@ object StreamBench {
     // replays already-seen events; writePos dedupe makes that a no-op
     // for output, so the measured wall is state reload + one
     // micro-batch, the cluster's fail-over number.
-    val recoveryS: Option[Double] =
+    // The restart's REPLAY DEBT, read from the checkpoint's state files
+    // just before the timed restart: per partition, the changelog/delta
+    // versions ABOVE the newest uploaded snapshot are exactly what the
+    // restarted store must replay. Logged alongside recovery_s because
+    // the background maintenance thread races the ingest tail — a
+    // snapshot uploaded seconds before the restart silently shortens
+    // the replay suffix, making same-knob reps incomparable unless the
+    // debt is recorded (ADVICE r15: the 1.00-vs-1.56 s MIN_DELTAS=39
+    // spread was this race, not noise).
+    def replayDebt(): (Long, Long) = {
+      import scala.jdk.CollectionConverters._
+      val stateRoot = java.nio.file.Paths.get(cp, "state")
+      if (!java.nio.file.Files.isDirectory(stateRoot)) return (0L, 0L)
+      val byDir = java.nio.file.Files.walk(stateRoot).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .flatMap { p =>
+          val name = p.getFileName.toString
+          val (base, isSnap) =
+            if (name.endsWith(".zip")) (name.dropRight(4), true)
+            else if (name.endsWith(".snapshot")) (name.dropRight(9), true)
+            else if (name.endsWith(".changelog")) (name.dropRight(10), false)
+            else if (name.endsWith(".delta")) (name.dropRight(6), false)
+            else ("", false)
+          base.toLongOption.map(v => (p.getParent, v, isSnap))
+        }.toVector.groupBy(_._1)
+      val debts = byDir.values.map { files =>
+        val lastSnap = files.collect { case (_, v, true) => v }.maxOption.getOrElse(0L)
+        files.count { case (_, v, snap) => !snap && v > lastSnap }.toLong
+      }
+      (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
+    }
+    val recovery: Option[(Double, Long, Long, Long, Long)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
+        val (debt, nSnaps) = replayDebt()
         org.apache.spark.sql.graftbridge.StateStoreBridge.unloadAll()
+        // SPARK_GRAFT_DROP_CACHES=1 (bench-only, needs root): evict the
+        // OS page cache so the restart performs REAL storage reads. On
+        // this rig RAM dwarfs any local checkpoint (125 GiB vs ≤1 GiB),
+        // so a warm-cache "restart" replays at memory speed and the
+        // snapshot-cadence knob measures flat — a cluster's recovery is
+        // download/read-bound, which only a cold cache approximates.
+        if (sys.env.get("SPARK_GRAFT_DROP_CACHES").contains("1")) {
+          try new ProcessBuilder("sh", "-c", "sync && echo 3 > /proc/sys/vm/drop_caches")
+            .start().waitFor()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[streambench] drop_caches failed: ${e.getMessage}") }
+        }
         val r0 = System.nanoTime()
         val q2 = out.writeStream.format("noop")
           .outputMode("append").option("checkpointLocation", cp).start()
         input.addData(evs.take(math.min(1000, n)).toIndexedSeq)
         q2.processAllAvailable()
         val r = (System.nanoTime() - r0) / 1e9
+        // Restored-state CORRECTNESS probe (gap-hold mode): release the
+        // withheld index-0 events into the restarted query. If the
+        // restore really rebuilt every held stream's buffered queue,
+        // each release dispatches that stream's FULL history
+        // (gap closed → whole island); if the snapshot/changelog path
+        // lost state, only the bare index-0 events dispatch — so the
+        // dispatched-event count is a store-content assertion, not a
+        // timing. (Timed batch above excluded: its redelivered prefix
+        // is writePos-deduped for non-held streams.)
+        val heldEv0 = evsAll.filter(e => e.index == 0L && heldStream(e.streamName))
+        val releasedDispatch: Long =
+          if (heldEv0.isEmpty) -1L
+          else {
+            dispatched.reset()
+            input.addData(heldEv0.toIndexedSeq)
+            q2.processAllAvailable()
+            dispatched.sum()
+          }
         q2.stop()
-        Some(math.round(r * 1000) / 1000.0)
+        val expected =
+          if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
+        Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected))
       }
 
     val eps = n / wallS
@@ -137,7 +259,12 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recoveryS.map(r => s""""recovery_s":$r,""").getOrElse("") +
+        recovery.map { case (r, debt, snaps, got, want) =>
+          s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
+            (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "")
+        }.getOrElse("") +
+        (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +
+        (if (padBytes > 0) s""""pad_bytes":$padBytes,""" else "") +
         sys.env.get("SPARK_GRAFT_MIN_DELTAS").map(d => s""""min_deltas":$d,""").getOrElse("") +
         s""""sf":"$sfDir"}""")
     spark.stop()
