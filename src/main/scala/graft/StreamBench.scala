@@ -26,13 +26,6 @@ import org.apache.spark.sql.functions._
   * the pack state commit per micro-batch.
   */
 object StreamBench {
-  // dispatched-event counter for the recovery probe. OBJECT-level, not
-  // a main() local: a local is captured BY VALUE into the serialized
-  // task closure, so the executor-side deserialized copy increments and
-  // the driver's stays 0 (observed: released_dispatch=0 against an
-  // expected 496k) — a module-field reference resolves through the
-  // singleton, which in local mode is the same JVM instance.
-  private val dispatched = new java.util.concurrent.atomic.LongAdder
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,6 +71,24 @@ object StreamBench {
     // maintenance over a long-lived job
     sys.env.get("SPARK_GRAFT_MAINTENANCE_MS").foreach { ms =>
       builder.config("spark.sql.streaming.stateStore.maintenanceInterval", s"${ms}ms")
+    }
+    // throttle:///… checkpoint dir = the download-bound recovery rig
+    // (SCALING.md round 17): register the scheme's FileSystem /
+    // AbstractFileSystem impls on the session's Hadoop conf — the same
+    // conf the RocksDB file manager and the streaming checkpoint
+    // manager resolve the cp path against — and thread the two knobs
+    // through. Reads pay; writes (ingest) don't, so the cadence sweep
+    // holds ingest fixed while recovery sees remote-store physics.
+    if (sys.env.get("SPARK_GRAFT_CP_DIR").exists(_.startsWith("throttle:"))) {
+      builder.config("spark.hadoop.fs.throttle.impl",
+        "graft.streaming.ThrottledFileSystem")
+      builder.config("spark.hadoop.fs.AbstractFileSystem.throttle.impl",
+        "graft.streaming.ThrottledAbstractFs")
+      sys.env.get("SPARK_GRAFT_THROTTLE_MBPS").foreach(m => builder.config(
+        "spark.hadoop.fs.throttle.read.bytes.per.sec",
+        (m.toLong * 1024L * 1024L).toString))
+      sys.env.get("SPARK_GRAFT_THROTTLE_OPEN_MS").foreach(ms =>
+        builder.config("spark.hadoop.fs.throttle.open.latency.ms", ms))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -134,13 +145,28 @@ object StreamBench {
     val n = evs.length
     val per = math.max(1, n / batches)
 
-    val cp = java.nio.file.Files.createTempDirectory("streambench").toString
+    // SPARK_GRAFT_CP_DIR: checkpoint location override. Two uses: (a)
+    // drive scripts scope their cleanup to dirs THEY created instead of
+    // `rm -rf /tmp/streambench*` (which would eat a concurrent bench's
+    // live checkpoint); (b) a scheme-qualified path (`throttle:///…`)
+    // routes every checkpoint read through [[graft.streaming
+    // .ThrottledFileSystem]] — the download-bound recovery rig.
+    val cp = sys.env.getOrElse("SPARK_GRAFT_CP_DIR",
+      java.nio.file.Files.createTempDirectory("streambench").toString)
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[InputEvent]
-    // handler counts dispatched events through the module singleton —
-    // observable despite the noop sink (local mode shares the JVM)
+    // dispatched-event counter for the recovery probe: a Spark
+    // LongAccumulator, NOT a driver-local (captured by value into the
+    // serialized task closure — the executor's copy increments and the
+    // driver's stays 0; observed released_dispatch=0 against an
+    // expected 496k) and NOT a module-field LongAdder (works only in
+    // local mode where driver and executor share the JVM — on a real
+    // cluster it reads 0 and the restore probe looks like state loss).
+    // Accumulator updates merge back to the driver at task completion
+    // on any deployment, so the probe is cluster-valid.
+    val dispatched = spark.sparkContext.longAccumulator("graft.streambench.dispatched")
     val handle: (String, Seq[InputEvent]) => Long = (_, events) => {
-      StreamBench.dispatched.add(events.size)
+      dispatched.add(events.size)
       events.map(_.size).sum
     }
     // gap-held streams only actually BUFFER under requireAll: with the
@@ -183,29 +209,44 @@ object StreamBench {
     // the replay suffix, making same-knob reps incomparable unless the
     // debt is recorded (ADVICE r15: the 1.00-vs-1.56 s MIN_DELTAS=39
     // spread was this race, not noise).
+    // walked through the checkpoint path's OWN Hadoop FileSystem (not
+    // java.nio): the cp dir may carry a scheme (throttle:///…) and on a
+    // cluster it is a DFS path — listing pays no throttle (only opens
+    // do), so the debt read stays free even on the throttled rig
     def replayDebt(): (Long, Long) = {
-      import scala.jdk.CollectionConverters._
-      val stateRoot = java.nio.file.Paths.get(cp, "state")
-      if (!java.nio.file.Files.isDirectory(stateRoot)) return (0L, 0L)
-      val byDir = java.nio.file.Files.walk(stateRoot).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .flatMap { p =>
-          val name = p.getFileName.toString
-          val (base, isSnap) =
-            if (name.endsWith(".zip")) (name.dropRight(4), true)
-            else if (name.endsWith(".snapshot")) (name.dropRight(9), true)
-            else if (name.endsWith(".changelog")) (name.dropRight(10), false)
-            else if (name.endsWith(".delta")) (name.dropRight(6), false)
-            else ("", false)
-          base.toLongOption.map(v => (p.getParent, v, isSnap))
-        }.toVector.groupBy(_._1)
-      val debts = byDir.values.map { files =>
-        val lastSnap = files.collect { case (_, v, true) => v }.maxOption.getOrElse(0L)
-        files.count { case (_, v, snap) => !snap && v > lastSnap }.toLong
+      val stateRoot = new org.apache.hadoop.fs.Path(cp, "state")
+      val fs = stateRoot.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(stateRoot)) return (0L, 0L)
+      val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Boolean)]
+      // manual listStatus recursion, NOT fs.listFiles(recursive): the
+      // located-status iterator eagerly loads POSIX permissions, which
+      // RawLocalFileSystem implements as `new java.io.File(uri)` — and
+      // java.io.File rejects any scheme but file:, so a throttle:// cp
+      // dir would throw. Names and types are all the debt read needs.
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { st =>
+          if (st.isDirectory) walk(st.getPath)
+          else {
+            val name = st.getPath.getName
+            val (base, isSnap) =
+              if (name.endsWith(".zip")) (name.dropRight(4), true)
+              else if (name.endsWith(".snapshot")) (name.dropRight(9), true)
+              else if (name.endsWith(".changelog")) (name.dropRight(10), false)
+              else if (name.endsWith(".delta")) (name.dropRight(6), false)
+              else ("", false)
+            base.toLongOption.foreach(v =>
+              files += ((st.getPath.getParent.toString, v, isSnap)))
+          }
+        }
+      walk(stateRoot)
+      val byDir = files.toVector.groupBy(_._1)
+      val debts = byDir.values.map { fs2 =>
+        val lastSnap = fs2.collect { case (_, v, true) => v }.maxOption.getOrElse(0L)
+        fs2.count { case (_, v, snap) => !snap && v > lastSnap }.toLong
       }
       (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
     }
-    val recovery: Option[(Double, Long, Long, Long, Long)] =
+    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
         val (debt, nSnaps) = replayDebt()
@@ -222,12 +263,19 @@ object StreamBench {
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[streambench] drop_caches failed: ${e.getMessage}") }
         }
+        graft.streaming.ThrottledFileSystem.resetCounters()
         val r0 = System.nanoTime()
         val q2 = out.writeStream.format("noop")
           .outputMode("append").option("checkpointLocation", cp).start()
         input.addData(evs.take(math.min(1000, n)).toIndexedSeq)
         q2.processAllAvailable()
         val r = (System.nanoTime() - r0) / 1e9
+        // what the timed restart actually READ through the throttle
+        // scheme (0/0 when cp is a plain path): the opens count is the
+        // per-file round-trip term, the bytes the bandwidth term —
+        // committed alongside recovery_s so the cadence comparison
+        // carries its read-volume evidence
+        val (thrOpens, thrBytes) = graft.streaming.ThrottledFileSystem.counters()
         // Restored-state CORRECTNESS probe (gap-hold mode): release the
         // withheld index-0 events into the restarted query. If the
         // restore really rebuilt every held stream's buffered queue,
@@ -244,12 +292,13 @@ object StreamBench {
             dispatched.reset()
             input.addData(heldEv0.toIndexedSeq)
             q2.processAllAvailable()
-            dispatched.sum()
+            dispatched.value
           }
         q2.stop()
         val expected =
           if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
-        Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected))
+        Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected,
+          thrOpens, thrBytes))
       }
 
     val eps = n / wallS
@@ -259,9 +308,12 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recovery.map { case (r, debt, snaps, got, want) =>
+        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
-            (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "")
+            (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
+            (if (thrOpens > 0)
+              s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},"""
+            else "")
         }.getOrElse("") +
         (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +
         (if (padBytes > 0) s""""pad_bytes":$padBytes,""" else "") +

@@ -269,7 +269,10 @@ object Tool {
         checkpoint() // fenced CAS: continuation advances only after the writes
       }
 
-    val leases = new LeaseStore(s"$work/leases")
+    // the session's Hadoop conf, not `new Configuration()`: an hdfs://
+    // or object-store lease dir must see spark.hadoop.* settings
+    // (nameservices, credentials) exactly as the data paths do
+    val leases = new LeaseStore(s"$work/leases", spark.sessionState.newHadoopConf())
     val proc = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", nRanges,
       leases, "sync-feed", "tool-1", leaseTtlMs = 60000L, maxItems = maxItems,
       handler = handler, clock = () => System.currentTimeMillis())

@@ -132,23 +132,41 @@ final class LeaseStore(dir: String, conf: Configuration = new Configuration()) {
   def readAll(nRanges: Int): Vector[Option[LeaseState]] =
     (0 until nRanges).toVector.map(read)
 
+  /** Test seam (spec-only): runs inside the read-compare-rename window
+    * — after the compare passed, before this CAS's write publishes. A
+    * competing store's CAS landed here is exactly the lost race the
+    * class scaladoc documents; ChangeFeedSpec drives it
+    * deterministically to prove the at-least-once degradation rather
+    * than argue it. */
+  private[graft] var beforeRename: () => Unit = () => ()
+
   /** Fenced CAS: succeeds only if the stored (owner, fence) still
     * matches `expected` (None = no lease file yet). */
   def tryWrite(expected: Option[LeaseState], next: LeaseState): Boolean = {
     val cur = read(next.rangeId)
     if (cur.map(l => (l.owner, l.fence)) != expected.map(l => (l.owner, l.fence))) false
     else {
+      beforeRename()
       val nonce = java.util.UUID.randomUUID().toString.take(8)
       val tmp = new HPath(root, s".lease-${next.rangeId}-$nonce.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(
-        (s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\n" +
-          s"continuation=${next.continuation}\nincarnation=${next.incarnation}\n")
-          .getBytes("UTF-8"))
-      finally out.close()
-      val fc = FileContext.getFileContext(fs.getUri, conf)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(path(next.rangeId)),
-        Options.Rename.OVERWRITE)
+      // the lease dir has no version GC: a write/rename failure must
+      // delete its own nonce temp or repeated failures leave
+      // .lease-N-*.tmp debris forever
+      try {
+        val out = fs.create(tmp, true)
+        try out.write(
+          (s"owner=${next.owner}\nfence=${next.fence}\nexpires=${next.expiresAtMs}\n" +
+            s"continuation=${next.continuation}\nincarnation=${next.incarnation}\n")
+            .getBytes("UTF-8"))
+        finally out.close()
+        val fc = FileContext.getFileContext(fs.getUri, conf)
+        fc.rename(fs.makeQualified(tmp), fs.makeQualified(path(next.rangeId)),
+          Options.Rename.OVERWRITE)
+      } catch {
+        case e: Throwable =>
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
+      }
       true
     }
   }

@@ -300,4 +300,81 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plain.read(0).contains(l2))
     assert(viaUri.readAll(N_RANGES).flatten.map(_.rangeId) == Vector(0))
   }
+
+  test("interleaved CAS inside the read-compare-rename window degrades to at-least-once, never a lost checkpoint") {
+    // The LeaseStore scaladoc documents the one caveat vs a true
+    // conditional write: read-compare-rename is not atomic, so a
+    // competing CAS can land INSIDE the window. This drives that
+    // interleaving deterministically (the beforeRename seam — same
+    // pattern as CheckpointStore.beforePublish, StreamingSpec) and
+    // asserts the documented degradation instead of arguing it:
+    //   - both CAS calls report success (the race is undetected AT the
+    //     write — that is the caveat);
+    //   - the file holds exactly ONE of the two complete records, no
+    //     torn mix (rename atomicity);
+    //   - the clobbered writer's NEXT CAS fails and the surviving
+    //     writer's succeeds — the fence detects every lost race one
+    //     step later, so ownership self-corrects;
+    //   - the surviving continuation is one that was genuinely
+    //     checkpointed: a REWIND (redelivery, at-least-once), never an
+    //     invented position (skipped data).
+    val dir = tmp("leases-interleave")
+    val storeA = new LeaseStore(dir)
+    val storeB = new LeaseStore(dir)
+    val seed = LeaseState(0, "owner-A", 1L, 99999L, 10L)
+    assert(storeA.tryWrite(None, seed))
+    // B's competing CAS lands inside A's window: A has read fence 1 and
+    // passed the compare; B then bumps to fence 2 / continuation 20
+    val bWrite = seed.copy(owner = "owner-B", fence = 2L, continuation = 20L)
+    var bLanded = false
+    storeA.beforeRename = () => {
+      storeA.beforeRename = () => ()
+      assert(storeB.tryWrite(Some(seed), bWrite), "B's CAS inside A's window")
+      bLanded = true
+    }
+    val aWrite = seed.copy(fence = 2L, continuation = 15L) // A checkpoints an earlier page
+    assert(storeA.tryWrite(Some(seed), aWrite),
+      "A's CAS also reports success — the undetected-at-write caveat")
+    assert(bLanded)
+    // exactly one complete record survives (A's rename overwrote B's)
+    val cur = storeA.read(0).get
+    assert(cur == aWrite, s"surviving record is A's complete write, got $cur")
+    assert(cur.continuation == 15L,
+      "continuation rewound to A's checkpointed page — redelivery, not a skip")
+    // detection one step later: B's stale expectation fails, A's holds
+    assert(!storeB.tryWrite(Some(bWrite), bWrite.copy(fence = 3L)),
+      "clobbered writer's next CAS must lose")
+    assert(storeA.tryWrite(Some(aWrite), aWrite.copy(fence = 3L, continuation = 25L)),
+      "surviving writer's next CAS must win")
+    assert(storeB.read(0).map(_.continuation).contains(25L))
+    // the lease dir carries no CAS debris (nonce temps are cleaned or renamed)
+    val leftover = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"no .tmp debris, got ${leftover.toList}")
+  }
+
+  test("a failed CAS publish deletes its own nonce temp — no .tmp debris accumulates") {
+    // The lease dir has no version GC (unlike CheckpointStore), so a
+    // write/rename failure that leaked its nonce temp would accumulate
+    // .lease-N-*.tmp files forever under repeated failures. Induce a
+    // real rename failure: swap the destination for a NON-EMPTY
+    // directory inside the CAS window (rename OVERWRITE onto a
+    // non-empty dir throws on every Hadoop FS), and assert the temp is
+    // cleaned before the rethrow.
+    val dir = tmp("leases-cleanup")
+    val store = new LeaseStore(dir)
+    val seed = LeaseState(0, "owner-A", 1L, 99999L, 10L)
+    assert(store.tryWrite(None, seed))
+    store.beforeRename = () => {
+      store.beforeRename = () => ()
+      val dst = new java.io.File(dir, "lease-0")
+      assert(dst.delete()); assert(dst.mkdir())
+      val junk = new java.io.FileWriter(new java.io.File(dst, "junk"))
+      junk.write("x"); junk.close()
+    }
+    intercept[java.io.IOException] {
+      store.tryWrite(Some(seed), seed.copy(fence = 2L))
+    }
+    val leftover = new java.io.File(dir).listFiles().map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftover.isEmpty, s"failed publish must clean its temp, got ${leftover.toList}")
+  }
 }

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import java.net.URI
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The download-bound recovery rig's filesystem (SCALING.md round 17):
+  * `throttle://` must resolve through both Hadoop faces (FileSystem
+  * for the RocksDB file manager, FileContext for the streaming
+  * checkpoint manager's atomic renames), read bytes identically to the
+  * local path, pay the configured per-open latency and GLOBAL
+  * bandwidth cap on reads only, and account what it served. */
+class ThrottledFsSpec extends AnyFunSuite {
+
+  private def conf(bps: Long, openMs: Long): Configuration = {
+    val c = new Configuration()
+    c.set("fs.throttle.impl", classOf[ThrottledFileSystem].getName)
+    c.set("fs.AbstractFileSystem.throttle.impl", classOf[ThrottledAbstractFs].getName)
+    c.setLong("fs.throttle.read.bytes.per.sec", bps)
+    c.setLong("fs.throttle.open.latency.ms", openMs)
+    // no JVM-wide FileSystem.get cache: each test's knobs must bind
+    c.setBoolean("fs.throttle.impl.disable.cache", true)
+    c
+  }
+
+  private def writeLocal(dir: java.nio.file.Path, name: String, size: Int): Array[Byte] = {
+    val rnd = new java.util.Random(42)
+    val bytes = new Array[Byte](size)
+    rnd.nextBytes(bytes)
+    java.nio.file.Files.write(dir.resolve(name), bytes)
+    bytes
+  }
+
+  private def readAll(fs: FileSystem, p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  test("scheme resolves on both Hadoop faces and reads the local bytes verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("thr-fs")
+    val expect = writeLocal(dir, "blob", 64 * 1024)
+    val fs = FileSystem.get(new URI("throttle:///"), conf(0L, 0L))
+    assert(fs.isInstanceOf[ThrottledFileSystem])
+    ThrottledFileSystem.resetCounters()
+    val got = readAll(fs, new Path(s"throttle://$dir/blob"))
+    assert(got.sameElements(expect), "throttled read returns the local file's bytes")
+    val (opens, bytes) = ThrottledFileSystem.counters()
+    assert(opens == 1L && bytes == expect.length.toLong,
+      s"accounting: opens=$opens bytes=$bytes")
+    // FileContext face: the checkpoint manager's atomic-rename path
+    val fc = FileContext.getFileContext(new URI("throttle:///"), conf(0L, 0L))
+    val st = fc.getFileStatus(new Path(s"throttle://$dir/blob"))
+    assert(st.getLen == expect.length.toLong)
+  }
+
+  test("per-open latency and the global read-bandwidth cap bind; writes pay neither") {
+    val dir = java.nio.file.Files.createTempDirectory("thr-knobs")
+    writeLocal(dir, "blob", 256 * 1024)
+    // 1 MiB/s + 50 ms/open over 256 KiB → at least 250 ms bandwidth
+    // + 50 ms open. Sleep-based pacing can only overshoot, so assert
+    // the lower bound.
+    val fs = FileSystem.get(new URI("throttle:///"), conf(1024 * 1024, 50L))
+    val t0 = System.nanoTime()
+    readAll(fs, new Path(s"throttle://$dir/blob"))
+    val readMs = (System.nanoTime() - t0) / 1e6
+    assert(readMs >= 280.0, s"250 KiB at 1 MiB/s + 50 ms open took ${readMs}ms")
+    // writes: full file out in well under the 250 ms a read would pay
+    val w0 = System.nanoTime()
+    val out = fs.create(new Path(s"throttle://$dir/out"), true)
+    try out.write(new Array[Byte](256 * 1024)) finally out.close()
+    val writeMs = (System.nanoTime() - w0) / 1e6
+    assert(writeMs < 200.0, s"writes must not be throttled, took ${writeMs}ms")
+  }
+
+  test("the bandwidth bucket is JVM-global: concurrent readers share one simulated NIC") {
+    val dir = java.nio.file.Files.createTempDirectory("thr-global")
+    writeLocal(dir, "a", 128 * 1024)
+    writeLocal(dir, "b", 128 * 1024)
+    val fs = FileSystem.get(new URI("throttle:///"), conf(512 * 1024, 0L))
+    // two parallel 128 KiB readers over a 512 KiB/s GLOBAL cap: 256 KiB
+    // aggregate → ≥ ~500 ms wall; per-stream buckets would finish in ~250
+    val t0 = System.nanoTime()
+    val threads = Seq("a", "b").map { n =>
+      val t = new Thread(() => { readAll(fs, new Path(s"throttle://$dir/$n")): Unit })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    val wallMs = (System.nanoTime() - t0) / 1e6
+    assert(wallMs >= 420.0,
+      s"global bucket must serialize aggregate throughput, wall=${wallMs}ms")
+  }
+}
