@@ -28,6 +28,7 @@ export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-4}
 drive() { java $OPENS $JAVA_FLAGS -cp "$CP" graft.AnnCrashDrive "$@"; }
 
 mkdir -p "$ROOT"
+: > "$ROOT/runs.jsonl"
 echo "== cold digests =="
 BASE_MD5=$(drive cold "$SF" base | awk '/^COLD/{print $2}')
 GROWN_MD5=$(drive cold "$SF" grown | awk '/^COLD/{print $2}')
@@ -35,13 +36,19 @@ echo "  base=$BASE_MD5 grown=$GROWN_MD5"
 [ -n "$BASE_MD5" ] && [ -n "$GROWN_MD5" ] && [ "$BASE_MD5" != "$GROWN_MD5" ] || {
   echo "FAIL: cold digests missing or identical (fixture exercises nothing)"; exit 1; }
 
+record() { # $1 = point, $2 = pass(0/1), $3 = reason, $4 = serves, $5 = errors, $6 = off_digest, $7 = final_matches(0/1)
+  python3 -c 'import json,sys; print(json.dumps({"name":sys.argv[1],"kind":"protocol","pass":sys.argv[2]=="0","reason":sys.argv[3] or None,"serves":int(sys.argv[4]),"serve_errors":int(sys.argv[5]),"off_digest":int(sys.argv[6]),"final_matches_cold_rebuild":sys.argv[7]=="0"}))' \
+    "$1" "$2" "$3" "${4:-0}" "${5:-0}" "${6:-0}" "${7:-1}" >> "$ROOT/runs.jsonl"
+}
+
 FAIL=0
 for P in ann-pre-swap ann-pre-gc ann-mid-gc; do
   echo "== crash point $P =="
   IDX="$ROOT/idx-$P"; STOP="$ROOT/stop-$P"; SLOG="$ROOT/serve-$P.log"
   rm -rf "$IDX" "$STOP" "$SLOG"
-  drive refresh "$SF" "$IDX" base  >/dev/null || { echo "FAIL: v1 build"; FAIL=1; continue; }
-  drive refresh "$SF" "$IDX" grown >/dev/null || { echo "FAIL: v2 refresh"; FAIL=1; continue; }
+  PFAIL=0; REASON=""
+  drive refresh "$SF" "$IDX" base  >/dev/null || { echo "FAIL: v1 build"; record "$P" 1 "v1 build failed"; FAIL=1; continue; }
+  drive refresh "$SF" "$IDX" grown >/dev/null || { echo "FAIL: v2 refresh"; record "$P" 1 "v2 refresh failed"; FAIL=1; continue; }
   # serving load in its own JVM, across the kill
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.AnnCrashDrive serve-loop "$SF" "$IDX" "$STOP" >"$SLOG" 2>&1 &
   SRV=$!
@@ -50,16 +57,18 @@ for P in ann-pre-swap ann-pre-gc ann-mid-gc; do
   RC=$?
   if [ $RC -ne 137 ]; then
     echo "FAIL: crash point $P never fired (refresh rc=$RC)"; FAIL=1
+    record "$P" 1 "crash point never fired (rc=$RC)"
     touch "$STOP"; wait $SRV 2>/dev/null; continue
   fi
   # the halt skips the finally: the lease MUST be orphaned; removing it
   # is the documented remediation before the resume
   if [ ! -f "$IDX/_refreshing" ]; then
     echo "FAIL: $P left no orphaned _refreshing lease"; FAIL=1
+    record "$P" 1 "no orphaned _refreshing lease"
     touch "$STOP"; wait $SRV 2>/dev/null; continue
   fi
   rm "$IDX/_refreshing"
-  drive refresh "$SF" "$IDX" base >/dev/null || { echo "FAIL: resume refresh"; FAIL=1; }
+  drive refresh "$SF" "$IDX" base >/dev/null || { echo "FAIL: resume refresh"; PFAIL=1; REASON="resume refresh failed"; }
   sleep 2  # a couple of post-resume serves from the loop
   touch "$STOP"; wait $SRV 2>/dev/null
   FINAL=$(drive serve "$SF" "$IDX" | awk '/^SERVE/{print $2}')
@@ -67,11 +76,30 @@ for P in ann-pre-swap ann-pre-gc ann-mid-gc; do
   NSRV=$(grep -c '^SERVE' "$SLOG" || true)
   NBAD=$(awk -v b="$BASE_MD5" -v g="$GROWN_MD5" '/^SERVE/{if ($2!=b && $2!=g) n++} END{print n+0}' "$SLOG")
   echo "  serves=$NSRV errors=$NERR off-digest=$NBAD final=$FINAL"
-  [ "$NERR" -eq 0 ] || { echo "FAIL: $NERR serve errors during $P"; FAIL=1; }
-  [ "$NBAD" -eq 0 ] || { echo "FAIL: $NBAD serves matched neither cold side"; FAIL=1; }
-  [ "$NSRV" -ge 3 ] || { echo "FAIL: serving loop produced too few samples"; FAIL=1; }
-  [ "$FINAL" = "$BASE_MD5" ] || { echo "FAIL: final state != cold rebuild of last corpus"; FAIL=1; }
+  [ "$NERR" -eq 0 ] || { echo "FAIL: $NERR serve errors during $P"; PFAIL=1; REASON="serve errors"; }
+  [ "$NBAD" -eq 0 ] || { echo "FAIL: $NBAD serves matched neither cold side"; PFAIL=1; REASON="off-digest serves"; }
+  [ "$NSRV" -ge 3 ] || { echo "FAIL: serving loop produced too few samples"; PFAIL=1; REASON="too few serve samples"; }
+  FINMATCH=0; [ "$FINAL" = "$BASE_MD5" ] || { echo "FAIL: final state != cold rebuild of last corpus"; PFAIL=1; REASON="final != cold rebuild"; FINMATCH=1; }
+  record "$P" "$PFAIL" "$REASON" "$NSRV" "$NERR" "$NBAD" "$FINMATCH"
+  [ "$PFAIL" -ne 0 ] && FAIL=1
 done
+
+# machine-checkable verdict (VERDICT r16 item 2): one jq-able artifact
+# per drive run, committed under tools/gates_rN/ (raw logs stay ignored)
+python3 - "$ROOT" "$SF" "$FAIL" "$BASE_MD5" "$GROWN_MD5" <<'EOF'
+import json, subprocess, sys
+root, sf, fail, base, grown = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4], sys.argv[5]
+runs = [json.loads(l) for l in open(f"{root}/runs.jsonl")]
+commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                        capture_output=True, text=True).stdout.strip()
+v = {"gate": "ann_refresh_crash_under_serving", "sf": sf,
+     "binary_commit": commit, "cold_base_digest": base,
+     "cold_grown_digest": grown, "runs": runs,
+     "failures": sum(1 for r in runs if not r["pass"]), "pass": fail == 0}
+with open(f"{root}/verdict.json", "w") as f:
+    json.dump(v, f, indent=1)
+print(f"verdict -> {root}/verdict.json (pass={fail == 0})")
+EOF
 
 if [ $FAIL -eq 0 ]; then echo "ALL ANN CRASH GATES PASS"; else echo "ANN CRASH GATE FAILURES"; fi
 exit $FAIL

@@ -36,11 +36,11 @@ run_pipeline() { # $1 = workDir, $2 = logfile
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$1" >"$2" 2>&1
 }
 
-compare_store() { # $1 = crashed+resumed workDir; prints md5 line, exits 1 on mismatch
-  python3 - "$ROOT" "$1" <<'EOF'
-import sys
+compare_store() { # $1 = crashed+resumed workDir, $2 = run name, $3 = kind, $4 = kill_s
+  python3 - "$ROOT" "$1" "${2:-$(basename "$1")}" "${3:-seed}" "${4:-0}" <<'EOF'
+import json, sys
 import duckdb
-root, crashed = sys.argv[1], sys.argv[2]
+root, crashed, name, kind, kill_s = sys.argv[1:6]
 q = lambda d: duckdb.sql(
     f"SELECT count(*), count(DISTINCT (stream_name, idx)), "
     f"md5(string_agg(stream_name || ':' || idx || ':' || result, '|' "
@@ -51,8 +51,18 @@ ok = (resumed[1] == single[1] and resumed[2] == single[2]
       and single[0] == single[1] and resumed[0] == resumed[1])
 print(f"  single  rows={single[0]} hash={single[2]}")
 print(f"  resumed rows={resumed[0]} hash={resumed[2]}  -> {'IDENTICAL' if ok else 'MISMATCH'}")
+with open(f"{root}/runs.jsonl", "a") as f:
+    f.write(json.dumps({"name": name, "kind": kind, "kill_s": int(kill_s),
+        "single_rows": single[0], "single_hash": single[2],
+        "resumed_rows": resumed[0], "resumed_hash": resumed[2],
+        "pass": ok}) + "\n")
 sys.exit(0 if ok else 1)
 EOF
+}
+
+record_fail() { # $1 = name, $2 = kind, $3 = kill_s, $4 = reason
+  python3 -c 'import json,sys; print(json.dumps({"name":sys.argv[1],"kind":sys.argv[2],"kill_s":int(sys.argv[3]),"pass":False,"reason":sys.argv[4]}))' \
+    "$1" "$2" "$3" "$4" >> "$ROOT/runs.jsonl"
 }
 
 kill_run() { # $1 = workDir, $2 = log, $3 = killAfterSecs, extra env via CRASH_ENV
@@ -78,6 +88,7 @@ kill_run() { # $1 = workDir, $2 = log, $3 = killAfterSecs, extra env via CRASH_E
 }
 
 rm -rf "$ROOT"; mkdir -p "$ROOT"
+: > "$ROOT/runs.jsonl"
 FAILS=0
 
 echo "== reference: single uninterrupted run =="
@@ -88,8 +99,8 @@ for s in $(seq 1 "$SEEDS"); do
   K=$((BASE_KILL + 11 * (s - 1)))
   echo "== seed $s: external SIGKILL at ${K}s =="
   kill_run "$ROOT/seed$s" "$ROOT/seed$s.crash.log" "$K"
-  run_pipeline "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; FAILS=$((FAILS+1)); continue; }
-  compare_store "$ROOT/seed$s" || FAILS=$((FAILS+1))
+  run_pipeline "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; record_fail "seed$s" seed "$K" "resume run failed"; FAILS=$((FAILS+1)); continue; }
+  compare_store "$ROOT/seed$s" "seed$s" seed "$K" || FAILS=$((FAILS+1))
 done
 
 # hit counts: pre-swap/pre-gc fire once per commit -> 3rd = batch 3;
@@ -101,11 +112,28 @@ for spec in ckpt-pre-swap:3 ckpt-pre-gc:3 ckpt-mid-gc:1; do
   CRASH_ENV="SPARK_GRAFT_CRASH_POINT=$spec" kill_run "$ROOT/$point" "$ROOT/$point.crash.log" 0
   if ! grep -q '\[crashpoint\]' "$ROOT/$point.crash.log"; then
     echo "  FAIL: crash point $spec never fired — protocol window untested"
+    record_fail "$point" protocol 0 "crash point never fired"
     FAILS=$((FAILS+1)); continue
   fi
-  CRASH_ENV="" run_pipeline "$ROOT/$point" "$ROOT/$point.resume.log" || { tail -5 "$ROOT/$point.resume.log"; FAILS=$((FAILS+1)); continue; }
-  compare_store "$ROOT/$point" || FAILS=$((FAILS+1))
+  CRASH_ENV="" run_pipeline "$ROOT/$point" "$ROOT/$point.resume.log" || { tail -5 "$ROOT/$point.resume.log"; record_fail "$point" protocol 0 "resume run failed"; FAILS=$((FAILS+1)); continue; }
+  compare_store "$ROOT/$point" "$point" protocol 0 || FAILS=$((FAILS+1))
 done
 
 echo "== summary: $((SEEDS + 3)) kill/resume cycles, $FAILS failures =="
+# machine-checkable verdict (VERDICT r16 item 2): one jq-able artifact
+# per drive run — gate, tier, kill offsets, per-run digests, pass/fail
+# — committed under tools/gates_rN/ while the raw logs stay ignored
+python3 - "$ROOT" "$SF" "$FAILS" <<'EOF'
+import json, subprocess, sys
+root, sf, fails = sys.argv[1], sys.argv[2], int(sys.argv[3])
+runs = [json.loads(l) for l in open(f"{root}/runs.jsonl")]
+commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                        capture_output=True, text=True).stdout.strip()
+v = {"gate": "checkpoint_store_crash_resume", "sf": sf,
+     "binary_commit": commit, "runs": runs, "failures": fails,
+     "pass": fails == 0}
+with open(f"{root}/verdict.json", "w") as f:
+    json.dump(v, f, indent=1)
+print(f"verdict -> {root}/verdict.json (pass={fails == 0})")
+EOF
 exit "$FAILS"

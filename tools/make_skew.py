@@ -75,8 +75,38 @@ TRANSFORMS = {
 }
 
 
-def main(src: str, out: str) -> None:
+def skew_events_pct(tbl: pa.Table, pct: int) -> pa.Table:
+    """Hot-fraction variant (round 17, SCALING.md hot-fraction curve):
+    route `pct`% of events to user 42 — hot iff event_id % 20 < pct/5,
+    so pct ∈ {5,10,…,95}. The default fixture's mod-5 rule picks a
+    different id SET at 20% but the same fraction; the curve only
+    compares across its own variants, so the rule change is benign."""
+    assert pct % 5 == 0 and 0 < pct < 100, "pct must be a multiple of 5 in (0,100)"
+    import numpy as np
+    vals = tbl.column("event_id").combine_chunks().to_numpy(zero_copy_only=False)
+    hot = pa.array(np.asarray(vals) % 20 < pct // 5)
+    idx = tbl.schema.get_field_index("user_id")
+    utype = tbl.schema.field("user_id").type
+    uid = pc.if_else(hot, pa.scalar(42, type=utype), tbl.column("user_id"))
+    return tbl.set_column(idx, "user_id", uid.cast(utype))
+
+
+def main(src: str, out: str, events_hot_pct: int = 0) -> None:
     os.makedirs(out, exist_ok=True)
+    if events_hot_pct:
+        # events-only variant for the hot-fraction curve: every other
+        # table is symlinked from the source fixture (the window family
+        # under study reads events alone, and a 60x fixture set would
+        # otherwise cost ~900 MB per curve point)
+        for name in COPY_AS_IS + ["documents", "lineitem"]:
+            dst = f"{out}/{name}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(os.path.abspath(f"{src}/{name}.parquet"), dst)
+        t = pq.read_table(f"{src}/events.parquet")
+        pq.write_table(skew_events_pct(t, events_hot_pct),
+                       f"{out}/events.parquet", version="2.6")
+        print(f"events: {t.num_rows} rows ({events_hot_pct}% -> user 42; rest symlinked)")
+        return
     for name in COPY_AS_IS:
         t = pq.read_table(f"{src}/{name}.parquet")
         pq.write_table(t, f"{out}/{name}.parquet", version="2.6")
@@ -89,4 +119,9 @@ def main(src: str, out: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    pct = 0
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    for a in sys.argv[1:]:
+        if a.startswith("--events-hot-pct="):
+            pct = int(a.split("=", 1)[1])
+    main(args[0], args[1], pct)

@@ -31,19 +31,22 @@ run_sync() { # $1 = workDir, $2 = logfile
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.Tool sync-feed "$SF" "$1" $ARGS >"$2" 2>&1
 }
 
-compare_canonical() { # $1 = crashed+resumed workDir: canonical digests must match
+compare_canonical() { # $1 = resumed log, $2 = run name, $3 = kill_s: canonical digests must match
   S=$(grep -o 'canonical kept=[0-9]* digest=-\?[0-9]*' "$ROOT/single.log" | tail -1)
   R=$(grep -o 'canonical kept=[0-9]* digest=-\?[0-9]*' "$1" | tail -1)
   echo "  single  $S"
   echo "  resumed $R"
-  [ -n "$S" ] && [ "$S" = "$R" ] && echo "  -> IDENTICAL" || { echo "  -> MISMATCH"; return 1; }
+  OK=1; [ -n "$S" ] && [ "$S" = "$R" ] && OK=0
+  python3 -c 'import json,sys; print(json.dumps({"name":sys.argv[1],"kind":"seed","kill_s":int(sys.argv[2]),"single_canonical":sys.argv[3],"resumed_canonical":sys.argv[4],"pass":sys.argv[5]=="0"}))' \
+    "$2" "$3" "$S" "$R" "$OK" >> "$ROOT/runs.jsonl"
+  [ "$OK" = 0 ] && echo "  -> IDENTICAL" || { echo "  -> MISMATCH"; return 1; }
 }
 
-compare_topic() { # $1 = crashed+resumed workDir
-  python3 - "$ROOT" "$1" <<'EOF'
-import sys
+compare_topic() { # $1 = crashed+resumed workDir, $2 = run name, $3 = kill_s
+  python3 - "$ROOT" "$1" "${2:-$(basename "$1")}" "${3:-0}" <<'EOF'
+import json, sys
 import duckdb
-root, crashed = sys.argv[1], sys.argv[2]
+root, crashed, name, kill_s = sys.argv[1:5]
 q = lambda d: duckdb.sql(
     f"SELECT count(*), md5(string_agg(CAST(key AS VARCHAR) || '=' || CAST(value AS VARCHAR), '|' "
     f"ORDER BY CAST(key AS VARCHAR), CAST(value AS VARCHAR))) "
@@ -53,12 +56,23 @@ single, resumed = q(f"{root}/single"), q(crashed)
 ok = single == resumed
 print(f"  single  msgs={single[0]} hash={single[1]}")
 print(f"  resumed msgs={resumed[0]} hash={resumed[1]}  -> {'IDENTICAL' if ok else 'MISMATCH'}")
+with open(f"{root}/runs.jsonl", "a") as f:
+    f.write(json.dumps({"name": name, "kind": "seed", "kill_s": int(kill_s),
+        "single_msgs": single[0], "single_hash": single[1],
+        "resumed_msgs": resumed[0], "resumed_hash": resumed[1],
+        "pass": ok}) + "\n")
 sys.exit(0 if ok else 1)
 EOF
 }
 
 rm -rf "$ROOT"; mkdir -p "$ROOT"
+: > "$ROOT/runs.jsonl"
 FAILS=0
+
+record_fail() { # $1 = name, $2 = kill_s, $3 = reason
+  python3 -c 'import json,sys; print(json.dumps({"name":sys.argv[1],"kind":"seed","kill_s":int(sys.argv[2]),"pass":False,"reason":sys.argv[3]}))' \
+    "$1" "$2" "$3" >> "$ROOT/runs.jsonl"
+}
 
 echo "== reference: single uninterrupted sync =="
 run_sync "$ROOT/single" "$ROOT/single.log" || { tail -5 "$ROOT/single.log"; exit 1; }
@@ -78,14 +92,28 @@ for s in $(seq 1 "$SEEDS"); do
     wait "$PID" 2>/dev/null
     echo "  WARNING: sync finished before the ${K}s kill"
   fi
-  run_sync "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; FAILS=$((FAILS+1)); continue; }
+  run_sync "$ROOT/seed$s" "$ROOT/seed$s.resume.log" || { tail -5 "$ROOT/seed$s.resume.log"; record_fail "seed$s" "$K" "resume run failed"; FAILS=$((FAILS+1)); continue; }
   grep '\[sync-feed\] caught' "$ROOT/seed$s.resume.log"
   if [ -n "$GATE" ]; then
-    compare_canonical "$ROOT/seed$s.resume.log" || FAILS=$((FAILS+1))
+    compare_canonical "$ROOT/seed$s.resume.log" "seed$s" "$K" || FAILS=$((FAILS+1))
   else
-    compare_topic "$ROOT/seed$s" || FAILS=$((FAILS+1))
+    compare_topic "$ROOT/seed$s" "seed$s" "$K" || FAILS=$((FAILS+1))
   fi
 done
 
 echo "== summary: $SEEDS kill/resume cycles, $FAILS failures =="
+# machine-checkable verdict (VERDICT r16 item 2)
+python3 - "$ROOT" "$SF" "$FAILS" "$GATE" <<'EOF'
+import json, subprocess, sys
+root, sf, fails, gate = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+runs = [json.loads(l) for l in open(f"{root}/runs.jsonl")]
+commit = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                        capture_output=True, text=True).stdout.strip()
+v = {"gate": f"sync_feed_crash_resume{'_' + gate if gate else ''}", "sf": sf,
+     "binary_commit": commit, "runs": runs, "failures": fails,
+     "pass": fails == 0}
+with open(f"{root}/verdict.json", "w") as f:
+    json.dump(v, f, indent=1)
+print(f"verdict -> {root}/verdict.json (pass={fails == 0})")
+EOF
 exit "$FAILS"
