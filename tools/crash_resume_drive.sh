@@ -31,6 +31,12 @@ CP="target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS="--add-opens java.base/java.lang=ALL-UNNAMED --add-opens java.base/java.lang.invoke=ALL-UNNAMED --add-opens java.base/java.lang.reflect=ALL-UNNAMED --add-opens java.base/java.io=ALL-UNNAMED --add-opens java.base/java.net=ALL-UNNAMED --add-opens java.base/java.nio=ALL-UNNAMED --add-opens java.base/java.util=ALL-UNNAMED --add-opens java.base/java.util.concurrent=ALL-UNNAMED --add-opens java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens java.base/sun.nio.ch=ALL-UNNAMED --add-opens java.base/sun.nio.cs=ALL-UNNAMED --add-opens java.base/sun.security.action=ALL-UNNAMED --add-opens java.base/sun.util.calendar=ALL-UNNAMED"
 JAVA_FLAGS="-Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC -Xmx${SPARK_DRIVER_MEM:-8g}"
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-8}
+# tier-sized admission pages: Pipeline's 400-line default suits the
+# sf0.001 demo — at the 10x tier (1M events) it means 2,500
+# micro-batches and an hours-long "single run" (round-17 lesson: the
+# env lived only in the invoking shell's history, so a fresh caller got
+# the demo default)
+export SPARK_GRAFT_FEED_LINES_PER_TRIGGER=${SPARK_GRAFT_FEED_LINES_PER_TRIGGER:-25000}
 
 run_pipeline() { # $1 = workDir, $2 = logfile
   java $OPENS $JAVA_FLAGS -cp "$CP" graft.Pipeline "$SF" "$1" >"$2" 2>&1
