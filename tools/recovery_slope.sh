@@ -32,7 +32,7 @@
 # checkpoint is never touched.
 #
 # Usage: tools/recovery_slope.sh [sfDir] [outDir] [reps]
-#   env: BATCHES CADENCES THROTTLE_MBPS THROTTLE_OPEN_MS TAG
+#   env: BATCHES CADENCES STATE_PARTS THROTTLE_MBPS THROTTLE_OPEN_MS TAG
 set -eu
 SF=${1:-/tmp/sf1.0}
 OUT=${2:-tools/tier_r16}
@@ -73,7 +73,7 @@ for md in $CADENCES; do
     RUN_CP="/tmp/rslope_cp_$$_${md}_${rep}"   # each run leaves an up-to-GB checkpoint
     rm -rf "$RUN_CP"
     SPARK_GRAFT_MIN_DELTAS=$md SPARK_GRAFT_CP_DIR="${CP_SCHEME}${RUN_CP}" \
-      java $OPENS $JAVA_FLAGS -cp "$CP" graft.StreamBench "$BATCHES" 32 tws \
+      java $OPENS $JAVA_FLAGS -cp "$CP" graft.StreamBench "$BATCHES" ${STATE_PARTS:-32} tws \
       >"$OUT/recovery${TAG}_md${md}_r${rep}.log" 2>&1 \
       || { tail -3 "$OUT/recovery${TAG}_md${md}_r${rep}.log"; exit 1; }
     grep '"metric"' "$OUT/recovery${TAG}_md${md}_r${rep}.log" | tee "$OUT/recovery${TAG}_md${md}_r${rep}.json"
