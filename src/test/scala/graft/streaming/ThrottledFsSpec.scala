@@ -72,12 +72,15 @@ class ThrottledFsSpec extends AnyFunSuite {
     readAll(fs, new Path(s"throttle://$dir/blob"))
     val readMs = (System.nanoTime() - t0) / 1e6
     assert(readMs >= 280.0, s"250 KiB at 1 MiB/s + 50 ms open took ${readMs}ms")
-    // writes: full file out in well under the 250 ms a read would pay
-    val w0 = System.nanoTime()
+    // writes pay neither knob — proven by the accounting, not a wall
+    // clock (a loaded test host can stall any write; the counters
+    // cannot move unless the write path went through open/pace)
+    val (opensBefore, bytesBefore) = ThrottledFileSystem.counters()
     val out = fs.create(new Path(s"throttle://$dir/out"), true)
     try out.write(new Array[Byte](256 * 1024)) finally out.close()
-    val writeMs = (System.nanoTime() - w0) / 1e6
-    assert(writeMs < 200.0, s"writes must not be throttled, took ${writeMs}ms")
+    val (opensAfter, bytesAfter) = ThrottledFileSystem.counters()
+    assert(opensAfter == opensBefore && bytesAfter == bytesBefore,
+      "a write must not touch the open/read throttles")
   }
 
   test("the bandwidth bucket is JVM-global: concurrent readers share one simulated NIC") {
