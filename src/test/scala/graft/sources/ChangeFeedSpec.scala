@@ -352,6 +352,99 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(leftover.isEmpty, s"no .tmp debris, got ${leftover.toList}")
   }
 
+  test("a lost lease race at the PROCESSOR level redelivers, never skips — at-least-once end to end") {
+    // The store-level interleaving spec proves the CAS's degradation;
+    // this drives the same lost race through TWO ChangeFeedProcessors
+    // and asserts the contract a consumer actually relies on: every
+    // feed position is delivered at least once (duplicates allowed,
+    // skips never), and ownership self-corrects within one poll.
+    //
+    // The race, forced deterministically: A owns the single range and
+    // is inside its CHECKPOINT CAS (compare passed, rename pending —
+    // the beforeRename seam); the clock jumps past A's TTL and B
+    // acquires the expired lease, processes the SAME page, and
+    // checkpoints. A's stale rename then lands, clobbering B's record
+    // — the undetected-at-write lost race. B must drop the range on
+    // its next poll (fence mismatch); A must retain it and drain the
+    // feed with nothing skipped.
+    val feedDir = tmp("feed-race")
+    val feed = ChangeFeed.withRanges(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+        .orderBy(col("event_id")).limit(90)
+        .select(col("event_id").cast("long").as("pos"),
+          col("user_id"), col("event_type")),
+      "user_id", 1)
+    feed.write.mode(SaveMode.Overwrite).partitionBy("range_id").parquet(feedDir)
+    import spark.implicits._
+    val all = spark.read.parquet(feedDir).select("pos").as[Long].collect().toSet
+
+    val dir = tmp("leases-race")
+    val storeA = new LeaseStore(dir)
+    val storeB = new LeaseStore(dir)
+    var now = 1000L
+    val capA = new Capture(); val capB = new Capture()
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", 1,
+      storeA, "grp", "instance-A", leaseTtlMs = 10000L, maxItems = 30,
+      handler = capA.handler, clock = () => now)
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", 1,
+      storeB, "grp", "instance-B", leaseTtlMs = 10000L, maxItems = 30,
+      handler = capB.handler, clock = () => now)
+
+    a.pollOnce() // acquire + page 1 + checkpoint
+    val afterPage1 = capA.seen.toSet
+    assert(afterPage1.nonEmpty && a.owned == Set(0))
+
+    // arm the seam for A's NEXT checkpoint CAS: tryWrite #1 in the
+    // coming pollOnce is the lease renewal, #2 the checkpoint —
+    // ownedFences holds one range, so the order is fixed
+    var calls = 0
+    storeA.beforeRename = () => {
+      calls += 1
+      if (calls == 2) {
+        storeA.beforeRename = () => ()
+        now += 20000L // A's lease (TTL 10 s) is now expired
+        b.pollOnce() // B acquires the expired lease, processes, checkpoints
+        assert(b.owned == Set(0), "B acquired the expired range inside A's window")
+        assert(capB.seen.nonEmpty, "B processed a page during the race")
+      }
+    }
+    a.pollOnce() // page 2; its checkpoint rename lands AFTER B's, clobbering it
+    assert(calls >= 2, "the race window fired")
+    // the lost race: B's page duplicated work A also did (same
+    // continuation) — redelivery is the degradation, loss would be
+    // positions in neither capture
+    assert(capB.seen.toSet.intersect(capA.seen.toSet).nonEmpty,
+      "the race produced a genuine duplicate delivery")
+    // the surviving record's continuation is a genuinely checkpointed
+    // epoch, never an invented position — both writers checkpointed
+    // the same page here, so the clobber regressed nothing
+    val survived = storeA.read(0).get
+    assert(capA.seen.contains(survived.continuation),
+      s"surviving continuation ${survived.continuation} was actually processed")
+    // ownership settles to exactly ONE instance within a poll each:
+    // the loser's fence expectation fails against the survivor's
+    // record (which spelling wins depends on whose expiry stamp
+    // survived — the CONTRACT is single ownership plus no skips, not
+    // a preferred winner)
+    b.pollOnce(); a.pollOnce()
+    assert((a.owned & b.owned).isEmpty && (a.owned | b.owned) == Set(0),
+      s"exactly one instance owns the range after settling: A=${a.owned} B=${b.owned}")
+    // drain with both instances live: every feed position is delivered
+    // at least once — the race redelivered, it never skipped
+    var rounds = 0
+    while (totalGapN(feedDir, 1, storeA) > 0 && rounds < 40) {
+      a.pollOnce(); b.pollOnce(); now += 100; rounds += 1
+    }
+    assert(capA.seen.toSet.union(capB.seen.toSet) == all,
+      "the union of both instances' deliveries covers the whole feed — nothing skipped")
+  }
+
+  private def totalGapN(feedDir: String, nRanges: Int, leases: LeaseStore): Long = {
+    import spark.implicits._
+    ChangeFeedEstimator.lag(spark, feedDir, "range_id", "pos", nRanges, leases)
+      .select("gap").as[Long].collect().sum
+  }
+
   test("a failed CAS publish deletes its own nonce temp — no .tmp debris accumulates") {
     // The lease dir has no version GC (unlike CheckpointStore), so a
     // write/rename failure that leaked its nonce temp would accumulate
