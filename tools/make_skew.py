@@ -124,4 +124,13 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if a.startswith("--events-hot-pct="):
             pct = int(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            # Strict: a typo'd flag (--events-hot-pct 20 with a space,
+            # --events-hot-pc=20) must not silently fall through to
+            # pct=0 and write the full mod-5 fixture under a hot-N
+            # label — that is a mislabeled curve point with no error.
+            sys.exit(f"make_skew.py: unknown flag {a!r} "
+                     "(only --events-hot-pct=N is accepted)")
+    if len(args) != 2:
+        sys.exit("usage: make_skew.py SRC_DIR OUT_DIR [--events-hot-pct=N]")
     main(args[0], args[1], pct)
