@@ -27,6 +27,13 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "tools/ab_r18"
 
 
 def arm_mins(paths):
+    # First-3-reps only: the guard's second-chance mechanism gives a
+    # FLAGGED query 2 extra reps, and which arm flags depends on that
+    # tree's bench_best.json — the r15 arm flagged ~10 small queries
+    # (its recorded bests are lower) and harvested late quiet-moment
+    # reps the r17 arm never ran. Truncating to the 3 scheduled reps
+    # puts both arms on the same instrument; the raw full-rep data
+    # stays in the per-run JSONs.
     mins = {}
     calibs = []
     for p in paths:
@@ -35,7 +42,7 @@ def arm_mins(paths):
         d = json.load(open(p))
         calibs.append(d.get("calib", {}))
         for q, reps in d.get("raw", {}).items():
-            m = min(reps)
+            m = min(reps[:3])
             if q not in mins or m < mins[q]:
                 mins[q] = m
     return mins, calibs

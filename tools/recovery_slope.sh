@@ -51,10 +51,14 @@ export SPARK_GRAFT_GAP_HOLD=${SPARK_GRAFT_GAP_HOLD:-50}
 export SPARK_GRAFT_PAD_BYTES=${SPARK_GRAFT_PAD_BYTES:-512}
 THROTTLE_MBPS=${THROTTLE_MBPS:-}
 THROTTLE_OPEN_MS=${THROTTLE_OPEN_MS:-}
+THROTTLE_LIST_MS=${THROTTLE_LIST_MS:-}
 TAG=${TAG:-}
-if [ -n "$THROTTLE_MBPS" ] || [ -n "$THROTTLE_OPEN_MS" ]; then
+if [ -n "$THROTTLE_MBPS" ] || [ -n "$THROTTLE_OPEN_MS" ] || [ -n "$THROTTLE_LIST_MS" ]; then
   [ -n "$THROTTLE_MBPS" ] && export SPARK_GRAFT_THROTTLE_MBPS="$THROTTLE_MBPS"
   [ -n "$THROTTLE_OPEN_MS" ] && export SPARK_GRAFT_THROTTLE_OPEN_MS="$THROTTLE_OPEN_MS"
+  # round 18: LIST/HEAD-class metadata latency (object stores charge
+  # GET-class round-trips for listStatus/getFileStatus too)
+  [ -n "$THROTTLE_LIST_MS" ] && export SPARK_GRAFT_THROTTLE_LIST_MS="$THROTTLE_LIST_MS"
   # injected physics dominate, warm or cold — the root-only knob is moot
   export SPARK_GRAFT_DROP_CACHES=${SPARK_GRAFT_DROP_CACHES:-0}
   CP_SCHEME="throttle://"
