@@ -89,6 +89,11 @@ object StreamBench {
         (m.toLong * 1024L * 1024L).toString))
       sys.env.get("SPARK_GRAFT_THROTTLE_OPEN_MS").foreach(ms =>
         builder.config("spark.hadoop.fs.throttle.open.latency.ms", ms))
+      // LIST/HEAD-class metadata latency (round 18): object stores
+      // charge GET-class round-trips for listStatus/getFileStatus too;
+      // without this knob restart file-discovery is free on the rig.
+      sys.env.get("SPARK_GRAFT_THROTTLE_LIST_MS").foreach(ms =>
+        builder.config("spark.hadoop.fs.throttle.list.latency.ms", ms))
     }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -153,6 +158,24 @@ object StreamBench {
     // .ThrottledFileSystem]] — the download-bound recovery rig.
     val cp = sys.env.getOrElse("SPARK_GRAFT_CP_DIR",
       java.nio.file.Files.createTempDirectory("streambench").toString)
+    // Fail fast on a stale checkpoint (ADVICE r17, medium): if
+    // SPARK_GRAFT_CP_DIR points at a dir that already has an offsets/
+    // or state/ subtree (crashed prior run, script that forgot to
+    // clean), the query would silently RESUME from it — wall_s, replay
+    // debt, and recovery_s all corrupted with no signal in the emitted
+    // JSON. The drive scripts rm -rf first; manual invocations get
+    // this guard instead of a poisoned measurement.
+    locally {
+      val cpPath = new org.apache.hadoop.fs.Path(cp)
+      val fs = cpPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val stale = Seq("offsets", "state").filter(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(cpPath, d)))
+      if (stale.nonEmpty)
+        sys.error(s"checkpoint dir $cp already contains ${stale.mkString("/")} " +
+          "from a prior run — ingest would silently resume and every metric " +
+          "would be wrong. Remove the dir (or point SPARK_GRAFT_CP_DIR at a " +
+          "fresh one) and re-run.")
+    }
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[InputEvent]
     // dispatched-event counter for the recovery probe: a Spark
@@ -246,7 +269,7 @@ object StreamBench {
       }
       (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
     }
-    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long)] =
+    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
         val (debt, nSnaps) = replayDebt()
@@ -276,6 +299,7 @@ object StreamBench {
         // committed alongside recovery_s so the cadence comparison
         // carries its read-volume evidence
         val (thrOpens, thrBytes) = graft.streaming.ThrottledFileSystem.counters()
+        val thrLists = graft.streaming.ThrottledFileSystem.listCalls()
         // Restored-state CORRECTNESS probe (gap-hold mode): release the
         // withheld index-0 events into the restarted query. If the
         // restore really rebuilt every held stream's buffered queue,
@@ -298,7 +322,7 @@ object StreamBench {
         val expected =
           if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
         Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected,
-          thrOpens, thrBytes))
+          thrOpens, thrBytes, thrLists))
       }
 
     val eps = n / wallS
@@ -308,11 +332,12 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes) =>
+        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
             (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
             (if (thrOpens > 0)
-              s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},"""
+              s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},""" +
+                s""""throttle_lists":$thrLists,"""
             else "")
         }.getOrElse("") +
         (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +

@@ -91,13 +91,46 @@ object EventTimeQueries {
       |FROM sess
       |GROUP BY stream_name, session_id
       |ORDER BY stream_name, session_start_us""".stripMargin) { (spark, dir) =>
-    env(spark, dir)
-      .groupBy(col("stream_name"), session_window(col("ts"), "1 hour").as("w"))
-      .agg(min(unix_micros(col("ts"))).as("session_start_us"),
-        max(unix_micros(col("ts"))).as("last_event_us"),
-        count(lit(1)).as("n"),
-        sum(expr("CAST(value AS DECIMAL(20,4))")).cast("double").as("sum_value"))
-      .drop("w")
+    // Two-phase sessionization (round 18; SCALING.md r17 follow-up 4).
+    // The r17 skew curve isolated this query as the window family's ONE
+    // hot-key cost: `session_window` (the pre-r18 plan) needs each
+    // user's whole history in a single sorted run, so a 40%-hot user =
+    // one 2.4M-row partition and a 2.25× wall (control-normalized ~2.9×).
+    // The sequential run is avoidable because the bucket width EQUALS
+    // the gap: two events in the same `gap`-wide time bucket are < gap
+    // apart BY CONSTRUCTION, so every bucket holds at most one session
+    // fragment and phase 1 collapses to a plain hash aggregate over
+    // (stream, bucket) — map-side partials, no sort, no per-user
+    // partition, skew-immune. Phase 2 runs gaps-and-islands over the
+    // FRAGMENTS (one row per active user-hour: bounded by the time
+    // axis, independent of the user's event count — the hot user
+    // contributes ≤ span/1h ≈ hundreds of rows, not millions), merging
+    // adjacent fragments iff the boundary gap < the timeout. Decimal
+    // partial sums re-sum exactly, so the output is bit-identical to
+    // the one-phase plan (same oracle row, all three SFs).
+    // Bucketing uses integer `div` (fixture epochs are positive; a
+    // pre-1970 feed would need floor-division here).
+    val gapUs = 3600000000L // 1 h — splits on gap >= timeout, like the oracle
+    val frags = env(spark, dir)
+      .select(col("stream_name"), unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(value AS DECIMAL(20,4))").as("v"))
+      .withColumn("_b", expr(s"ts_us div ${gapUs}L"))
+      .groupBy(col("stream_name"), col("_b"))
+      .agg(min(col("ts_us")).as("f_start"), max(col("ts_us")).as("f_end"),
+        count(lit(1)).as("f_n"), sum(col("v")).as("f_sum"))
+    val w = Window.partitionBy(col("stream_name")).orderBy(col("f_start"))
+    frags
+      .withColumn("_prev_end", lag(col("f_end"), 1).over(w))
+      .withColumn("_new", when(col("_prev_end").isNull ||
+        col("f_start") - col("_prev_end") >= gapUs, 1).otherwise(0))
+      .withColumn("_sid", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("stream_name"), col("_sid"))
+      .agg(min(col("f_start")).as("session_start_us"),
+        max(col("f_end")).as("last_event_us"),
+        sum(col("f_n")).as("n"),
+        sum(col("f_sum")).cast("double").as("sum_value"))
+      .drop("_sid")
       .orderBy(col("stream_name"), col("session_start_us"))
   }
 

@@ -35,7 +35,21 @@ import org.apache.hadoop.fs.{DelegateToFileSystem, FSDataInputStream, FSInputStr
   * conf at FS init (thread via `spark.hadoop.*`):
   *
   *  - `fs.throttle.read.bytes.per.sec` — global read cap (0 = off);
-  *  - `fs.throttle.open.latency.ms` — per-open sleep (0 = off).
+  *  - `fs.throttle.open.latency.ms` — per-open sleep (0 = off);
+  *  - `fs.throttle.list.latency.ms` — per-metadata-call sleep
+  *    (listStatus / getFileStatus — object stores charge GET-class
+  *    round-trips for LIST/HEAD too; 0 = off, the pre-r18 behavior
+  *    where restart file-discovery was free on the rig).
+  *
+  * HAZARD (single-process rig by design): knobs and the token bucket
+  * are JVM-global statics rewritten on every `FileSystem.initialize` —
+  * two sessions/confs in one JVM with different `fs.throttle.*` values
+  * silently share last-initializer-wins settings, and [[counters]]
+  * conflates all concurrent readers. That is the intended model for
+  * this rig (one JVM bucket = one executor's NIC; the recovery drives
+  * run one conf per JVM and disable the FS cache), but do NOT reuse
+  * the scheme for multi-tenant tests without keying bucket/knobs per
+  * (scheme, conf) instance.
   *
   * [[ThrottledFileSystem.counters]] reports (opens, bytes read) since
   * the last [[ThrottledFileSystem.resetCounters]] — StreamBench
@@ -47,6 +61,7 @@ import org.apache.hadoop.fs.{DelegateToFileSystem, FSDataInputStream, FSInputStr
   */
 final class ThrottledFileSystem extends RawLocalFileSystem {
   private var openLatencyMs = 0L
+  private var listLatencyMs = 0L
 
   override def getScheme: String = "throttle"
   override def getUri: URI = URI.create("throttle:///")
@@ -56,43 +71,106 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
     ThrottledFileSystem.setBytesPerSec(
       conf.getLong("fs.throttle.read.bytes.per.sec", 0L))
     openLatencyMs = conf.getLong("fs.throttle.open.latency.ms", 0L)
+    listLatencyMs = conf.getLong("fs.throttle.list.latency.ms", 0L)
   }
 
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
     val inner = super.open(f, bufferSize)
     ThrottledFileSystem.opens.increment()
-    if (openLatencyMs > 0) Thread.sleep(openLatencyMs)
+    if (openLatencyMs > 0) ThrottledFileSystem.sleepMs(openLatencyMs)
     new FSDataInputStream(new ThrottledFileSystem.ThrottledStream(inner))
+  }
+
+  // Metadata round-trips (the LIST/HEAD class): object stores charge
+  // GET-class latency for these too. Charged per CALL, not per entry —
+  // a LIST page is one round-trip however many keys it returns (real
+  // stores paginate at ~1000 keys/page; checkpoint dirs stay far under
+  // that, so one call = one page is the faithful grain here).
+  // RawLocalFileSystem.listStatus assembles its result by calling
+  // this.getFileStatus once per CHILD — without the reentrancy guard a
+  // 100-entry directory would pay 101 round-trips where the object
+  // store pays one. The ThreadLocal marks "inside a listStatus of this
+  // scheme"; nested metadata calls ride the already-charged LIST.
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    if (ThrottledFileSystem.inList.get()) super.listStatus(f)
+    else {
+      ThrottledFileSystem.lists.increment()
+      if (listLatencyMs > 0) ThrottledFileSystem.sleepMs(listLatencyMs)
+      ThrottledFileSystem.inList.set(true)
+      try super.listStatus(f)
+      finally ThrottledFileSystem.inList.set(false)
+    }
+  }
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    if (!ThrottledFileSystem.inList.get()) {
+      ThrottledFileSystem.lists.increment()
+      if (listLatencyMs > 0) ThrottledFileSystem.sleepMs(listLatencyMs)
+    }
+    super.getFileStatus(f)
   }
 }
 
 object ThrottledFileSystem {
   private[streaming] val opens = new LongAdder
+  private[streaming] val lists = new LongAdder
   private[streaming] val bytesRead = new LongAdder
   @volatile private var bytesPerSec = 0L
-  // global token bucket: nanosecond deadline the NEXT read may start at
-  private val nextFreeNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private[streaming] val inList = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  // global token bucket, guarded by `bucket`: nanosecond deadline the
+  // NEXT read may start at, plus the fractional cost carry — byte-nanos
+  // not yet converted to whole deadline nanos (ADVICE r17: n*1e9/bps
+  // truncates to 0 whenever bps > 1e9*n, so sub-cost reads accrued no
+  // deadline and the effective rate drifted above multi-GB/s caps).
+  private val bucket = new Object
+  private var nextFreeNanos = 0L          // guarded by bucket
+  private var carryByteNanos = 0L         // guarded by bucket, < bytesPerSec
 
   private def setBytesPerSec(v: Long): Unit = bytesPerSec = v
 
   /** (opens, bytes read) through the scheme since the last reset. */
   def counters(): (Long, Long) = (opens.sum(), bytesRead.sum())
-  def resetCounters(): Unit = { opens.reset(); bytesRead.reset() }
+  /** Metadata round-trips (listStatus/getFileStatus) since the last reset. */
+  def listCalls(): Long = lists.sum()
+  def resetCounters(): Unit = { opens.reset(); lists.reset(); bytesRead.reset() }
+
+  /** Sleep that stays an IO-layer citizen under task kill (ADVICE r17):
+    * a Spark interrupt must surface as InterruptedIOException out of a
+    * FileSystem path — callers classify IOException as an IO failure,
+    * but a raw InterruptedException from a read path reads as a bug. */
+  private[streaming] def sleepMs(ms: Long): Unit = sleepNs(ms * 1000000L)
+
+  private def sleepNs(ns: Long): Unit =
+    try Thread.sleep(ns / 1000000L, (ns % 1000000L).toInt)
+    catch {
+      case ie: InterruptedException =>
+        Thread.currentThread().interrupt()
+        val iio = new java.io.InterruptedIOException("throttle pace interrupted")
+        iio.initCause(ie)
+        throw iio
+    }
 
   /** Charge `n` bytes against the global bucket and sleep until the
     * bucket's clock catches up — serializes aggregate read throughput
-    * at `bytesPerSec` across every stream in the JVM. */
+    * at `bytesPerSec` across every stream in the JVM. Fractional costs
+    * accumulate in `carryByteNanos`, so the configured rate holds even
+    * when single reads cost less than one nanosecond. */
   private def pace(n: Int): Unit = {
     if (n <= 0) return
     bytesRead.add(n)
     val bps = bytesPerSec
     if (bps <= 0) return
-    val cost = n * 1000000000L / bps
-    val now = System.nanoTime()
-    // bucket idle-resets to `now`: past idle time earns no burst credit
-    val start = nextFreeNanos.getAndUpdate(prev => math.max(prev, now) + cost)
-    val waitNs = math.max(start, now) + cost - now
-    if (waitNs > 500000L) Thread.sleep(waitNs / 1000000L, (waitNs % 1000000L).toInt)
+    val waitNs = bucket.synchronized {
+      val total = carryByteNanos + n * 1000000000L
+      val cost = total / bps
+      carryByteNanos = total % bps
+      val now = System.nanoTime()
+      // bucket idle-resets to `now`: past idle time earns no burst credit
+      val start = math.max(nextFreeNanos, now)
+      nextFreeNanos = start + cost
+      start + cost - now
+    }
+    if (waitNs > 500000L) sleepNs(waitNs)
   }
 
   /** Read-delegating wrapper that pays [[pace]] per byte batch. */

@@ -445,6 +445,81 @@ class ChangeFeedSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select("gap").as[Long].collect().sum
   }
 
+  test("clock skew beyond the TTL: fast-clock peer steals mid-page; duplicates possible, skips never, single ownership") {
+    // Both lost-race specs above drive ONE logical clock. Real
+    // deployments have two hosts with skewed wall clocks — the classic
+    // lease hazard: B's clock runs more than the TTL ahead of A's, so
+    // B believes A's freshly-renewed lease is ALREADY EXPIRED while A
+    // is mid-page (delivered, not yet checkpointed). The contract must
+    // not change: the fenced CAS — not anyone's clock — arbitrates, so
+    // the skewed steal degrades to duplicate delivery, never to a skip
+    // or to split ownership. Two independent clock lambdas, fully
+    // deterministic.
+    val feedDir = tmp("feed-skew")
+    val feed = ChangeFeed.withRanges(
+      Envelope.readTable(spark, "/root/testdata/sf0.001", "events")
+        .orderBy(col("event_id")).limit(90)
+        .select(col("event_id").cast("long").as("pos"),
+          col("user_id"), col("event_type")),
+      "user_id", 1)
+    feed.write.mode(SaveMode.Overwrite).partitionBy("range_id").parquet(feedDir)
+    import spark.implicits._
+    val all = spark.read.parquet(feedDir).select("pos").as[Long].collect().toSet
+
+    val dir = tmp("leases-skew")
+    val storeA = new LeaseStore(dir)
+    val storeB = new LeaseStore(dir)
+    var nowA = 1000L
+    val skewMs = 25000L // > TTL (10 s): B's view of A's lease is "expired"
+    val seenA = collection.mutable.ArrayBuffer.empty[Long]
+    val seenB = collection.mutable.ArrayBuffer.empty[Long]
+    var aCheckpoints = false // A starts mid-page: delivered, unacked
+    val a = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", 1,
+      storeA, "grp", "instance-A", leaseTtlMs = 10000L, maxItems = 30,
+      handler = (_, page, ck) => {
+        seenA ++= page.select("pos").as[Long].collect()
+        if (aCheckpoints) ck()
+      },
+      clock = () => nowA)
+    val b = new ChangeFeedProcessor(spark, feedDir, "range_id", "pos", 1,
+      storeB, "grp", "instance-B", leaseTtlMs = 10000L, maxItems = 30,
+      handler = (_, page, ck) => { seenB ++= page.select("pos").as[Long].collect(); ck() },
+      clock = () => nowA + skewMs)
+
+    a.pollOnce() // A acquires, delivers page 1, does NOT checkpoint yet
+    assert(a.owned == Set(0) && seenA.nonEmpty)
+    assert(a.heldFence(0).isDefined, "A is mid-page and believes it owns")
+    val leaseA = storeA.read(0).get
+    assert(leaseA.expiresAtMs > nowA, "A's lease is live on A's clock")
+    assert(leaseA.expiresAtMs <= nowA + skewMs, "…and already expired on B's")
+
+    b.pollOnce() // B's clock says expired: steals, redelivers page 1, checkpoints
+    assert(b.owned == Set(0), "B acquired on the strength of its skewed clock")
+    assert(seenB.toSet.intersect(seenA.toSet).nonEmpty,
+      "the skewed steal produced a genuine duplicate delivery (A never acked)")
+    // B inherited A's continuation, not an invented one: its first page
+    // is exactly the page A had in flight
+    assert(seenB.toSet == seenA.toSet, "B resumed from the surviving continuation")
+
+    aCheckpoints = true
+    a.pollOnce() // A's renewal CAS fails — fence moved on; A drops silently
+    assert(a.owned.isEmpty,
+      "the CAS, not A's clock, told A it lost the range")
+    assert(b.owned == Set(0), "single ownership after settling")
+    // and A does not flap it back: on A's clock B's lease expires far in
+    // the future, and B holds exactly its fair share — nothing to steal
+    a.pollOnce()
+    assert(a.owned.isEmpty && storeA.read(0).get.owner == "instance-B")
+
+    // drain with both instances live and the skew held: nothing skipped
+    var rounds = 0
+    while (totalGapN(feedDir, 1, storeA) > 0 && rounds < 40) {
+      a.pollOnce(); b.pollOnce(); nowA += 100; rounds += 1
+    }
+    assert(seenA.toSet.union(seenB.toSet) == all,
+      "union of deliveries covers the whole feed — duplicates yes, skips never")
+  }
+
   test("a failed CAS publish deletes its own nonce temp — no .tmp debris accumulates") {
     // The lease dir has no version GC (unlike CheckpointStore), so a
     // write/rename failure that leaked its nonce temp would accumulate

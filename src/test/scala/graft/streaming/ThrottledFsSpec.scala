@@ -14,12 +14,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * bandwidth cap on reads only, and account what it served. */
 class ThrottledFsSpec extends AnyFunSuite {
 
-  private def conf(bps: Long, openMs: Long): Configuration = {
+  private def conf(bps: Long, openMs: Long, listMs: Long = 0L): Configuration = {
     val c = new Configuration()
     c.set("fs.throttle.impl", classOf[ThrottledFileSystem].getName)
     c.set("fs.AbstractFileSystem.throttle.impl", classOf[ThrottledAbstractFs].getName)
     c.setLong("fs.throttle.read.bytes.per.sec", bps)
     c.setLong("fs.throttle.open.latency.ms", openMs)
+    c.setLong("fs.throttle.list.latency.ms", listMs)
     // no JVM-wide FileSystem.get cache: each test's knobs must bind
     c.setBoolean("fs.throttle.impl.disable.cache", true)
     c
@@ -81,6 +82,58 @@ class ThrottledFsSpec extends AnyFunSuite {
     val (opensAfter, bytesAfter) = ThrottledFileSystem.counters()
     assert(opensAfter == opensBefore && bytesAfter == bytesBefore,
       "a write must not touch the open/read throttles")
+  }
+
+  test("metadata calls pay LIST-class latency: one round-trip per call, not per entry") {
+    val dir = java.nio.file.Files.createTempDirectory("thr-list")
+    (1 to 20).foreach(i => writeLocal(dir, s"f$i", 16))
+    val fs = FileSystem.get(new URI("throttle:///"), conf(0L, 0L, listMs = 40L))
+    ThrottledFileSystem.resetCounters()
+    val t0 = System.nanoTime()
+    val entries = fs.listStatus(new Path(s"throttle://$dir"))
+    val listMs = (System.nanoTime() - t0) / 1e6
+    assert(entries.length == 20)
+    // RawLocalFileSystem.listStatus internally getFileStatus-es every
+    // child — the reentrancy guard must charge ONE round-trip for the
+    // whole page (an object-store LIST returns the keys' metadata in
+    // one response), so 20 entries cost ~40 ms, not ~840.
+    assert(ThrottledFileSystem.listCalls() == 1L,
+      s"one LIST call charged once, got ${ThrottledFileSystem.listCalls()}")
+    assert(listMs >= 40.0 && listMs < 400.0,
+      s"20-entry list at 40 ms/round-trip took ${listMs}ms")
+    // a bare HEAD (getFileStatus outside any list) pays its own trip
+    fs.getFileStatus(new Path(s"throttle://$dir/f1"))
+    assert(ThrottledFileSystem.listCalls() == 2L)
+    // and with the knob off the accounting still counts but costs nothing
+    val fs0 = FileSystem.get(new URI("throttle:///"), conf(0L, 0L))
+    val t1 = System.nanoTime()
+    fs0.listStatus(new Path(s"throttle://$dir"))
+    assert((System.nanoTime() - t1) / 1e6 < 200.0, "knob off = no latency")
+  }
+
+  test("a task-kill interrupt surfaces as InterruptedIOException, not a bare InterruptedException") {
+    val dir = java.nio.file.Files.createTempDirectory("thr-intr")
+    writeLocal(dir, "blob", 1024 * 1024)
+    // 64 KiB/s over 1 MiB → ~16 s of pacing: the reader WILL be asleep
+    val fs = FileSystem.get(new URI("throttle:///"), conf(64 * 1024, 0L))
+    @volatile var caught: Throwable = null
+    @volatile var flagRestored = false
+    val t = new Thread(() => {
+      try { readAll(fs, new Path(s"throttle://$dir/blob")): Unit }
+      catch { case e: Throwable =>
+        caught = e
+        flagRestored = Thread.currentThread().isInterrupted
+      }
+    })
+    t.start()
+    Thread.sleep(300) // let it enter the paced sleep
+    t.interrupt()
+    t.join(5000)
+    assert(!t.isAlive, "reader must unwind promptly after interrupt")
+    assert(caught != null, "interrupt must surface")
+    assert(caught.isInstanceOf[java.io.InterruptedIOException],
+      s"an FS read path owes IOException semantics, got ${caught.getClass}")
+    assert(flagRestored, "the thread's interrupt flag must be restored")
   }
 
   test("the bandwidth bucket is JVM-global: concurrent readers share one simulated NIC") {
