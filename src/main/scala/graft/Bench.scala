@@ -97,6 +97,47 @@ object Bench {
     (single, multi)
   }
 
+  /** IO-side ambient probe (round 18): the trajectory A/B proved the
+    * CPU pair has a blind spot — the r18 quiet-boot window inflated
+    * the suite 86% while the CPU probe moved only 31%, and the
+    * smoking gun was IO-shaped (copy_build 90 s vs 5.9 s on identical
+    * warm data). This probe times a fixed 64 MiB write+fsync+read+
+    * delete cycle in the fixture's filesystem, min of 3, so every
+    * bench artifact carries an IO-responsiveness sample next to the
+    * CPU pair. Recorded for ADJUDICATION (is this window IO-taxed?),
+    * not folded into drift normalization — it has no reference pair
+    * yet and write buffering makes cross-host comparison softer than
+    * the CPU probe's. */
+  private def calibrateIo(dir: String): Double = {
+    val MB = 64
+    val buf = new Array[Byte](1 << 20)
+    new java.util.Random(42).nextBytes(buf)
+    try {
+      (0 until 3).map { r =>
+        val p = java.nio.file.Paths.get(dir, s".graft_ioprobe_$r")
+        val t0 = System.nanoTime()
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.WRITE,
+          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+        try {
+          var i = 0
+          while (i < MB) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+          ch.force(true)
+        } finally ch.close()
+        val in = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.READ)
+        try {
+          val rb = java.nio.ByteBuffer.allocate(1 << 20)
+          var n = in.read(rb)
+          while (n >= 0) { rb.clear(); n = in.read(rb) }
+        } finally in.close()
+        java.nio.file.Files.deleteIfExists(p)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    } catch { case scala.util.control.NonFatal(_) => -1.0 } // read-only dir etc.
+  }
+
   /** Headline queries for the stdout line: the historically slowest /
     * most plan-interesting queries (also the SCALING.md study set).
     * Everything else is in BENCH_LAST.json only.
@@ -193,6 +234,9 @@ object Bench {
     // the suite's own GC can't pollute it; compared against the fastest
     // machine that ever set a best for this SF.
     val (calib1, calibN) = calibrate(cpus.toInt)
+    // probe the working filesystem (tmpdir = where shuffle/wide copies
+    // live), NEVER the read-only fixture dir
+    val calibIo = calibrateIo(System.getProperty("java.io.tmpdir", "/tmp"))
     val wall0 = System.nanoTime()
     for (rep <- 0 until reps) {
       // deterministic per-rep shuffle: suite position rotates across
@@ -344,7 +388,7 @@ object Bench {
     val guard = guardFails.map { case (k, r) => s""""$k":${jnum(r)}""" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v > 0 => v }.sum
     val loadJson = s""""load":{"before":${jnum(loadBefore)},"after":${jnum(loadAfter)},"cpus":$cpus},""" +
-      s""""calib":{"single":${jnum(calib1)},"multi":${jnum(calibN)},"drift":${jnum(drift)}}"""
+      s""""calib":{"single":${jnum(calib1)},"multi":${jnum(calibN)},"drift":${jnum(drift)},"io":${jnum(calibIo)}}"""
     // raw per-rep times (file only — ~4 KB for the full suite): the
     // evidence a guard-flag adjudication needs without a rerun
     val rawJson = names
