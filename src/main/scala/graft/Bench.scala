@@ -115,25 +115,26 @@ object Bench {
     try {
       (0 until 3).map { r =>
         val p = java.nio.file.Paths.get(dir, s".graft_ioprobe_$r")
-        val t0 = System.nanoTime()
-        val ch = java.nio.channels.FileChannel.open(p,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.WRITE,
-          java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
         try {
-          var i = 0
-          while (i < MB) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
-          ch.force(true)
-        } finally ch.close()
-        val in = java.nio.channels.FileChannel.open(p,
-          java.nio.file.StandardOpenOption.READ)
-        try {
-          val rb = java.nio.ByteBuffer.allocate(1 << 20)
-          var n = in.read(rb)
-          while (n >= 0) { rb.clear(); n = in.read(rb) }
-        } finally in.close()
-        java.nio.file.Files.deleteIfExists(p)
-        (System.nanoTime() - t0) / 1e9
+          val t0 = System.nanoTime()
+          val ch = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          try {
+            var i = 0
+            while (i < MB) { ch.write(java.nio.ByteBuffer.wrap(buf)); i += 1 }
+            ch.force(true)
+          } finally ch.close()
+          val in = java.nio.channels.FileChannel.open(p,
+            java.nio.file.StandardOpenOption.READ)
+          try {
+            val rb = java.nio.ByteBuffer.allocate(1 << 20)
+            var n = in.read(rb)
+            while (n >= 0) { rb.clear(); n = in.read(rb) }
+          } finally in.close()
+          (System.nanoTime() - t0) / 1e9
+        } finally java.nio.file.Files.deleteIfExists(p) // never leak the 64 MiB probe (ADVICE r18)
       }.min
     } catch { case scala.util.control.NonFatal(_) => -1.0 } // read-only dir etc.
   }

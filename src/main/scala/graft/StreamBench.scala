@@ -269,7 +269,7 @@ object StreamBench {
       }
       (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
     }
-    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long)] =
+    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long, Long)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
         val (debt, nSnaps) = replayDebt()
@@ -300,6 +300,7 @@ object StreamBench {
         // carries its read-volume evidence
         val (thrOpens, thrBytes) = graft.streaming.ThrottledFileSystem.counters()
         val thrLists = graft.streaming.ThrottledFileSystem.listCalls()
+        val thrHeads = graft.streaming.ThrottledFileSystem.headCalls()
         // Restored-state CORRECTNESS probe (gap-hold mode): release the
         // withheld index-0 events into the restarted query. If the
         // restore really rebuilt every held stream's buffered queue,
@@ -322,7 +323,7 @@ object StreamBench {
         val expected =
           if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
         Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected,
-          thrOpens, thrBytes, thrLists))
+          thrOpens, thrBytes, thrLists, thrHeads))
       }
 
     val eps = n / wallS
@@ -332,12 +333,15 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists) =>
+        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
             (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
-            (if (thrOpens > 0)
+            (if (thrOpens > 0 || thrLists > 0) // ADVICE r18: a zero-open restart must still carry its LIST evidence
+              // lists = discovery round-trips only since r19; the
+              // per-open HEADs (same latency class) are throttle_heads
+              // — pre-r19 artifacts folded both into throttle_lists.
               s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},""" +
-                s""""throttle_lists":$thrLists,"""
+                s""""throttle_lists":$thrLists,"throttle_heads":$thrHeads,"""
             else "")
         }.getOrElse("") +
         (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +

@@ -74,8 +74,20 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
     listLatencyMs = conf.getLong("fs.throttle.list.latency.ms", 0L)
   }
 
+  // RawLocalFileSystem.open() virtually calls getFileStatus (Hadoop
+  // 3.4.x) — that nested call is the open's own HEAD round-trip, the
+  // same one S3A pays before the first GET. It KEEPS its LIST-class
+  // latency charge (an open on an object store really is HEAD + GET),
+  // but lands in the `heads` counter, not `lists` (ADVICE r18: ~2,639
+  // of the 3,353 r18 "lists" were these open HEADs, which muddied the
+  // discovery-round-trip reading). The inOpen ThreadLocal routes the
+  // nested metadata call; cost model is unchanged from the r18 cells.
   override def open(f: Path, bufferSize: Int): FSDataInputStream = {
-    val inner = super.open(f, bufferSize)
+    val wasInOpen = ThrottledFileSystem.inOpen.get()
+    ThrottledFileSystem.inOpen.set(true)
+    val inner =
+      try super.open(f, bufferSize)
+      finally ThrottledFileSystem.inOpen.set(wasInOpen)
     ThrottledFileSystem.opens.increment()
     if (openLatencyMs > 0) ThrottledFileSystem.sleepMs(openLatencyMs)
     new FSDataInputStream(new ThrottledFileSystem.ThrottledStream(inner))
@@ -104,7 +116,8 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
 
   override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
     if (!ThrottledFileSystem.inList.get()) {
-      ThrottledFileSystem.lists.increment()
+      if (ThrottledFileSystem.inOpen.get()) ThrottledFileSystem.heads.increment()
+      else ThrottledFileSystem.lists.increment()
       if (listLatencyMs > 0) ThrottledFileSystem.sleepMs(listLatencyMs)
     }
     super.getFileStatus(f)
@@ -114,9 +127,11 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
 object ThrottledFileSystem {
   private[streaming] val opens = new LongAdder
   private[streaming] val lists = new LongAdder
+  private[streaming] val heads = new LongAdder
   private[streaming] val bytesRead = new LongAdder
   @volatile private var bytesPerSec = 0L
   private[streaming] val inList = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  private[streaming] val inOpen = ThreadLocal.withInitial[java.lang.Boolean](() => false)
   // global token bucket, guarded by `bucket`: nanosecond deadline the
   // NEXT read may start at, plus the fractional cost carry — byte-nanos
   // not yet converted to whole deadline nanos (ADVICE r17: n*1e9/bps
@@ -130,9 +145,14 @@ object ThrottledFileSystem {
 
   /** (opens, bytes read) through the scheme since the last reset. */
   def counters(): (Long, Long) = (opens.sum(), bytesRead.sum())
-  /** Metadata round-trips (listStatus/getFileStatus) since the last reset. */
+  /** DISCOVERY metadata round-trips (listStatus + bare getFileStatus)
+    * since the last reset. Since r19 this EXCLUDES the one HEAD every
+    * open makes internally — those are [[headCalls]]; the pre-r19
+    * cells' `lists` was the sum of both. */
   def listCalls(): Long = lists.sum()
-  def resetCounters(): Unit = { opens.reset(); lists.reset(); bytesRead.reset() }
+  /** Open-driven HEAD round-trips (getFileStatus nested inside open). */
+  def headCalls(): Long = heads.sum()
+  def resetCounters(): Unit = { opens.reset(); lists.reset(); heads.reset(); bytesRead.reset() }
 
   /** Sleep that stays an IO-layer citizen under task kill (ADVICE r17):
     * a Spark interrupt must surface as InterruptedIOException out of a

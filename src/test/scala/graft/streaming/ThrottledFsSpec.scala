@@ -104,6 +104,19 @@ class ThrottledFsSpec extends AnyFunSuite {
     // a bare HEAD (getFileStatus outside any list) pays its own trip
     fs.getFileStatus(new Path(s"throttle://$dir/f1"))
     assert(ThrottledFileSystem.listCalls() == 2L)
+    // an OPEN's internal getFileStatus (RawLocalFileSystem virtually
+    // HEADs before reading — same as S3A) still PAYS LIST-class
+    // latency but lands in headCalls, not listCalls: `lists` stays a
+    // pure discovery count (ADVICE r18; pre-r19 cells folded both)
+    assert(ThrottledFileSystem.headCalls() == 0L)
+    val tOpen = System.nanoTime()
+    readAll(fs, new Path(s"throttle://$dir/f1"))
+    val openMs = (System.nanoTime() - tOpen) / 1e6
+    assert(ThrottledFileSystem.listCalls() == 2L,
+      s"open must not inflate the discovery count, got ${ThrottledFileSystem.listCalls()}")
+    assert(ThrottledFileSystem.headCalls() == 1L,
+      s"open's implicit HEAD must be counted, got ${ThrottledFileSystem.headCalls()}")
+    assert(openMs >= 40.0, s"the open HEAD keeps its 40 ms charge, took ${openMs}ms")
     // and with the knob off the accounting still counts but costs nothing
     val fs0 = FileSystem.get(new URI("throttle:///"), conf(0L, 0L))
     val t1 = System.nanoTime()

@@ -36,6 +36,12 @@ def arm_mins(paths):
     # stays in the per-run JSONs.
     mins = {}
     calibs = []
+    missing = [p for p in paths if not os.path.exists(p)]
+    if len(missing) == len(paths):
+        sys.exit(f"ERROR: no input artifact exists for this arm: {missing}")
+    if missing:
+        print(f"note: arm missing {missing} (using the runs that exist)",
+              file=sys.stderr)
     for p in paths:
         if not os.path.exists(p):
             continue
@@ -55,6 +61,10 @@ def main():
     only = set(r15) ^ set(r17)
     ratios = {q: r17[q] / r15[q] for q in common if r15[q] > 0}
     rs = sorted(ratios.values())
+    if not rs:
+        sys.exit("ERROR: arms share no queries with nonzero r15 minima — "
+                 f"check input paths under {OUT}/ (r15 arm has {len(r15)} "
+                 f"queries, r17 arm has {len(r17)})")
     med = statistics.median(rs)
     q1, q3 = rs[len(rs) // 4], rs[3 * len(rs) // 4]
     # same noise floor as the bench guard: a ratio only counts as a

@@ -14,6 +14,15 @@ and later confirmed by the probe to 0.4%. host factor =
 max(calib1/0.104, calibN/0.225); normalized total = raw / factor —
 i.e. every row is expressed in pre-reboot-host seconds.
 
+Trust column (round 19, VERDICT r18 task 1): each row carries the
+io-band verdict from tools/io_band.json — `trust` (normalize freely),
+`minima-only` (totals are stall-inflated; per-query minima survive),
+`interleave` (window too taxed to normalize; adjudicate only by a
+same-boot interleaved A/B), or `n/a` (pre-io-probe round). The band
+never convicts a binary: a >=10% normalized rise STILL requires the
+A/B (SCALING.md r18 follow-up 2) — the band only says whether the
+normalized number is worth reading at all.
+
 Usage: python3 tools/trajectory.py [repo_dir]
 """
 import glob
@@ -23,6 +32,34 @@ import re
 import sys
 
 REF_C1, REF_CN = 0.104, 0.225  # pre-reboot host reference pair
+
+# io-band defaults; tools/io_band.json overrides when present
+IO_TRUST, CB_TRUST, IO_MINIMA = 0.22, 10.0, 0.30
+
+
+def load_band(repo):
+    p = os.path.join(repo, "tools", "io_band.json")
+    if not os.path.exists(p):
+        return IO_TRUST, CB_TRUST, IO_MINIMA
+    t = json.load(open(p)).get("thresholds", {})
+    return (t.get("io_trust_s", IO_TRUST), t.get("copy_build_trust_s", CB_TRUST),
+            t.get("io_minima_only_s", IO_MINIMA))
+
+
+def trust_verdict(io, copy_build, io_trust, cb_trust, io_minima):
+    """The io-band rule. io None = pre-probe round; io < 0 = probe failed."""
+    if io is None:
+        # pre-probe rounds: copy_build alone can still flag a disaster
+        if copy_build is not None and copy_build > 15.0:
+            return "interleave"
+        return "n/a"
+    if io < 0:
+        return "interleave"
+    if io <= io_trust and (copy_build is None or copy_build <= cb_trust):
+        return "trust"
+    if io <= io_minima and (copy_build is None or copy_build <= 15.0):
+        return "minima-only"
+    return "interleave"
 
 METRIC_RE = re.compile(r'\{"metric":"total".*\}')
 
@@ -45,6 +82,7 @@ def parsed_line(doc):
 
 def rows(repo):
     out = []
+    io_trust, cb_trust, io_minima = load_band(repo)
     for f in sorted(glob.glob(os.path.join(repo, "BENCH_r*.json"))):
         rnd = int(re.search(r"BENCH_r(\d+)", f).group(1))
         doc = json.load(open(f))
@@ -68,6 +106,8 @@ def rows(repo):
             except json.JSONDecodeError:
                 pass
         errs = len(p.get("errors") or {})
+        io = calib.get("io")
+        cb = p.get("copy_build_secs")
         out.append({
             "round": rnd,
             "queries": nq,
@@ -78,30 +118,42 @@ def rows(repo):
             "retro": retro,
             "host_factor": round(factor, 3),
             "normalized_total_s": round(p["value"] / factor, 2),
+            "io": io,
+            "copy_build_s": cb,
+            "trust": trust_verdict(io, cb, io_trust, cb_trust, io_minima),
         })
     return out
 
 
 def markdown(table):
     lines = [
-        "| round | queries | raw total (s) | calib1 | calibN | host factor | normalized total (s) |",
-        "|---|---|---|---|---|---|---|",
+        "| round | queries | raw total (s) | calib1 | calibN | host factor | normalized total (s) | io (s) | copy_build (s) | trust |",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in table:
         if "note" in r:
-            lines.append(f"| r{r['round']:02d} | — | ({r['note']}) | | | | |")
+            lines.append(f"| r{r['round']:02d} | — | ({r['note']}) | | | | | | | |")
             continue
         star = "*" if r["retro"] else ""
+        io = f"{r['io']:.3f}" if r.get("io") is not None else "—"
+        cb = f"{r['copy_build_s']:.1f}" if r.get("copy_build_s") is not None else "—"
         lines.append(
             f"| r{r['round']:02d} | {r['queries']} | {r['raw_total_s']:.1f} "
             f"| {r['calib1']:.3f}{star} | {r['calibN']:.3f}{star} "
-            f"| {r['host_factor']:.2f} | {r['normalized_total_s']:.1f} |")
+            f"| {r['host_factor']:.2f} | {r['normalized_total_s']:.1f} "
+            f"| {io} | {cb} | {r['trust']} |")
     lines.append("")
     lines.append("`*` = retro-attributed (CPU probe added in r11; "
                  "reference pair seeded per SCALING.md r11 follow-up 9). "
                  "`queries` = the round's CORRECTNESS registry size "
                  "(falls back to the bench's per-query map where no "
-                 "registry artifact exists).")
+                 "registry artifact exists). `trust` = the io-band rule "
+                 "(tools/io_band.json): whether this row's NORMALIZED "
+                 "total is readable — `minima-only` rows carry single-rep "
+                 "IO stalls (read per-query minima, not the total); "
+                 "`interleave` rows can only be adjudicated by a "
+                 "same-boot interleaved A/B; binaries are never convicted "
+                 "by this table alone.")
     return "\n".join(lines)
 
 
