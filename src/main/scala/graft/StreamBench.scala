@@ -286,6 +286,16 @@ object StreamBench {
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[streambench] drop_caches failed: ${e.getMessage}") }
         }
+        // SPARK_GRAFT_PAUSE_MAINTENANCE=1 (round 19): hold the
+        // maintenance thread during the timed window so a mid-restart
+        // snapshot upload can't add its throttled round-trips to the
+        // measurement — the clean recovery floor the sizing formula
+        // models. Production restarts DO race maintenance; cells
+        // record their mode (maintenance_paused in the JSON) and the
+        // race term is the paused/unpaused delta, measured not guessed.
+        val pauseMaint = sys.env.get("SPARK_GRAFT_PAUSE_MAINTENANCE").contains("1")
+        if (pauseMaint)
+          org.apache.spark.sql.graftbridge.StateStoreBridge.setMaintenancePaused(true)
         graft.streaming.ThrottledFileSystem.resetCounters()
         val r0 = System.nanoTime()
         val q2 = out.writeStream.format("noop")
@@ -293,6 +303,8 @@ object StreamBench {
         input.addData(evs.take(math.min(1000, n)).toIndexedSeq)
         q2.processAllAvailable()
         val r = (System.nanoTime() - r0) / 1e9
+        if (pauseMaint)
+          org.apache.spark.sql.graftbridge.StateStoreBridge.setMaintenancePaused(false)
         // what the timed restart actually READ through the throttle
         // scheme (0/0 when cp is a plain path): the opens count is the
         // per-file round-trip term, the bytes the bandwidth term —
@@ -335,6 +347,7 @@ object StreamBench {
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
         recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
+            s""""maintenance_paused":${sys.env.get("SPARK_GRAFT_PAUSE_MAINTENANCE").contains("1")},""" +
             (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
             (if (thrOpens > 0 || thrLists > 0) // ADVICE r18: a zero-open restart must still carry its LIST evidence
               // lists = discovery round-trips only since r19; the

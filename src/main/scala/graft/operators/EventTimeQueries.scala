@@ -109,29 +109,83 @@ object EventTimeQueries {
     // partial sums re-sum exactly, so the output is bit-identical to
     // the one-phase plan (same oracle row, all three SFs).
     // Bucketing uses integer `div` (fixture epochs are positive; a
-    // pre-1970 feed would need floor-division here).
+    // pre-1970 feed would need floor-division here). Round 19 adds a
+    // density gate below: the two-phase form only runs where phase 1
+    // actually collapses rows.
     val gapUs = 3600000000L // 1 h — splits on gap >= timeout, like the oracle
-    val frags = env(spark, dir)
+    val e = env(spark, dir)
       .select(col("stream_name"), unix_micros(col("ts")).as("ts_us"),
         expr("CAST(value AS DECIMAL(20,4))").as("v"))
       .withColumn("_b", expr(s"ts_us div ${gapUs}L"))
-      .groupBy(col("stream_name"), col("_b"))
-      .agg(min(col("ts_us")).as("f_start"), max(col("ts_us")).as("f_end"),
-        count(lit(1)).as("f_n"), sum(col("v")).as("f_sum"))
-    val w = Window.partitionBy(col("stream_name")).orderBy(col("f_start"))
-    frags
-      .withColumn("_prev_end", lag(col("f_end"), 1).over(w))
-      .withColumn("_new", when(col("_prev_end").isNull ||
-        col("f_start") - col("_prev_end") >= gapUs, 1).otherwise(0))
-      .withColumn("_sid", sum(col("_new"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("stream_name"), col("_sid"))
-      .agg(min(col("f_start")).as("session_start_us"),
-        max(col("f_end")).as("last_event_us"),
-        sum(col("f_n")).as("n"),
-        sum(col("f_sum")).cast("double").as("sum_value"))
-      .drop("_sid")
-      .orderBy(col("stream_name"), col("session_start_us"))
+    // Density gate (round 19, VERDICT r18 #7): phase 1 only earns its
+    // extra exchange when buckets actually COLLAPSE events. At sparse
+    // densities (sf0.1 fixture: ~0.014 events per active user-hour)
+    // fragments ≈ events and the two-phase form paid a measured ~1.15×
+    // tax for nothing (SCALING.md r18 follow-up 3). One probe
+    // aggregation picks the plan — per-stream partial counts collapse
+    // map-side, so its exchange carries ≤ (streams × tasks) rows, far
+    // under either candidate plan's own shuffle. Two-phase fires iff
+    // EITHER term holds:
+    //   1. events ≥ 2× active (stream,bucket) keys — phase 1 at least
+    //      halves the rows the phase-2 window must sort; or
+    //   2. the largest single stream exceeds ~2 shuffle-partitions'
+    //      share (floor 250k rows) — the r17 hot-key case. This term
+    //      is why the GLOBAL ratio alone is not the gate: a 40%-hot
+    //      user inside an otherwise-sparse corpus leaves the global
+    //      ratio near 1 while one-phase would sort the hot user's
+    //      entire history in a single partition. Skew, not just
+    //      density, forces two-phase.
+    // Both plans are oracle-identical (decimal partials re-sum
+    // exactly; r18 proved the two-phase row bit-equal at all three
+    // SFs), so the gate can never change a result — only which
+    // exchange structure computes it (SessionDensityGateSpec pins
+    // branch selection AND output parity on both sides).
+    val probe = e.groupBy(col("stream_name"))
+      .agg(count(lit(1)).as("c"), approx_count_distinct(col("_b")).as("bk"))
+      .agg(sum(col("c")), max(col("c")), sum(col("bk"))).head()
+    val dense = !probe.isNullAt(0) && {
+      val n = probe.getLong(0); val maxStream = probe.getLong(1)
+      val buckets = math.max(1L, probe.getLong(2))
+      n >= 2L * buckets ||
+        maxStream > math.max(250000L, 2L * n / spark.sparkContext.defaultParallelism)
+    }
+    if (dense) {
+      val frags = e
+        .groupBy(col("stream_name"), col("_b"))
+        .agg(min(col("ts_us")).as("f_start"), max(col("ts_us")).as("f_end"),
+          count(lit(1)).as("f_n"), sum(col("v")).as("f_sum"))
+      val w = Window.partitionBy(col("stream_name")).orderBy(col("f_start"))
+      frags
+        .withColumn("_prev_end", lag(col("f_end"), 1).over(w))
+        .withColumn("_new", when(col("_prev_end").isNull ||
+          col("f_start") - col("_prev_end") >= gapUs, 1).otherwise(0))
+        .withColumn("_sid", sum(col("_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("stream_name"), col("_sid"))
+        .agg(min(col("f_start")).as("session_start_us"),
+          max(col("f_end")).as("last_event_us"),
+          sum(col("f_n")).as("n"),
+          sum(col("f_sum")).cast("double").as("sum_value"))
+        .drop("_sid")
+        .orderBy(col("stream_name"), col("session_start_us"))
+    } else {
+      // sparse: classic gaps-and-islands straight over events — the
+      // same construction as phase 2, just without the no-op phase 1
+      val w = Window.partitionBy(col("stream_name")).orderBy(col("ts_us"))
+      e
+        .withColumn("_prev", lag(col("ts_us"), 1).over(w))
+        .withColumn("_new", when(col("_prev").isNull ||
+          col("ts_us") - col("_prev") >= gapUs, 1).otherwise(0))
+        .withColumn("_sid", sum(col("_new"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("stream_name"), col("_sid"))
+        .agg(min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("last_event_us"),
+          count(lit(1)).as("n"),
+          sum(col("v")).cast("double").as("sum_value"))
+        .drop("_sid")
+        .orderBy(col("stream_name"), col("session_start_us"))
+    }
   }
 
   // Q16d: watermark late-data drop, expressed relationally: replaying
