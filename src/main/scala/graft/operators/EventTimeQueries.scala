@@ -110,45 +110,37 @@ object EventTimeQueries {
     // the one-phase plan (same oracle row, all three SFs).
     // Bucketing uses integer `div` (fixture epochs are positive; a
     // pre-1970 feed would need floor-division here). Round 19 adds a
-    // density gate below: the two-phase form only runs where phase 1
-    // actually collapses rows.
+    // size gate below: the one-phase form runs only where it is
+    // provably skew-safe and actually cheaper.
     val gapUs = 3600000000L // 1 h — splits on gap >= timeout, like the oracle
     val e = env(spark, dir)
       .select(col("stream_name"), unix_micros(col("ts")).as("ts_us"),
         expr("CAST(value AS DECIMAL(20,4))").as("v"))
       .withColumn("_b", expr(s"ts_us div ${gapUs}L"))
-    // Density gate (round 19, VERDICT r18 #7): phase 1 only earns its
-    // extra exchange when buckets actually COLLAPSE events. At sparse
-    // densities (sf0.1 fixture: ~0.014 events per active user-hour)
-    // fragments ≈ events and the two-phase form paid a measured ~1.15×
-    // tax for nothing (SCALING.md r18 follow-up 3). One probe
-    // aggregation picks the plan — per-stream partial counts collapse
-    // map-side, so its exchange carries ≤ (streams × tasks) rows, far
-    // under either candidate plan's own shuffle. Two-phase fires iff
-    // EITHER term holds:
-    //   1. events ≥ 2× active (stream,bucket) keys — phase 1 at least
-    //      halves the rows the phase-2 window must sort; or
-    //   2. the largest single stream exceeds ~2 shuffle-partitions'
-    //      share (floor 250k rows) — the r17 hot-key case. This term
-    //      is why the GLOBAL ratio alone is not the gate: a 40%-hot
-    //      user inside an otherwise-sparse corpus leaves the global
-    //      ratio near 1 while one-phase would sort the hot user's
-    //      entire history in a single partition. Skew, not just
-    //      density, forces two-phase.
+    // Plan gate (round 19, VERDICT r18 #7). The two-phase form pays an
+    // extra exchange that only earns its keep when phase 1 collapses
+    // rows or a hot stream would otherwise dominate a sort partition;
+    // at the sparse fixture SFs it was a measured ~1.15× tax
+    // (SCALING.md r18 follow-up 3). The gate is a TOTAL ROW COUNT, not
+    // a density probe, because the measurements pin both ends:
+    //   - below 250k rows NO stream can exceed the per-stream sort
+    //     bound the r17 skew curve convicted, so one-phase is provably
+    //     skew-safe and skips the extra exchange — and count() on the
+    //     cached fixture copy costs nothing (parquet footers / cached
+    //     count), where a real density probe is a full extra pass;
+    //   - at or above it, two-phase: at 60× SPARSE-uniform it measures
+    //     EQUAL to one-phase (3.07 vs 3.06 min, r18), under any skew
+    //     it is strictly better (r19 curve: flat in hot fraction), and
+    //     when dense it wins outright. A first-cut per-stream density
+    //     probe (groupBy + HLL) chose plans more precisely but its own
+    //     pass cost more than the 0.09 s it could save — measured on
+    //     this round's close bench and replaced by this gate.
     // Both plans are oracle-identical (decimal partials re-sum
     // exactly; r18 proved the two-phase row bit-equal at all three
     // SFs), so the gate can never change a result — only which
     // exchange structure computes it (SessionDensityGateSpec pins
     // branch selection AND output parity on both sides).
-    val probe = e.groupBy(col("stream_name"))
-      .agg(count(lit(1)).as("c"), approx_count_distinct(col("_b")).as("bk"))
-      .agg(sum(col("c")), max(col("c")), sum(col("bk"))).head()
-    val dense = !probe.isNullAt(0) && {
-      val n = probe.getLong(0); val maxStream = probe.getLong(1)
-      val buckets = math.max(1L, probe.getLong(2))
-      n >= 2L * buckets ||
-        maxStream > math.max(250000L, 2L * n / spark.sparkContext.defaultParallelism)
-    }
+    val dense = ScaleOps.wideRead(spark, dir, "events").count() >= 250000L
     if (dense) {
       val frags = e
         .groupBy(col("stream_name"), col("_b"))

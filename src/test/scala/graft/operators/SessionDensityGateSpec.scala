@@ -1,18 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** q16_session's density gate (round 19, VERDICT r18 #7): one plan per
-  * density regime, one answer everywhere. The gate picks the classic
-  * one-phase gaps-and-islands when fragments ≈ events (sparse — the
-  * two-phase exchange buys nothing, measured ~1.15× tax at sf0.1) and
-  * the skew-immune two-phase bucket plan when phase 1 actually
-  * collapses rows (dense — the 60× hot-user case). Correctness must
-  * not depend on which side fires, so this spec drives BOTH sides on
-  * fixtures engineered to trip each branch and pins their outputs to
+/** q16_session's plan gate (round 19, VERDICT r18 #7): one plan per
+  * size regime, one answer everywhere. Below 250k total events no
+  * stream can exceed the per-stream sort bound the r17 skew curve
+  * convicted, so the classic one-phase gaps-and-islands runs (skipping
+  * the two-phase form's extra exchange — a measured ~1.15× tax at
+  * fixture SFs); at or above the bound the skew-immune two-phase
+  * bucket plan runs (measured equal to one-phase on sparse-uniform
+  * 60×, strictly better under skew, better when dense). Correctness
+  * must not depend on which side fires, so this spec drives BOTH
+  * branches on fixtures straddling the gate and pins their outputs to
   * an independent reference sessionization computed locally.
   */
 class SessionDensityGateSpec extends AnyFunSuite with BeforeAndAfterAll {
@@ -51,90 +53,95 @@ class SessionDensityGateSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }.toSet
 
-  /** Write a synthetic events.parquet the envelope reader accepts and
-    * run q16Session over it; return (gate fired dense?, result set).
-    * Branch detection: only the two-phase plan keeps the `_b` bucket
-    * column past optimization (one-phase selects it but never uses it,
-    * so column pruning removes it). */
-  private def drive(name: String, evs: Seq[(Long, Long, Long, Double)])
-      : (Boolean, Set[(String, Long, Long, Long, Double)]) = {
-    import spark.implicits._
+  /** Write an events.parquet the envelope reader accepts from a frame
+    * of (event_id, user_id, ts_us, value) — generated THROUGH Spark
+    * (a six-digit-row LocalRelation embedded in a plan is
+    * pathologically slow) — and build q16Session over it. Branch
+    * detection: only the two-phase plan keeps the `_b` bucket column
+    * past optimization (one-phase never references it, so column
+    * pruning removes it). */
+  private def drive(name: String, evs: DataFrame): (Boolean, DataFrame) = {
     val dir = java.nio.file.Files.createTempDirectory(s"sessgate-$name").toString
-    evs.toDF("event_id", "user_id", "ts_us", "value")
+    evs
       .withColumn("ts", timestamp_micros(col("ts_us")))
       .withColumn("event_type", lit("click"))
       .withColumn("props", lit("{}"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val df = EventTimeQueries.q16Session.build(spark, dir)
-    val densePlan = df.queryExecution.optimizedPlan.toString.contains("_b")
-    val out = df.collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
-      .toSet
-    (densePlan, out)
+    (df.queryExecution.optimizedPlan.toString.contains("_b"), df)
   }
 
-  test("sparse fixture (events ≈ buckets) takes the one-phase branch and matches the reference") {
-    // 40 users × 6 events each, 3h apart: every event its own bucket
-    // AND its own session; density ratio 1.0 → one-phase fires.
+  private def localDf(evs: Seq[(Long, Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    evs.toDF("event_id", "user_id", "ts_us", "value")
+  }
+
+  private def collected(df: DataFrame): Set[(String, Long, Long, Long, Double)] =
+    df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+
+  test("below the size gate the one-phase branch fires and matches the reference") {
+    // 40 users × 6 events each, 3h apart — far under 250k rows
     val evs = for {
       u <- 0L until 40L
       i <- 0L until 6L
     } yield (u * 10 + i, u, (i * 3 + u % 3) * gapUs + u * 1000L, (u + i).toDouble / 4)
     val expect = reference(evs.map { case (_, u, ts, v) =>
       (s"user-$u", ts, BigDecimal(v).setScale(4)) })
-    val (dense, out) = drive("sparse", evs)
-    assert(!dense, "density ratio 1.0 must take the one-phase branch")
-    assert(out == expect)
+    val (dense, df) = drive("sparse", localDf(evs))
+    assert(!dense, "240 rows must take the one-phase branch")
+    assert(collected(df) == expect)
   }
 
-  test("dense fixture (many events per bucket) takes the two-phase branch and matches the reference") {
-    // 8 users × 900 events packed into 3 active hours with one 2h gap:
-    // ~300 events per (user,bucket) → two-phase fires; the gap splits
-    // each user into exactly two sessions whose boundary crosses a
-    // bucket edge (the construction the fragment merge must get right).
-    val evs = for {
-      u <- 0L until 8L
-      i <- 0L until 900L
-    } yield {
-      val inFirst = i < 500
-      val base = if (inFirst) 0L else 4L * gapUs // 2h+ gap after hour ~2
-      val ts = base + (i % 500) * (2 * gapUs / 500) + u * 7L
-      (u * 1000 + i, u, ts, (i % 13).toDouble / 4)
-    }
-    val expect = reference(evs.map { case (_, u, ts, v) =>
-      (s"user-$u", ts, BigDecimal(v).setScale(4)) })
-    val (dense, out) = drive("dense", evs)
-    assert(dense, "~300 events per bucket must take the two-phase branch")
-    assert(out == expect)
+  test("above the size gate the two-phase branch fires and matches the reference — including gap boundaries") {
+    // 8 users × 36k dense events (≥250k total → two-phase) packed into
+    // ~2 active hours with one 2h+ gap mid-stream, PLUS two boundary
+    // users: 100 with a gap of exactly 1h (must split) and 101 with a
+    // hair under (must merge). Generated through Spark; the reference
+    // runs over the parquet rows read back (few hundred k rows, ~20
+    // output sessions).
+    val per = 18000L
+    val step = 2 * gapUs / per // 0.4 s between a user's events — dense
+    val dense8 = spark.range(8L * 36000L).select(
+      col("id").as("event_id"),
+      (col("id") % 8).as("user_id"),
+      (when(expr("id div 8") < per, lit(0L)).otherwise(lit(4L * gapUs)) +
+        (expr("id div 8") % per) * step + (col("id") % 8) * 7L).as("ts_us"),
+      ((col("id") % 13).cast("double") / 4).as("value"))
+    val boundary = localDf(Seq(
+      (900001L, 100L, 0L, 1.0), (900002L, 100L, gapUs, 1.0),
+      (900003L, 101L, 10 * gapUs, 1.0), (900004L, 101L, 11 * gapUs - 1, 1.0)))
+    val (dense, df) = drive("dense", dense8.union(boundary))
+    assert(dense, "288k rows must take the two-phase branch")
+    // reference from the same generated rows, collected once
+    val expect = reference(
+      dense8.union(boundary).collect().toSeq.map { r =>
+        (s"user-${r.getLong(1)}", r.getLong(2), BigDecimal(r.getDouble(3)).setScale(4))
+      })
+    assert(collected(df) == expect)
+    // the boundary users' shape, asserted explicitly
+    val u100 = collected(df.filter(col("stream_name") === "user-100"))
+    assert(u100.size == 2, "gap of exactly 1h must split")
+    val u101 = collected(df.filter(col("stream_name") === "user-101"))
+    assert(u101.size == 1, "gap of 1h minus 1us must merge")
   }
 
-  test("sparse-but-skewed fixture trips the per-stream guard: two-phase despite global ratio ≈ 1") {
-    // one hot user with 300k events, one per bucket (nothing collapses;
-    // global ratio ~1.0) + 50 background users. The r17 catastrophe
-    // shape: one-phase would sort the hot user's whole history in a
-    // single partition, so term 2 (maxStream > max(250k, 2n/parallelism))
-    // must force the two-phase branch even though term 1 says sparse.
-    // Generated THROUGH Spark (a 300k-row LocalRelation embedded in the
-    // plan is pathologically slow); expected values asserted as the
-    // construction's invariants, not a materialized 300k-row set.
+  test("skew above the gate rides the two-phase branch: hot stream cost bounded by buckets") {
+    // one hot user with 300k events, one per bucket, + 50 background
+    // users — the r17 catastrophe shape. The size gate (300k ≥ 250k)
+    // forces two-phase, whose phase-2 input for the hot user is its
+    // FRAGMENT count. Expected values asserted as the construction's
+    // invariants (every hot event its own session), not a 300k-row set.
     val hotN = 300000L
-    val dir = java.nio.file.Files.createTempDirectory("sessgate-skewed").toString
     val hot = spark.range(hotN).select(col("id").as("event_id"),
       lit(42L).as("user_id"), (col("id") * gapUs).as("ts_us"), lit(0.25).as("value"))
     val bg = spark.range(50).select((col("id") + 1000000L).as("event_id"),
       (col("id") + 100L).as("user_id"), (col("id") * 3 * gapUs).as("ts_us"),
       lit(1.0).as("value"))
-    hot.union(bg)
-      .withColumn("ts", timestamp_micros(col("ts_us")))
-      .withColumn("event_type", lit("click"))
-      .withColumn("props", lit("{}"))
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    val df = EventTimeQueries.q16Session.build(spark, dir)
-    assert(df.queryExecution.optimizedPlan.toString.contains("_b"),
-      "a 300k-event stream must force the two-phase branch")
-    // gap exactly 1h everywhere → every hot event is its own session
+    val (dense, df) = drive("skewed", hot.union(bg))
+    assert(dense, "300k rows must take the two-phase branch")
     val hotAgg = df.filter(col("stream_name") === "user-42")
       .agg(count(lit(1)), sum(col("n")), sum(col("sum_value")),
         min(col("session_start_us")), max(col("last_event_us"))).head()
@@ -142,25 +149,18 @@ class SessionDensityGateSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(hotAgg.getLong(1) == hotN)
     assert(math.abs(hotAgg.getDouble(2) - hotN * 0.25) < 1e-6)
     assert(hotAgg.getLong(3) == 0L && hotAgg.getLong(4) == (hotN - 1) * gapUs)
-    // background users: one single-event session each
     assert(df.filter(col("stream_name") =!= "user-42").count() == 50L)
   }
 
-  test("boundary behavior: a gap of exactly 1h splits, a hair under merges — on both branches") {
-    // two events exactly gap apart (split) and two at gap-1us (merge),
-    // replicated at both densities by padding the dense variant
+  test("boundary behavior on the one-phase branch: exactly 1h splits, a hair under merges") {
     def base(u: Long) = Seq(
       (u * 10 + 1, u, 0L, 1.0), (u * 10 + 2, u, gapUs, 1.0),          // split
       (u * 10 + 3, u, 3 * gapUs, 1.0), (u * 10 + 4, u, 4 * gapUs - 1, 1.0)) // merge
-    val sparse = (0L until 30L).flatMap(base) // density 1.0 → one-phase
-    val dense = base(0) ++ (0L until 600L).map(i =>
-      (1000 + i, 99L, 6 * gapUs + i, 0.25)) // hot bucket → two-phase
-    for ((tag, evs) <- Seq(("sparse", sparse), ("dense", dense))) {
-      val expect = reference(evs.map { case (_, u, ts, v) =>
-        (s"user-$u", ts, BigDecimal(v).setScale(4)) })
-      val (firedDense, out) = drive(s"edge-$tag", evs)
-      assert(firedDense == (tag == "dense"), s"branch selection for $tag")
-      assert(out == expect, s"branch=$tag")
-    }
+    val evs = (0L until 30L).flatMap(base)
+    val expect = reference(evs.map { case (_, u, ts, v) =>
+      (s"user-$u", ts, BigDecimal(v).setScale(4)) })
+    val (dense, df) = drive("edge-sparse", localDf(evs))
+    assert(!dense)
+    assert(collected(df) == expect)
   }
 }
