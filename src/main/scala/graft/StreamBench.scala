@@ -269,7 +269,7 @@ object StreamBench {
       }
       (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
     }
-    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long, Long)] =
+    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
         val (debt, nSnaps) = replayDebt()
@@ -313,6 +313,7 @@ object StreamBench {
         val (thrOpens, thrBytes) = graft.streaming.ThrottledFileSystem.counters()
         val thrLists = graft.streaming.ThrottledFileSystem.listCalls()
         val thrHeads = graft.streaming.ThrottledFileSystem.headCalls()
+        val thrDriverMeta = graft.streaming.ThrottledFileSystem.driverMetaCalls()
         // Restored-state CORRECTNESS probe (gap-hold mode): release the
         // withheld index-0 events into the restarted query. If the
         // restore really rebuilt every held stream's buffered queue,
@@ -335,7 +336,7 @@ object StreamBench {
         val expected =
           if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
         Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected,
-          thrOpens, thrBytes, thrLists, thrHeads))
+          thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta))
       }
 
     val eps = n / wallS
@@ -345,7 +346,7 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads) =>
+        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
             s""""maintenance_paused":${sys.env.get("SPARK_GRAFT_PAUSE_MAINTENANCE").contains("1")},""" +
             (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
@@ -353,8 +354,13 @@ object StreamBench {
               // lists = discovery round-trips only since r19; the
               // per-open HEADs (same latency class) are throttle_heads
               // — pre-r19 artifacts folded both into throttle_lists.
+              // meta_driver = the subset of lists+heads made outside
+              // any Spark task: serial driver-side discovery, the
+              // component of LIST-latency recovery no partition lever
+              // can shave (SCALING.md r19 follow-up 3 finding 3).
               s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},""" +
-                s""""throttle_lists":$thrLists,"throttle_heads":$thrHeads,"""
+                s""""throttle_lists":$thrLists,"throttle_heads":$thrHeads,""" +
+                s""""throttle_meta_driver":$thrDriverMeta,"""
             else "")
         }.getOrElse("") +
         (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +

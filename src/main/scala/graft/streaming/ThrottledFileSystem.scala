@@ -107,6 +107,7 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
     if (ThrottledFileSystem.inList.get()) super.listStatus(f)
     else {
       ThrottledFileSystem.lists.increment()
+      ThrottledFileSystem.tagLane()
       if (listLatencyMs > 0) ThrottledFileSystem.sleepMs(listLatencyMs)
       ThrottledFileSystem.inList.set(true)
       try super.listStatus(f)
@@ -118,6 +119,7 @@ final class ThrottledFileSystem extends RawLocalFileSystem {
     if (!ThrottledFileSystem.inList.get()) {
       if (ThrottledFileSystem.inOpen.get()) ThrottledFileSystem.heads.increment()
       else ThrottledFileSystem.lists.increment()
+      ThrottledFileSystem.tagLane()
       if (listLatencyMs > 0) ThrottledFileSystem.sleepMs(listLatencyMs)
     }
     super.getFileStatus(f)
@@ -152,7 +154,23 @@ object ThrottledFileSystem {
   def listCalls(): Long = lists.sum()
   /** Open-driven HEAD round-trips (getFileStatus nested inside open). */
   def headCalls(): Long = heads.sum()
-  def resetCounters(): Unit = { opens.reset(); lists.reset(); heads.reset(); bytesRead.reset() }
+
+  /** Metadata round-trips made OUTSIDE any Spark task — the driver's
+    * own checkpoint-log / state-metadata discovery (round 19: the
+    * recovery cells' LIST-latency residual is a near-constant ~11–16 s
+    * that no per-partition model explains; these calls serialize on
+    * the driver thread, so count = serial seconds / latency). Lane
+    * detection: a Spark executor thread always carries a TaskContext;
+    * anything without one is driver-side (or a Spark internal pool
+    * acting for the driver — same serialization property). */
+  private[streaming] val driverMeta = new LongAdder
+  private[streaming] def tagLane(): Unit =
+    if (org.apache.spark.TaskContext.get() == null) driverMeta.increment()
+  def driverMetaCalls(): Long = driverMeta.sum()
+
+  def resetCounters(): Unit = {
+    opens.reset(); lists.reset(); heads.reset(); driverMeta.reset(); bytesRead.reset()
+  }
 
   /** Sleep that stays an IO-layer citizen under task kill (ADVICE r17):
     * a Spark interrupt must surface as InterruptedIOException out of a

@@ -117,6 +117,11 @@ class ThrottledFsSpec extends AnyFunSuite {
     assert(ThrottledFileSystem.headCalls() == 1L,
       s"open's implicit HEAD must be counted, got ${ThrottledFileSystem.headCalls()}")
     assert(openMs >= 40.0, s"the open HEAD keeps its 40 ms charge, took ${openMs}ms")
+    // lane tagging: this spec runs on a plain JVM thread (no Spark
+    // TaskContext), so every charged metadata call above must also be
+    // in the driver-lane counter — lists(2) + heads(1)
+    assert(ThrottledFileSystem.driverMetaCalls() == 3L,
+      s"driver-lane meta count, got ${ThrottledFileSystem.driverMetaCalls()}")
     // and with the knob off the accounting still counts but costs nothing
     val fs0 = FileSystem.get(new URI("throttle:///"), conf(0L, 0L))
     val t1 = System.nanoTime()
