@@ -269,7 +269,7 @@ object StreamBench {
       }
       (debts.sum, byDir.values.map(_.count(_._3)).sum.toLong)
     }
-    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long, Long, Long)] =
+    val recovery: Option[(Double, Long, Long, Long, Long, Long, Long, Long, Long, Long, String)] =
       if (!sys.env.get("SPARK_GRAFT_MEASURE_RECOVERY").contains("1")) None
       else {
         val (debt, nSnaps) = replayDebt()
@@ -314,6 +314,13 @@ object StreamBench {
         val thrLists = graft.streaming.ThrottledFileSystem.listCalls()
         val thrHeads = graft.streaming.ThrottledFileSystem.headCalls()
         val thrDriverMeta = graft.streaming.ThrottledFileSystem.driverMetaCalls()
+        // thread-class histogram as a JSON object, keys sanitized and
+        // sorted by count so the serial lanes read off the top
+        val thrMetaThreads: String = graft.streaming.ThrottledFileSystem
+          .metaThreadClasses().toSeq.sortBy(-_._2)
+          .map { case (k, v) =>
+            s""""${k.replaceAll("[^A-Za-z0-9#_ .:-]", "_")}":$v"""
+          }.mkString("{", ",", "}")
         // Restored-state CORRECTNESS probe (gap-hold mode): release the
         // withheld index-0 events into the restarted query. If the
         // restore really rebuilt every held stream's buffered queue,
@@ -336,7 +343,7 @@ object StreamBench {
         val expected =
           if (heldEv0.isEmpty) -1L else evsAll.count(e => heldStream(e.streamName)).toLong
         Some((math.round(r * 1000) / 1000.0, debt, nSnaps, releasedDispatch, expected,
-          thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta))
+          thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta, thrMetaThreads))
       }
 
     val eps = n / wallS
@@ -346,7 +353,7 @@ object StreamBench {
         s""""engine":"$engine","n_events":$n,"batches":$fed,""" +
         s""""state_partitions":$statePartitions,""" +
         s""""wall_s":${math.round(wallS * 1000) / 1000.0},""" +
-        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta) =>
+        recovery.map { case (r, debt, snaps, got, want, thrOpens, thrBytes, thrLists, thrHeads, thrDriverMeta, thrMetaThreads) =>
           s""""recovery_s":$r,"replay_changelogs":$debt,"snapshots":$snaps,""" +
             s""""maintenance_paused":${sys.env.get("SPARK_GRAFT_PAUSE_MAINTENANCE").contains("1")},""" +
             (if (want >= 0) s""""released_dispatch":$got,"released_expected":$want,""" else "") +
@@ -360,7 +367,8 @@ object StreamBench {
               // can shave (SCALING.md r19 follow-up 3 finding 3).
               s""""throttle_opens":$thrOpens,"throttle_read_mb":${thrBytes / (1024 * 1024)},""" +
                 s""""throttle_lists":$thrLists,"throttle_heads":$thrHeads,""" +
-                s""""throttle_meta_driver":$thrDriverMeta,"""
+                s""""throttle_meta_driver":$thrDriverMeta,""" +
+                s""""throttle_meta_threads":$thrMetaThreads,"""
             else "")
         }.getOrElse("") +
         (if (gapHoldPct > 0) s""""gap_hold_pct":$gapHoldPct,"held_streams_ev0":$nHeld,""" else "") +

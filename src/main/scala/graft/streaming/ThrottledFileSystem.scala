@@ -164,12 +164,35 @@ object ThrottledFileSystem {
     * anything without one is driver-side (or a Spark internal pool
     * acting for the driver — same serialization property). */
   private[streaming] val driverMeta = new LongAdder
-  private[streaming] def tagLane(): Unit =
+  // Thread-CLASS histogram of charged metadata calls (round 19,
+  // SCALING follow-up 6 item 4): the TaskContext tag alone is only an
+  // upper bound on serial driver work — the state-store download pools
+  // are non-task threads too. Classifying by thread name (digits
+  // collapsed, so "pool-7-thread-12" and "pool-7-thread-3" share a
+  // class) lets the rig read which classes are single-threaded SERIAL
+  // lanes vs parallel pools; the serial tranche the LIST cells
+  // measured (~80 trips) must reproduce as the single-thread classes'
+  // sum.
+  private[streaming] val metaByClass =
+    new java.util.concurrent.ConcurrentHashMap[String, LongAdder]
+  private def threadClass(n: String): String = n.replaceAll("[0-9]+", "#")
+  private[streaming] def tagLane(): Unit = {
     if (org.apache.spark.TaskContext.get() == null) driverMeta.increment()
+    metaByClass
+      .computeIfAbsent(threadClass(Thread.currentThread().getName), _ => new LongAdder)
+      .increment()
+  }
   def driverMetaCalls(): Long = driverMeta.sum()
+  /** Charged metadata calls per thread-name class since last reset. */
+  def metaThreadClasses(): Map[String, Long] = {
+    val b = Map.newBuilder[String, Long]
+    metaByClass.forEach((k, v) => b += k -> v.sum())
+    b.result()
+  }
 
   def resetCounters(): Unit = {
-    opens.reset(); lists.reset(); heads.reset(); driverMeta.reset(); bytesRead.reset()
+    opens.reset(); lists.reset(); heads.reset(); driverMeta.reset()
+    metaByClass.clear(); bytesRead.reset()
   }
 
   /** Sleep that stays an IO-layer citizen under task kill (ADVICE r17):
