@@ -2094,9 +2094,25 @@ object SimilarityQueries {
       .distinct()
       .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = sh2.select(col("doc_id").as("doc_a"), col("shingle"))
-      .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-      .where(col("doc_a") < col("doc_b"))
+    // Intersection counts are enumerated FROM THE PAIR LIST, not from
+    // a shingle-keyed self-join (optimization round 19). The old form
+    //   sh2(doc_a) ⋈_shingle sh2(doc_b), doc_a < doc_b, groupBy pair
+    // enumerated the co-occurrence pairs of EVERY doc pair sharing a
+    // shingle and only then dropped non-candidates in the final left
+    // join — at sf0.1 that one stage was 1.8 s of q18_containment's
+    // 5.9 s (ProfileJobs job-level attribution), and its volume is
+    // Σ_shingle df² over candidate docs: a corpus-common shingle
+    // inside the candidate set makes it quadratic at scale — the
+    // exact hazard guardBlockSize exists to kill, except unguarded.
+    // This form walks cand → doc_a's shingles → equi-join on
+    // (doc_b, shingle): volume is |cand| · |shingles per doc| rows,
+    // |candidates|-bounded BY CONSTRUCTION at every scale, and the
+    // per-pair counts are identical (sh2 is distinct (doc, shingle),
+    // so matched rows per pair = |A ∩ B|; callers pass `cand`
+    // deduplicated, which the final join relies on either way).
+    val inter = cand
+      .join(sh2.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("both_n"))
     cand
@@ -2320,13 +2336,20 @@ object SimilarityQueries {
       .groupBy(col("shingle"))
       .agg(SetAgg.cappedDocSet(col("doc_id"), 64).as("ds"))
       .where(col("ds").isNotNull && size(col("ds")).between(2, 64))
+    // per-doc 4 rarest stop-shingles as a sorted-slice AGGREGATE, not
+    // a row_number window (optimization round 19): struct sort order
+    // (df, shingle) is exactly the old window's orderBy and (doc,
+    // shingle) is unique, so slice(sort_array(...), 1, 4) keeps the
+    // identical 4 rows — as a hash aggregate it drops the window's
+    // per-doc sort pass; group state is bounded by a doc's
+    // stop-shingle count (the same rows the window buffered per doc)
     val pick = agg
-      .select(col("shingle"), size(col("ds")).cast("long").as("df"),
+      .select(struct(size(col("ds")).cast("long").as("df"), col("shingle")).as("p"),
         explode(col("ds")).as("doc_id"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-      .where(col("rn") <= 4)
-      .select(col("doc_id"), col("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_list(col("p"))), 1, 4).as("ps"))
+      .select(col("doc_id"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p.shingle").as("shingle"))
       // tiny (≤ 4 rows/doc); checkpointed so the guard's size probe and
       // both self-join sides read it instead of re-running the index
       .localCheckpoint()
