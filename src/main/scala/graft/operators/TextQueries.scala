@@ -2727,11 +2727,15 @@ object TextQueries {
       |FROM me, de, eq, nreg, ex""".stripMargin) { (spark, dir) =>
     import graft.functions.Sketches
     val sh = hllShingles(spark, dir)
-    // ONE md5/rank pass feeds BOTH register builds (the audit property
-    // is max associativity across the two groupings, not hash
-    // recomputation); localCheckpoint so the two aggregates don't
-    // rescan the corpus for the shingle set either
-    val ranked = Sketches.hllRanked(sh, "source", "s").localCheckpoint()
+    // ONE md5/rank definition feeds BOTH register builds (the audit
+    // property is max associativity across the two groupings). NOT
+    // checkpointed (optimization round 19): hllRanked is a pure map
+    // over the materialized shingle parquet, so each register
+    // aggregate fuses it into its own scan stage — the old eager
+    // checkpoint paid a 0.35 s corpus-frame materialization barrier
+    // per execution to avoid two cheap fused md5 passes (ProfileJobs:
+    // "localCheckpoint at TextQueries" was the query's largest job).
+    val ranked = Sketches.hllRanked(sh, "source", "s")
     val sreg = ranked.groupBy(col("source"), col("idx")).agg(max(col("rank")).as("m"))
     val merged = sreg.groupBy(col("idx")).agg(max(col("m")).as("m"))
       .withColumn("k", lit(1))
