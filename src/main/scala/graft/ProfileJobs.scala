@@ -67,12 +67,19 @@ object ProfileJobs {
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val tBuild = (System.nanoTime() - t0) / 1e9
-        df.count()
+        // mirror Dataset.count() but keep the QueryExecution so the
+        // Catalyst phase timings (analysis/optimization/planning) of
+        // THIS execution are readable afterwards
+        val cnt = df.groupBy().count()
+        cnt.collect()
         val dt = (System.nanoTime() - t0) / 1e9
         if (r == reps - 1) {
           collecting = false
           Thread.sleep(200) // let listener drain
-          println(f"\n===== $name rep$r total ${dt}%.3f s (build ${tBuild}%.3f s) =====")
+          val ph = cnt.queryExecution.tracker.phases
+            .map { case (k, v) => f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.3f" }
+            .mkString(" ")
+          println(f"\n===== $name rep$r total ${dt}%.3f s (build ${tBuild}%.3f s; $ph) =====")
           val ds = done.toArray(Array.empty[(Int, Double, String, Int)]).sortBy(_._1)
           for ((id, secs, site, nStages) <- ds)
             println(f"  job $id%3d ${secs}%7.3f s  stages=$nStages%2d  $site")

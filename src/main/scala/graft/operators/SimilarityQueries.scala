@@ -2442,10 +2442,13 @@ object SimilarityQueries {
     // the shared confirm canonicalizes on doc_a < doc_b; restore the
     // train/eval orientation afterwards (split sides are disjoint, so
     // train_doc == eval_doc cannot occur)
+    // no distinct (optimization round 19): `cand` is already a
+    // distinct pair set and train/eval sides are disjoint, so
+    // (least, greatest) maps cand rows 1:1 onto canonical pairs — the
+    // old distinct re-shuffled the same set for nothing
     val canon = cand.select(
       least(col("train_doc"), col("eval_doc")).as("doc_a"),
       greatest(col("train_doc"), col("eval_doc")).as("doc_b"))
-      .distinct()
     cand
       .join(exactJaccardBp(spark, dir, canon),
         least(col("train_doc"), col("eval_doc")) === col("doc_a") &&
@@ -2641,10 +2644,16 @@ object SimilarityQueries {
       col("n_stop").cast("double") / col("n_words") >= 0.01 &&
       col("n_digit").cast("double") / col("n_chars") < 0.3)
     val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    // checkpointed (optimization round 19, the q18_prep_pipeline fix):
+    // `ex` feeds both the language counts and the rebalance filter —
+    // without the barrier the scan + quality filter + md5-dedup window
+    // lineage ran twice per execution; three narrow columns per
+    // surviving doc
     val ex = qf
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byHash))
       .where(col("keep"))
       .select(col("doc_id"), col("lang"), col("n_words"))
+      .localCheckpoint()
     val lc = ex.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val tgt = lc.agg(min(col("n")).as("target"))
     val rb = ex

@@ -1211,10 +1211,17 @@ object TextQueries {
       col("n_stop").cast("double") / col("n_words") >= 0.01 &&
       col("n_digit").cast("double") / col("n_chars") < 0.3)
     val byHash = Window.partitionBy(md5(col("text").cast("binary")))
+    // checkpointed (optimization round 19): `e` feeds BOTH the
+    // per-language counts and the rebalance filter, so without the
+    // barrier the scan + quality filter + md5-dedup window lineage ran
+    // twice per execution (and doubled the optimizer's tree). The
+    // frame is three narrow columns per surviving doc — none of the
+    // corpus-frame residency weight round 14 rejected.
     val e = q
       .withColumn("keep", col("doc_id") === min(col("doc_id")).over(byHash))
       .where(col("keep"))
       .select(col("doc_id"), col("lang"), col("n_words"))
+      .localCheckpoint()
     val lc = e.groupBy(col("lang")).agg(count(lit(1)).as("n"))
     val tgt = lc.agg(min(col("n")).as("target"))
     val rb = e
