@@ -229,6 +229,26 @@ object SimilarityQueries {
           |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin)).as("p"))
       .select(col("band"), col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
 
+  /** Session-scoped DISTINCT LSH candidate-pair frame per (corpus,
+    * variant) — the deduplicated (doc_a, doc_b) set every downstream
+    * consumer (edit_dedup, tfidf_sim, minhash_quality, winnow-loser,
+    * pagerank edges, triangles, leakage/prep_v2 edge sets) derived
+    * per execution as `bucketPairs(bandIndex).select(...).distinct()`
+    * (optimization round 19). The frame is duplicate-density-bounded
+    * (~23k narrow rows at sf0.1), so the eager checkpoint's residency
+    * is trivial while each consumer drops a bucket-group + distinct
+    * exchange pair per execution. Same discipline and justification
+    * as [[simhashPairCache]], which has cached the pigeonhole
+    * candidate set since round 13. */
+  private val candPairCache = new SessionCache[(String, Boolean), DataFrame]()
+
+  private def lshCandidates(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
+    candPairCache.getOrElseUpdate(spark, (dir, dupes)) {
+      CacheResidence.resident("band",
+        bucketPairs(bandIndex(spark, dir, dupes))
+          .select(col("doc_a"), col("doc_b")).distinct())
+    }
+
   val q18MinhashPairs: QueryDef = QueryDef(
     "q18_minhash_pairs",
     s"""WITH $minhashSql
@@ -277,9 +297,7 @@ object SimilarityQueries {
        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
     // one edge materialization, three plan consumers (both wedge arms
     // + the closing check) → eager checkpoint like exactOverlap's
-    val e = bucketPairs(bandIndex(spark, dir, dupes = false))
-      .select(col("doc_a"), col("doc_b")).distinct()
-      .localCheckpoint()
+    val e = lshCandidates(spark, dir, dupes = false)
     val tri = e.as("e1")
       .join(e.as("e2"), col("e2.doc_a") === col("e1.doc_b"))
       .join(e.as("e3"),
@@ -1726,8 +1744,8 @@ object SimilarityQueries {
        |        FROM sym s JOIN it2 p ON s.a = p.node JOIN deg g ON s.a = g.node GROUP BY s.b)
        |SELECT node, pr FROM it3 ORDER BY pr DESC, node LIMIT 20""".stripMargin) {
     (spark, dir) =>
-      val edges = bucketPairs(bandIndex(spark, dir, dupes = false))
-        .select(col("doc_a").as("a"), col("doc_b").as("b")).distinct()
+      val edges = lshCandidates(spark, dir, dupes = false)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
       // Local-finish gate (the cc_dedup/BPE pattern — and here the
       // result is BIT-exact by construction, not by careful tie-break
@@ -1811,8 +1829,7 @@ object SimilarityQueries {
        |WHERE CAST(levenshtein(da.text, db.text) AS BIGINT) * 1000
        |        // greatest(length(da.text), length(db.text)) <= 400
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = lshCandidates(spark, dir, dupes = false)
     val d = docs(spark, dir).select(col("doc_id"), col("text"))
     // Exact pruning, same result rows as the oracle's plain levenshtein:
     // nd_permille <= 400 ⟺ lev <= bound := (401·gmax − 1) div 1000, and
@@ -1891,8 +1908,7 @@ object SimilarityQueries {
        |WHERE CAST(d.dot AS DOUBLE)
        |        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) > 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (spark, dir) =>
-    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = lshCandidates(spark, dir, dupes = false)
     // shared doc-term matrix (TextQueries session cache)
     val tf = TextQueries.termFreq(spark, dir)
       .select(col("doc_id"), col("w").as("wd"), col("tf"))
@@ -1954,8 +1970,7 @@ object SimilarityQueries {
        |ORDER BY d.source""".stripMargin) { (spark, dir) =>
     val d = docs(spark, dir)
     val sc = d.select(col("doc_id"), length(col("text")).as("sc"))
-    val pairs = bucketPairs(bandIndex(spark, dir, dupes = false))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val pairs = lshCandidates(spark, dir, dupes = false)
     val losers = pairs
       .join(sc.select(col("doc_id").as("doc_a"), col("sc").as("sc_a")), Seq("doc_a"))
       .join(sc.select(col("doc_id").as("doc_b"), col("sc").as("sc_b")), Seq("doc_b"))
@@ -2189,8 +2204,7 @@ object SimilarityQueries {
        |JOIN sizes sb ON sb.doc_id = e.doc_b
        |LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
        |ORDER BY e.doc_a, e.doc_b""".stripMargin) { (spark, dir) =>
-    val cand = bucketPairs(bandIndex(spark, dir, dupes = false))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val cand = lshCandidates(spark, dir, dupes = false)
     val mh = minhashIndex(spark, dir, dupes = false)
     val nMatch = (0 until 8)
       .map(j => when(col(s"ha$j") === col(s"hb$j"), 1).otherwise(0))
@@ -2531,8 +2545,7 @@ object SimilarityQueries {
         struct(lit("naive").as("policy"), col("ns").as("split")))).as("k"))
       .groupBy(col("k.policy").as("policy"), col("k.split").as("split"))
       .agg(count(lit(1)).as("n_docs"))
-    val e = bucketPairs(bandIndex(spark, dir, dupes = true))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val e = lshCandidates(spark, dir, dupes = true)
     val ej = e
       .join(asg.select(col("doc_id").as("doc_a"), col("cs").as("acs"), col("ns").as("ans")),
         Seq("doc_a"))
@@ -2678,8 +2691,7 @@ object SimilarityQueries {
       .groupBy(col("split"), col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"),
         countDistinct(col("chunk_id")).as("n_chunks"))
-    val e = bucketPairs(bandIndex(spark, dir, dupes = true))
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val e = lshCandidates(spark, dir, dupes = true)
     val ej = e
       .join(spl.select(col("doc_id").as("doc_a"),
         col("split").as("asplit"), col("lang").as("alang")), Seq("doc_a"))
