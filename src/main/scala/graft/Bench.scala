@@ -391,11 +391,63 @@ object Bench {
       Files.write(bestPath, all.getBytes(StandardCharsets.UTF_8))
     }
 
+    // ---- per-execution ("uncached") pass (optimization round 20,
+    // VERDICT r19 follow-up 1): the steady-state numbers above are the
+    // SESSION-CACHE steady state — for queries whose declared pipeline
+    // includes a derivation the SessionCache memoizes (band index,
+    // candidate pairs, vocabs, centroids...), the median excludes that
+    // derivation after its first touch. This pass re-times every query
+    // with EVERY derivation-cache class bypassed
+    // (CacheResidence.setNoMemo("all")): each execution re-derives its
+    // artifacts — trainer jobs, driver collects, checkpoints included —
+    // so "queries_uncached" is the honest per-execution cost of the
+    // pipeline each query declares. Fingerprinted parquet
+    // materializations (wideRead copies, docShingles/hllShingles) stay:
+    // they are on-disk ingest-layout artifacts, built once per fixture
+    // and already reported separately (copy_build_secs). Both numbers
+    // ship: "queries" keeps the r19-comparable steady-state methodology
+    // (reps, ordering, median — unchanged), "queries_uncached" is the
+    // per-execution truth the optimization report cites. The guard and
+    // bench_best refresh above judge the steady pass only — the two
+    // metrics must never mix.
+    val uncachedReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_UNCACHED_REPS", "2").toInt
+    val timesU = collection.mutable.Map.empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    val errorsU = collection.mutable.LinkedHashMap.empty[String, String]
+    val wallU0 = System.nanoTime()
+    if (uncachedReps > 0) {
+      graft.operators.CacheResidence.setNoMemo(Set("all"))
+      try {
+        for (rep <- 0 until uncachedReps) {
+          val order = new scala.util.Random(rep * 104729 + 31).shuffle(names)
+          for (name <- order if !errors.contains(name) && !errorsU.contains(name)) {
+            val fn = SparkEntry.queries(name)
+            val t0 = System.nanoTime()
+            try {
+              fn(spark, sfDir).count()
+              timesU(name) = timesU(name) :+ (System.nanoTime() - t0) / 1e9
+            } catch {
+              case e: Throwable =>
+                errorsU(name) = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+            }
+          }
+        }
+      } finally graft.operators.CacheResidence.setNoMemo(Set.empty)
+    }
+    val wallU = (System.nanoTime() - wallU0) / 1e9
+    val mediansU: Vector[(String, Double)] =
+      names.map(n => n -> (if (errorsU.contains(n) || timesU(n).isEmpty) -1.0
+        else { val s = timesU(n).sorted; s((s.size - 1) / 2) }))
+    val totalU = mediansU.collect { case (_, v) if v > 0 => v }.sum
+
     def jstr(s: String) = "\"" + s.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160) + "\""
-    def qmap(render: Double => String, only: Option[Set[String]]) = medians
+    def qmapOf(ms: Vector[(String, Double)], render: Double => String,
+        only: Option[Set[String]]) = ms
       .collect { case (k, v) if only.forall(_.contains(k)) => s""""$k":${render(v)}""" }
       .mkString("{", ",", "}")
-    val errs = (preambleErrors ++ errors)
+    def qmap(render: Double => String, only: Option[Set[String]]) =
+      qmapOf(medians, render, only)
+    val errs = (preambleErrors ++ errors ++
+      errorsU.map { case (k, e) => s"_uncached:$k" -> e })
       .map { case (k, e) => s""""$k":${jstr(e)}""" }.mkString("{", ",", "}")
     val guard = guardFails.map { case (k, r) => s""""$k":${jnum(r)}""" }.mkString("{", ",", "}")
     val total = medians.collect { case (_, v) if v > 0 => v }.sum
@@ -406,15 +458,28 @@ object Bench {
     val rawJson = names
       .map(n => s""""$n":[${times(n).map(jnum).mkString(",")}]""")
       .mkString("{", ",", "}")
+    // uncached-pass block: total always in stdout; the per-query map is
+    // headline-limited on stdout (tail-capture budget) and complete in
+    // the file line
+    def uncachedJson(render: Double => String, only: Option[Set[String]]) =
+      if (uncachedReps <= 0) ""
+      else s""""value_uncached":${render(totalU)},"uncached_reps":$uncachedReps,""" +
+        s""""uncached_wall":${render(wallU)},""" +
+        s""""queries_uncached":${qmapOf(mediansU, render, only)},"""
     def line(render: Double => String, only: Option[Set[String]]) =
       s"""{"metric":"total","value":${render(total)},"unit":"sec","reps":$reps,"wall":${render(wall)},""" +
         s""""copy_build_secs":${jnum(copyBuildSecs)},$loadJson,""" +
+        uncachedJson(render, only) +
         s""""queries":${qmap(render, only)},"errors":$errs,"guard":$guard,"sf":"$sfDir"}"""
     // full precision to a file (survives any stdout limit). A filtered
     // (SPARK_GRAFT_BENCH_ONLY) run goes to its own file so a local
     // subset run can never clobber the last full-suite record.
     val lastFile = if (only.isDefined) "BENCH_LAST_FILTERED.json" else "BENCH_LAST.json"
-    val fullLine = line(_.toString, None).dropRight(1) + s""","raw":$rawJson}"""
+    val rawUJson = names
+      .map(n => s""""$n":[${timesU(n).map(jnum).mkString(",")}]""")
+      .mkString("{", ",", "}")
+    val fullLine = line(_.toString, None).dropRight(1) +
+      s""","raw":$rawJson,"raw_uncached":$rawUJson}"""
     Files.write(Paths.get(lastFile), fullLine.getBytes(StandardCharsets.UTF_8))
     // ...and a short ms-rounded headline-only line to stdout (~600 bytes),
     // sized to survive the driver's tail-capture window intact

@@ -35,18 +35,20 @@ object ProfileJobs {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     val done = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String, Int)]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Long)]()
-    var collecting = false
+    // cross-thread flag: written by the driver thread, read on the
+    // listener-bus thread (ADVICE r19 - a plain var can miss a write)
+    val collecting = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit = if (collecting) {
+      override def onJobStart(js: SparkListenerJobStart): Unit = if (collecting.get) {
         val site = js.stageInfos.map(_.name.takeWhile(_ != ':')).distinct.mkString("|")
         jobs.put(js.jobId, (System.nanoTime(), site, js.stageInfos.size))
       }
-      override def onJobEnd(je: SparkListenerJobEnd): Unit = if (collecting) {
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = if (collecting.get) {
         Option(jobs.remove(je.jobId)).foreach { case (t0, site, nStages) =>
           done.add((je.jobId, (System.nanoTime() - t0) / 1e9, site, nStages))
         }
       }
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = if (collecting) {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = if (collecting.get) {
         stageTasks.put(sc.stageInfo.stageId,
           (sc.stageInfo.numTasks, sc.stageInfo.taskMetrics.executorRunTime))
       }
@@ -63,7 +65,7 @@ object ProfileJobs {
     for (name <- names) {
       val fn = SparkEntry.queries(name)
       for (r <- 0 until reps) {
-        if (r == reps - 1) { done.clear(); jobs.clear(); collecting = true }
+        if (r == reps - 1) { done.clear(); jobs.clear(); collecting.set(true) }
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
         val tBuild = (System.nanoTime() - t0) / 1e9
@@ -74,7 +76,7 @@ object ProfileJobs {
         cnt.collect()
         val dt = (System.nanoTime() - t0) / 1e9
         if (r == reps - 1) {
-          collecting = false
+          collecting.set(false)
           Thread.sleep(200) // let listener drain
           val ph = cnt.queryExecution.tracker.phases
             .map { case (k, v) => f"$k=${(v.endTimeMs - v.startTimeMs) / 1e3}%.3f" }

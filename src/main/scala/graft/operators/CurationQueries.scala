@@ -36,8 +36,9 @@ object CurationQueries {
   private val dtfCache = new SessionCache[String, DataFrame]()
 
   private def docTermBuckets(spark: SparkSession, dir: String): DataFrame =
-    dtfCache.getOrElseUpdate(spark, dir) {
-      graft.functions.CurationRules.bucketTf(docs(spark, dir)).localCheckpoint()
+    CacheResidence.memo("dtf", dtfCache, spark, dir) {
+      CacheResidence.resident("dtf",
+        graft.functions.CurationRules.bucketTf(docs(spark, dir)))
     }
 
   // ---- DSIR (Data Selection via Importance Resampling, Xie et al.
@@ -901,17 +902,11 @@ object CurationQueries {
     import graft.functions.VectorMath
     val qn = embs(spark, dir)
       .select(col("vec_id"), VectorMath.quantize(col("embedding")).as("q"))
-    // session-cached (ScaleOps.cachedCentroids): identical (cl, c)
-    // frame to q18_ann_ivfpq's — same label grouping, same `sm div n`
-    // means, same sorted-array assembly — so the two share one kind
-    val cent = ScaleOps.cachedCentroids(spark, dir, "label-mean-arr")(
-      qn.join(embs(spark, dir).select(col("vec_id"), col("label")), Seq("vec_id"))
-        .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
-        .groupBy(col("label"), col("dim0"))
-        .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
-        .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
-        .groupBy(col("cl"))
-        .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c")))
+    // session-cached, SHARED builder (ScaleOps.labelMeanCentroids):
+    // q18_ann_ivfpq consumes the same kind through the same code, so
+    // the equivalence is enforced by construction (ADVICE r19) — and
+    // the old copy's 1:1 label re-join through vec_id is gone
+    val cent = ScaleOps.labelMeanCentroids(spark, dir)
     // per (vector, codeword) row: 8 subvector distances via the ranged
     // zero-allocation codegen kernel (slice() would allocate 16 arrays
     // per row at the n·K encode stage); the per-(vec, sub) argmin is a

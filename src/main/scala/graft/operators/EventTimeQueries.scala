@@ -140,7 +140,7 @@ object EventTimeQueries {
     // SFs), so the gate can never change a result — only which
     // exchange structure computes it (SessionDensityGateSpec pins
     // branch selection AND output parity on both sides).
-    val dense = ScaleOps.wideRead(spark, dir, "events").count() >= 250000L
+    val dense = !ScaleOps.smallCorpus(spark, dir, "events")
     if (dense) {
       val frags = e
         .groupBy(col("stream_name"), col("_b"))

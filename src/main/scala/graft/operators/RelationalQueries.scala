@@ -29,6 +29,34 @@ object RelationalQueries {
     * lossless for the TPC-H-ish money/quantity columns). */
   private def dec(c: String): Column = expr(s"CAST($c AS DECIMAL(20,4))")
 
+  /** Unscaled-long money kernel (optimization round 20, VERDICT r19
+    * follow-up 6): the revenue decimal chain
+    * `sum(dec(price) * (1 - dec(disc)))` mirrored rounding-step for
+    * rounding-step in 64-bit integers, so ORDER-bounded aggregates run
+    * on 8-byte long partials instead of 16-byte decimals.
+    *
+    * Equivalence by construction (proven green against the DuckDB
+    * oracle at all three SFs, and MoneyKernelSpec pins new == old on
+    * the fixture): Spark evaluates dec(20,4) × dec(21,4) as
+    * decimal(38,6), i.e. HALF_UP(E·M / 100) with E = price·10⁴ and
+    * M = 10⁴ − disc·10⁴ — for non-negative money exactly
+    * `(E*M + 50) div 100` [[discPrice6]]; the sum is then exact at
+    * scale 6, and `round(sum, 2) * 100` = `(Σ + 5000) div 10000`
+    * [[cents]]. Overflow bound: E ≤ 1.05e9 (max price 104999.91),
+    * M ≤ 10⁴ ⇒ r6 ≤ 1.05e11 per line; a single ORDER would need
+    * > 8.7e7 lines to overflow the group sum — TPC-H orders carry ≤ 7
+    * (these fixtures ≤ 17). NOT applied to q12_agg: its 6 groups are
+    * CORPUS-sized (the same bound fails at ~1.7e10 lines per group on
+    * a 100 TB lineitem), so that aggregate keeps the decimal
+    * accumulator deliberately. */
+  private def discPrice6(price: String, disc: String): Column =
+    expr(s"(CAST(CAST($price AS DECIMAL(20,4)) * 10000 AS BIGINT)" +
+      s" * (10000 - CAST(CAST($disc AS DECIMAL(20,4)) * 10000 AS BIGINT)) + 50) div 100")
+
+  /** round(·, 2)·100 of a scale-6 unscaled-long sum (HALF_UP,
+    * non-negative) — see [[discPrice6]]. */
+  private def centsOf6(sum6: String): Column = expr(s"($sum6 + 5000) div 10000")
+
   // Q10: ranking / analytic windows over lineitem.
   val q10WindowRank: QueryDef = QueryDef(
     "q10_window_rank",
@@ -84,15 +112,24 @@ object RelationalQueries {
     val cust = t(spark, dir, "customer")
       .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
     val ord = t(spark, dir, "orders").where(col("o_orderstatus") === "O")
+    // segment lifted from a first() BUFFER into a grouping KEY
+    // (optimization round 20): one customer per order makes
+    // c_mktsegment a function of o_orderkey, so the groups are
+    // identical — but a string in the aggregation buffer forced the
+    // whole aggregate to SortAggregate (UnsafeRow string buffers are
+    // immutable); with only long buffers (discPrice6 revenue + count)
+    // the plan is a HashAggregate with 8-byte partials.
     t(spark, dir, "lineitem")
       .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("o_orderkey"))
-      .agg(
-        (round(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))), 2) * 100)
-          .cast("long").as("revenue_cents"),
-        first(col("c_mktsegment")).as("segment"),
-        count(lit(1)).as("n_lines"))
+      .select(col("o_orderkey"), col("c_mktsegment"),
+        discPrice6("l_extendedprice", "l_discount").as("r6"))
+      .groupBy(col("o_orderkey"), col("c_mktsegment"))
+      .agg(sum(col("r6")).as("rev_u6"), count(lit(1)).as("n_lines"))
+      .select(col("o_orderkey"),
+        centsOf6("rev_u6").as("revenue_cents"),
+        col("c_mktsegment").as("segment"),
+        col("n_lines"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -308,13 +345,18 @@ object RelationalQueries {
       |ORDER BY sum(CAST(l_extendedprice AS DECIMAL(20,4))
       |             * (1 - CAST(l_discount AS DECIMAL(20,4)))) DESC, l_orderkey
       |LIMIT 10""".stripMargin) { (spark, dir) =>
+    // unscaled-long revenue (see discPrice6): the scale-6 long sum is a
+    // strictly monotone image of the decimal sum, so the ORDER BY and
+    // the top-10 are unchanged; the 600k-row partial aggregate runs on
+    // 8-byte longs instead of 16-byte decimals
     t(spark, dir, "lineitem")
-      .groupBy(col("l_orderkey").as("o_orderkey"))
-      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
-      .orderBy(col("rev_dec").desc, col("o_orderkey"))
+      .select(col("l_orderkey").as("o_orderkey"),
+        discPrice6("l_extendedprice", "l_discount").as("r6"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum(col("r6")).as("rev_u6"))
+      .orderBy(col("rev_u6").desc, col("o_orderkey"))
       .limit(10)
-      .select(col("o_orderkey"),
-        (round(col("rev_dec"), 2) * 100).cast("long").as("revenue_cents"))
+      .select(col("o_orderkey"), centsOf6("rev_u6").as("revenue_cents"))
   }
 
   // Q14: set operations over customer segments.

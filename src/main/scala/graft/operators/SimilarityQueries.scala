@@ -108,6 +108,12 @@ object SimilarityQueries {
     * corpus-sized frame per audit. */
   private val docShinglesCache = new SessionCache[String, DataFrame]()
 
+  /** INVARIANT (ADVICE r19): doc_id is a key of `documents` (one row,
+    * hence one source, per doc_id — FIXTURES.md schema, and every
+    * oracle treats it so), therefore the distinct (doc_id, source,
+    * shingle) rows here project to DISTINCT (doc_id, shingle) rows.
+    * exactOverlap's small-corpus branch relies on that: it reads this
+    * frame minus `source` without re-deduplicating. */
   private[graft] def docShingles(spark: SparkSession, dir: String): DataFrame =
     docShinglesCache.getOrElseUpdate(spark, dir) {
       ScaleOps.materializedDerived(spark, dir, "documents", "graft_shingles_") { d =>
@@ -173,13 +179,13 @@ object SimilarityQueries {
   private val minhashCache = new SessionCache[(String, Boolean), DataFrame]()
 
   private def minhashIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
-    minhashCache.getOrElseUpdate(spark, (dir, dupes)) {
+    CacheResidence.memo("band", minhashCache, spark, (dir, dupes)) {
       val corpus = if (dupes) withDupes(docs(spark, dir)) else docs(spark, dir)
       CacheResidence.resident("band", minhashes(corpus))
     }
 
   private def bandIndex(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
-    bandIndexCache.getOrElseUpdate(spark, (dir, dupes)) {
+    CacheResidence.memo("band", bandIndexCache, spark, (dir, dupes)) {
       CacheResidence.resident("band", bandsOf(minhashIndex(spark, dir, dupes)))
     }
 
@@ -250,10 +256,22 @@ object SimilarityQueries {
   private val fuzzyCandCache = new SessionCache[String, DataFrame]()
 
   private def lshCandidates(spark: SparkSession, dir: String, dupes: Boolean): DataFrame =
-    candPairCache.getOrElseUpdate(spark, (dir, dupes)) {
-      CacheResidence.resident("band",
-        bucketPairs(bandIndex(spark, dir, dupes))
-          .select(col("doc_a"), col("doc_b")).distinct())
+    CacheResidence.memo("lshcand", candPairCache, spark, (dir, dupes)) {
+      val pairs = bucketPairs(bandIndex(spark, dir, dupes))
+        .select(col("doc_a"), col("doc_b")).distinct()
+      // residency size-gated (optimization round 20, VERDICT r19
+      // follow-up 4): "duplicate-density-bounded" is a property of the
+      // CORPUS, not of the frame — on a duplicate-dense corpus the
+      // candidate set grows without bound and an eager localCheckpoint
+      // would pin it in executor block storage for the session (the
+      // round-14 residency doctrine's exact hazard). Below the shared
+      // small-corpus gate the pin is trivially bounded (≤ C(n,2) narrow
+      // rows, in practice ~23k at sf0.1); at scale the frame stays lazy
+      // and consumers recompute from the resident band index — the
+      // pre-r19 behavior the 60× tier was measured on.
+      if (ScaleOps.smallCorpus(spark, dir))
+        CacheResidence.resident("lshcand", pairs)
+      else pairs
     }
 
   val q18MinhashPairs: QueryDef = QueryDef(
@@ -375,7 +393,7 @@ object SimilarityQueries {
   private val simhashSigCache = new SessionCache[String, DataFrame]()
 
   private def simhashSigsCached(spark: SparkSession, dir: String): DataFrame =
-    simhashSigCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("simhash", simhashSigCache, spark, dir) {
       CacheResidence.resident("simhash", simhashSigs(docs(spark, dir)))
     }
 
@@ -389,10 +407,9 @@ object SimilarityQueries {
   private val simhashPairCache = new SessionCache[String, DataFrame]()
 
   private def simhashPairsCached(spark: SparkSession, dir: String): DataFrame =
-    simhashPairCache.getOrElseUpdate(spark, dir) {
-      simhashPairsFromSigs(
-        simhashSigsCached(spark, dir).select(col("doc_id"), col("sig")))
-        .localCheckpoint()
+    CacheResidence.memo("simhash", simhashPairCache, spark, dir) {
+      CacheResidence.resident("simhash", simhashPairsFromSigs(
+        simhashSigsCached(spark, dir).select(col("doc_id"), col("sig"))))
     }
 
   val q18Simhash: QueryDef = QueryDef(
@@ -998,16 +1015,10 @@ object SimilarityQueries {
     val qn = quantized(embs(spark, dir))
     // per-label mean codeword as a 64-long array — the one broadcast
     // that routing, encoding, and the ADC lookup table all reuse
-    // (session-cached: same values every execution — see
-    // ScaleOps.cachedCentroids; q18_pq_encode shares this kind, its
-    // construction computes the identical (cl, c) frame)
-    val cent = ScaleOps.cachedCentroids(spark, dir, "label-mean-arr")(qn
-      .select(col("label"), posexplode(col("q")).as(Seq("dim0", "qi")))
-      .groupBy(col("label"), col("dim0"))
-      .agg(sum(col("qi")).as("sm"), count(lit(1)).as("n"))
-      .select(col("label").as("cl"), col("dim0"), expr("sm div n").as("mq"))
-      .groupBy(col("cl"))
-      .agg(expr("transform(sort_array(collect_list(struct(dim0, mq))), s -> s.mq)").as("c")))
+    // (session-cached, SHARED builder — ScaleOps.labelMeanCentroids:
+    // q18_pq_encode consumes the same kind through the same code, so
+    // the equivalence is enforced by construction, ADVICE r19)
+    val cent = ScaleOps.labelMeanCentroids(spark, dir)
     // probe side: per (probe, codeword) all 8 subvector ‖q_s − c_s‖²
     // via the ranged zero-allocation codegen kernel (VectorMath
     // .subDist2) — the LUT needs every (probe, cl, s, dist) row and the
@@ -1337,7 +1348,7 @@ object SimilarityQueries {
   private val ccNodeMapCache = new SessionCache[String, DataFrame]()
 
   private def ccNodeMapCached(spark: SparkSession, dir: String): DataFrame =
-    ccNodeMapCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("cc", ccNodeMapCache, spark, dir) {
       val bands = bandIndex(spark, dir, dupes = true)
       val mins = bands.groupBy(col("band"), col("bucket"))
         .agg(min(col("doc_id")).as("m"), count(lit(1)).as("n"))
@@ -1352,15 +1363,14 @@ object SimilarityQueries {
         .select(col("a"), explode(col("ms")).as("b"))
         .where(col("a") =!= col("b"))
       val edges = starEdges.union(minLinks).distinct()
-      componentMapFromEdges(edges).localCheckpoint()
+      CacheResidence.resident("cc", componentMapFromEdges(edges))
     }
 
   private def ccClustersCached(spark: SparkSession, dir: String): DataFrame =
-    ccClusterCache.getOrElseUpdate(spark, dir) {
-      ccNodeMapCached(spark, dir)
+    CacheResidence.memo("cc", ccClusterCache, spark, dir) {
+      CacheResidence.resident("cc", ccNodeMapCached(spark, dir)
         .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum"))
-        .localCheckpoint()
+        .agg(count(lit(1)).as("n_members"), sum(col("node")).as("id_sum")))
     }
 
   // ---- dedup yield report: the cluster-size histogram + removal
@@ -2129,7 +2139,7 @@ object SimilarityQueries {
     // row-identical (the frame IS the distinct shingle set of the
     // corpus, semi-joined to the same ids).
     val sh2 =
-      if (docs(spark, dir).count() < 250000L)
+      if (ScaleOps.smallCorpus(spark, dir))
         docShingles(spark, dir).select(col("doc_id"), col("shingle"))
           .join(ids, Seq("doc_id"), "left_semi")
       else
@@ -2153,6 +2163,21 @@ object SimilarityQueries {
     // per-pair counts are identical (sh2 is distinct (doc, shingle),
     // so matched rows per pair = |A ∩ B|; callers pass `cand`
     // deduplicated, which the final join relies on either way).
+    //
+    // NOT fused further (optimization round 20, measured rejection of
+    // VERDICT r19 follow-up 2's "carry sizes through the pair walk"):
+    // folding sz_a into the intersection aggregate (count(*) per pair
+    // with the doc_b probe as a LEFT join) cuts 5 joins + 2 aggregates
+    // to 3 + 2 — but the removed joins were ≤|cand|-row BROADCASTS
+    // whose build jobs run CONCURRENTLY off the critical path, while
+    // the left join pins its build side and serializes one big
+    // broadcast INTO the path. Same-boot interleaved A/B:
+    // q18_simhash_quality 0.66-1.02 s (this form) vs 1.20-1.68 s
+    // (fused; ProfileJobs: one 0.58 s serial build job vs ten ≤0.18 s
+    // overlapping jobs); a shuffle_hash hint on the probe didn't
+    // recover it. Lesson recorded in OPTIMIZATION_r20.md: join-count
+    // cuts only pay when the removed work was ON the critical path —
+    // independent broadcast builds already overlap.
     val inter = cand
       .join(sh2.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh2.select(col("doc_id").as("doc_b"), col("shingle")), Seq("doc_b", "shingle"))
@@ -2371,7 +2396,7 @@ object SimilarityQueries {
     // corpus-index artifact — computing it is the expensive step and
     // every execution of the audit must not repeat it. Built once per
     // (session, corpus); the derivation below is unchanged.
-    val cand = containCandCache.getOrElseUpdate(spark, dir) {
+    val cand = CacheResidence.memo("containcand", containCandCache, spark, dir) {
       // ONE shuffle on top of the shared frame builds the whole
       // rare-shingle index: the capped distinct-set aggregate
       // (SetAgg.cappedDocSet, bounded state — a stop-shingle costs 64
@@ -2403,12 +2428,16 @@ object SimilarityQueries {
         // both self-join sides read it instead of re-running the index
         .localCheckpoint()
       val guarded = ScaleOps.guardBlockSize(pick, "shingle", "q18_containment")
-      CacheResidence.resident("band",
-        guarded.select(col("doc_id").as("doc_a"), col("shingle"))
-          .join(guarded.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
-          .where(col("doc_a") < col("doc_b"))
-          .select(col("doc_a"), col("doc_b"))
-          .distinct())
+      val pairs = guarded.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(guarded.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .where(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"))
+        .distinct()
+      // residency size-gated like lshCandidates (round-14 doctrine:
+      // a duplicate-dense corpus must not pin an unbounded pair set)
+      if (ScaleOps.smallCorpus(spark, dir))
+        CacheResidence.resident("containcand", pairs)
+      else pairs
     }
     exactOverlap(spark, dir, cand)
       .withColumn("cont_bp",
@@ -2465,17 +2494,20 @@ object SimilarityQueries {
     // duplicate-density-bounded corpus-index artifact (optimization
     // round 19) — the guard fires on first build, as it would in the
     // production gate that maintains this index incrementally
-    val cand = fuzzyCandCache.getOrElseUpdate(spark, dir) {
+    val cand = CacheResidence.memo("fuzzycand", fuzzyCandCache, spark, dir) {
       val bands = bandIndex(spark, dir, dupes = false)
       val ev = ScaleOps.guardBlockSize(
         bands.where(col("doc_id") % 10 === 3), "bucket", "q18_fuzzy_contam")
-      CacheResidence.resident("band",
-        bands.where(col("doc_id") % 10 =!= 3)
-          .select(col("doc_id").as("train_doc"), col("band"), col("bucket"))
-          .join(ev.select(col("doc_id").as("eval_doc"), col("band"), col("bucket")),
-            Seq("band", "bucket"))
-          .select(col("train_doc"), col("eval_doc"))
-          .distinct())
+      val pairs = bands.where(col("doc_id") % 10 =!= 3)
+        .select(col("doc_id").as("train_doc"), col("band"), col("bucket"))
+        .join(ev.select(col("doc_id").as("eval_doc"), col("band"), col("bucket")),
+          Seq("band", "bucket"))
+        .select(col("train_doc"), col("eval_doc"))
+        .distinct()
+      // residency size-gated like lshCandidates (round-14 doctrine)
+      if (ScaleOps.smallCorpus(spark, dir))
+        CacheResidence.resident("fuzzycand", pairs)
+      else pairs
     }
     // the shared confirm canonicalizes on doc_a < doc_b; restore the
     // train/eval orientation afterwards (split sides are disjoint, so
@@ -2824,11 +2856,6 @@ object SimilarityQueries {
         .as("s_um"))
       .groupBy(col("doc_id"))
       .agg(sum(col("s_um")).cast("long").as("bm25_um"))
-    val ttop = bm.orderBy(col("bm25_um").desc, col("doc_id")).limit(100)
-      .localCheckpoint()
-    val rankT = rankBy(ttop, "doc_id", col("bm25_um"),
-      col("__o_s") > col("bm25_um") ||
-        (col("__o_s") === col("bm25_um") && col("__o_id") < col("doc_id")), "rt")
     // dense arm — q18_cosine_topk's broadcast-probe dot, probe vec 0
     val qn = quantized(embs(spark, dir))
     val probe = qn.where(col("vec_id") === 0)
@@ -2839,8 +2866,18 @@ object SimilarityQueries {
       .select(col("vec_id"), col("q").as("qc"), col("n2").as("n2c"))
       .crossJoin(broadcast(probe))
       .select(col("vec_id"), cosine.as("cosine"))
-    val vtop = vsc.orderBy(col("cosine").desc, col("vec_id")).limit(100)
-      .localCheckpoint()
+    // the two arm top-100 checkpoints share no lineage (text arm reads
+    // the doc-term matrix, dense arm the embeddings) but used to
+    // materialize back-to-back — two sequential job waves. Overlapped
+    // on driver threads (optimization round 20, guide §2.6; see
+    // ScaleOps.checkpointConcurrently for the determinism/lifecycle
+    // argument and ConcurrentCheckpointSpec for the pin).
+    val Seq(ttop, vtop) = ScaleOps.checkpointConcurrently(Seq(
+      bm.orderBy(col("bm25_um").desc, col("doc_id")).limit(100),
+      vsc.orderBy(col("cosine").desc, col("vec_id")).limit(100)))
+    val rankT = rankBy(ttop, "doc_id", col("bm25_um"),
+      col("__o_s") > col("bm25_um") ||
+        (col("__o_s") === col("bm25_um") && col("__o_id") < col("doc_id")), "rt")
     val rankV = rankBy(vtop, "vec_id", col("cosine"),
       col("__o_s") > col("cosine") ||
         (col("__o_s") === col("cosine") && col("__o_id") < col("vec_id")), "rv")

@@ -38,7 +38,7 @@ object TextQueries {
   private val termFreqCache = new SessionCache[String, DataFrame]()
 
   private[operators] def termFreq(spark: SparkSession, dir: String): DataFrame =
-    termFreqCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("termfreq", termFreqCache, spark, dir) {
       CacheResidence.resident("termfreq",
         docs(spark, dir)
           .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
@@ -422,7 +422,7 @@ object TextQueries {
   private val imageSigCache = new SessionCache[String, DataFrame]()
 
   private def imageSigIndex(spark: SparkSession, dir: String): DataFrame =
-    imageSigCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("modality", imageSigCache, spark, dir) {
       CacheResidence.resident("modality", imageFeatures(rawAssets(spark, dir)))
     }
 
@@ -539,7 +539,7 @@ object TextQueries {
   private val videoSigCache = new SessionCache[String, DataFrame]()
 
   private def videoSigIndex(spark: SparkSession, dir: String): DataFrame =
-    videoSigCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("modality", videoSigCache, spark, dir) {
       CacheResidence.resident("modality", videoFeatures(rawAssets(spark, dir)))
     }
 
@@ -731,7 +731,7 @@ object TextQueries {
   private val decodedAudioCache = new SessionCache[String, DataFrame]()
 
   private def decodedAudioIndex(spark: SparkSession, dir: String): DataFrame =
-    decodedAudioCache.getOrElseUpdate(spark, dir) {
+    CacheResidence.memo("modality", decodedAudioCache, spark, dir) {
       CacheResidence.resident("modality", decodeAudioFrame(rawAssets(spark, dir)))
     }
 
@@ -1810,7 +1810,8 @@ object TextQueries {
   private[graft] def trainBpeMerges(
       spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[(Long, String, String, Long)] =
-    bpeMergesCache.getOrElseUpdate(spark, dir)(trainBpeMergesUncached(spark, dir))
+    CacheResidence.memo("tokenizer", bpeMergesCache, spark, dir)(
+      trainBpeMergesUncached(spark, dir))
 
   private def trainBpeMergesUncached(
       spark: org.apache.spark.sql.SparkSession,
@@ -2143,7 +2144,8 @@ object TextQueries {
     * production gate trains it once offline, like the BPE merge table.
     * One checkpointed word-count frame feeds both bounded collects. */
   private[graft] def trainWordpieceVocab(spark: SparkSession, dir: String): Seq[String] =
-    wpVocabCache.getOrElseUpdate(spark, dir)(trainWordpieceVocabUncached(spark, dir))
+    CacheResidence.memo("tokenizer", wpVocabCache, spark, dir)(
+      trainWordpieceVocabUncached(spark, dir))
 
   private def trainWordpieceVocabUncached(spark: SparkSession, dir: String): Seq[String] = {
     val wc = docs(spark, dir)
@@ -2234,7 +2236,8 @@ object TextQueries {
     * renormalized unigram prob. Deterministic: (cnt DESC, piece)
     * ordering, ONE ln per piece on the driver. */
   private[graft] def trainUnigramVocab(spark: SparkSession, dir: String): Seq[(String, Long)] =
-    ugVocabCache.getOrElseUpdate(spark, dir)(trainUnigramVocabUncached(spark, dir))
+    CacheResidence.memo("tokenizer", ugVocabCache, spark, dir)(
+      trainUnigramVocabUncached(spark, dir))
 
   private def trainUnigramVocabUncached(spark: SparkSession, dir: String): Seq[(String, Long)] = {
     val wc = docs(spark, dir)
