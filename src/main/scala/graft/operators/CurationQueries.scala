@@ -668,21 +668,56 @@ object CurationQueries {
         expr("CAST(round(1000000 * ln(CAST(cnt + 1 AS DOUBLE) / (n_tok + 256))) AS BIGINT)")
           .as("lp"))
     val dtf = dtfLang.groupBy(col("doc_id"), col("b")).agg(sum(col("tf")).as("tf"))
-    val scored = dtf
-      .crossJoin(broadcast(nl))
-      .join(broadcast(model), Seq("lang", "b"), "left")
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(expr(
-        """CAST(sum(CAST(tf AS DECIMAL(19,0)) * coalesce(lp,
-          |  CAST(round(1000000 * ln(1.0 / (n_tok + 256))) AS BIGINT))) AS BIGINT)"""
-          .stripMargin).as("ll"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("lang"))
-    val pred = scored.join(broadcast(prior), Seq("lang"))
-      .select(col("doc_id"), col("lang"), (col("ll") + col("pr")).as("score"))
-      .withColumn("rnk", row_number().over(byDoc))
-      .where(col("rnk") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"))
+    // Single-pass scoring (optimization round 20, VERDICT r19
+    // follow-up 7): the old plan crossJoined dtf with the 5-language
+    // totals (5× the matrix rows), re-shuffled the inflated frame by
+    // (doc_id, lang), and ran a per-doc row_number window for the
+    // argmax. The language axis is K-bounded, so it belongs in
+    // COLUMNS, not rows: collect the (lang, prior + smoothing default)
+    // table to the driver (two ≤|langs|-row collects — the
+    // cachedCodebook discipline; every rounded value is computed by
+    // the SAME Spark expressions as before, driver-side ln/round never
+    // enters), pivot the model to one 256-row (b, lp_0..lp_k) wide
+    // frame, and score every language in ONE groupBy(doc_id) pass with
+    // k conditional sums — no row inflation, one shuffle of the
+    // un-inflated matrix, no window. The argmax is a fold over the
+    // k score columns with strict-greater replacement, langs in
+    // ascending order = the window's (score DESC, lang ASC) tie-break.
+    // Long arithmetic is exact here: |lp| ≤ ~2.6e7 micro-nats and
+    // per-doc tf sums are document-bounded, so a doc's score magnitude
+    // is ≤ ~2.6e7 · |doc tokens| — overflow would need a 3.5e11-token
+    // document (the old DECIMAL(19,0) guard was equally a no-op at any
+    // real document size, and the oracle's HUGEINT sum agrees exactly
+    // while both stay in range).
+    val langInfo = prior
+      .join(nl.select(col("lang"),
+        expr("CAST(round(1000000 * ln(1.0 / (n_tok + 256))) AS BIGINT)").as("dflt")),
+        Seq("lang"))
+      .orderBy(col("lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val langs = langInfo.map(_._1)
+    val modelWide = model.groupBy(col("b"))
+      .agg(langs.zipWithIndex.map { case (l, i) =>
+        max(when(col("lang") === l, col("lp"))).as(s"lp_$i")
+      }.head, langs.zipWithIndex.tail.map { case (l, i) =>
+        max(when(col("lang") === l, col("lp"))).as(s"lp_$i")
+      }: _*)
+    val scoredWide = dtf
+      .join(broadcast(modelWide), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(langInfo.zipWithIndex.map { case ((_, _, dflt), i) =>
+        sum(col("tf") * coalesce(col(s"lp_$i"), lit(dflt))).as(s"s_$i")
+      }.head, langInfo.zipWithIndex.tail.map { case ((_, _, dflt), i) =>
+        sum(col("tf") * coalesce(col(s"lp_$i"), lit(dflt))).as(s"s_$i")
+      }: _*)
+    val best = langInfo.zipWithIndex.tail.foldLeft(
+      struct((col("s_0") + lit(langInfo.head._2)).as("score"),
+        lit(langs.head).as("lang"))) { case (acc, ((_, pr, _), i)) =>
+      val cand = struct((col(s"s_$i") + lit(pr)).as("score"), lit(langs(i)).as("lang"))
+      when(cand.getField("score") > acc.getField("score"), cand).otherwise(acc)
+    }
+    val pred = scoredWide
+      .select(col("doc_id"), best.getField("lang").as("pred_lang"))
     docs(spark, dir).select(col("doc_id"), col("lang").as("labeled_lang"))
       .join(pred, Seq("doc_id"))
       .groupBy(col("labeled_lang"), col("pred_lang"))
